@@ -1,0 +1,118 @@
+"""Portable deterministic hashing + near-dup primitives.
+
+``hash64`` is defined as DuckDB's ``md5_number_lower(s)`` — the *last* 8 bytes
+of the MD5 digest, little-endian, as an unsigned 64-bit integer (verified
+equal in this environment). Using an MD5-derived hash (instead of Spark
+``xxhash64`` or DuckDB ``hash``) makes every hash-based operator — exact
+dedup, MinHash-LSH, SimHash, fingerprints — *differentially testable*: the
+DuckDB SQL oracle computes the very same integers.
+
+All functions here are pure and numpy/stdlib only; the Spark operators in
+``..operators.dedup`` call them inside Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Sequence
+
+U64 = (1 << 64) - 1
+SEP = "\x1f"  # unit separator joins seed/token pieces, same literal in SQL
+
+
+def hash64(s: str) -> int:
+    """Unsigned 64-bit == DuckDB ``md5_number_lower(s)``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def hash64_signed(s: str) -> int:
+    """Two's-complement view, matching ``CAST(md5_number_lower(s) AS BIGINT)``."""
+    v = hash64(s)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_word_re = re.compile(r"\S+")
+
+
+def tokenize(text: str) -> List[str]:
+    return _word_re.findall(text.lower())
+
+
+def shingles(text: str, k: int = 3) -> List[str]:
+    """Distinct word k-gram shingles, space-joined, order-preserving first-seen.
+
+    SQL equivalent: split to words, ``list_transform(range(...))`` k-gram
+    join, ``unnest`` + ``DISTINCT``.
+    """
+    toks = tokenize(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    seen = set()
+    out = []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def minhash_signature(text: str, num_hashes: int = 16, k: int = 3) -> List[int]:
+    """MinHash signature: ``sig[i] = min over shingles of hash64(i<SEP>sh)``.
+
+    Empty documents get the max hash in every slot (never collide with real
+    content).
+    """
+    sh = shingles(text, k)
+    if not sh:
+        return [U64] * num_hashes
+    return [min(hash64(f"{i}{SEP}{s}") for s in sh) for i in range(num_hashes)]
+
+
+def minhash_bands(sig: Sequence[int], band_size: int = 4) -> List[int]:
+    """LSH band keys: hash of the concatenated signature slice per band."""
+    return [
+        hash64(SEP.join(str(v) for v in sig[b : b + band_size]))
+        for b in range(0, len(sig), band_size)
+    ]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (Charikar 2002): per-bit majority vote
+    of token ``hash64`` values, unweighted."""
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    counts = [0] * 64
+    for t in toks:
+        h = hash64(t)
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if counts[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & U64).count("1")
+
+
+def jaccard_kgrams(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingles(a, k)), set(shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def doc_fingerprint(text: str, k: int = 3) -> int:
+    """Winnowing-style fingerprint: min shingle hash (seed 0) — equals
+    ``minhash_signature(text, 1, k)[0]``; cheap containment/equality probe."""
+    sh = shingles(text, k)
+    if not sh:
+        return U64
+    return min(hash64(f"0{SEP}{s}") for s in sh)

@@ -1,0 +1,120 @@
+"""Character-trigram language model with stupid-backoff perplexity.
+
+KenLM-style n-gram perplexity scoring is required by the north rule; the kenlm
+wheel is unavailable, so this is a self-contained deterministic equivalent:
+
+- one char-trigram LM per language, trained at first use on a seed corpus
+  synthesized from ``langprofiles`` vocabulary with ``random.Random(SEED)``
+  (pure function of the code — no wall clock, no external data);
+- stupid-backoff scoring (Brants et al. 2007, public):
+  ``p(c3|c1c2) = tri/bi`` else ``0.4 * bi2/uni`` else ``0.16 * uni/total``
+  else ``FLOOR``; perplexity = ``exp(-mean(log p))`` over all char positions;
+- lookups are numpy ``searchsorted`` over sorted int64 n-gram codes, so
+  scoring a document is a handful of vectorized ops — the same code path runs
+  inside the Spark pandas UDF (executor-side init-once, model broadcast).
+
+Text is lowercased and whitespace-collapsed before scoring; codepoints above
+0xFFFE map to 0xFFFE so codes fit one int64: code(c1,c2,c3) =
+(c1<<32)|(c2<<16)|c3.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from .langprofiles import CONTENT_WORDS, LANGS, STOPWORDS
+
+SEED = 42
+BACKOFF = 0.4
+FLOOR = 1e-7
+_SEED_WORDS = 60_000  # per-language training sample size
+
+
+def _seed_text(lang: str) -> str:
+    # mix the language in via its fixed index (hash() is process-salted)
+    rng = random.Random(SEED * 1000 + LANGS.index(lang))
+    stop = STOPWORDS.get(lang, [])
+    content = CONTENT_WORDS[lang]
+    words: List[str] = []
+    sep = "" if lang == "zh" else " "
+    for _ in range(_SEED_WORDS):
+        if stop and rng.random() < 0.4:
+            words.append(rng.choice(stop))
+        else:
+            words.append(rng.choice(content))
+        if rng.random() < 0.1:
+            words.append("." if lang != "zh" else "。")
+    return sep.join(words).lower()
+
+
+def _encode(text: str) -> np.ndarray:
+    arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return np.minimum(arr, 0xFFFE)
+
+
+class CharTrigramLM:
+    """Sorted-array n-gram store; picklable and broadcast-friendly."""
+
+    def __init__(self, text: str):
+        c = _encode(text)
+        self.total = len(c)
+        uni_keys, uni_cnt = np.unique(c, return_counts=True)
+        bi = (c[:-1] << 16) | c[1:]
+        bi_keys, bi_cnt = np.unique(bi, return_counts=True)
+        tri = (c[:-2] << 32) | (c[1:-1] << 16) | c[2:]
+        tri_keys, tri_cnt = np.unique(tri, return_counts=True)
+        self.uni_keys, self.uni_cnt = uni_keys, uni_cnt.astype(np.float64)
+        self.bi_keys, self.bi_cnt = bi_keys, bi_cnt.astype(np.float64)
+        self.tri_keys, self.tri_cnt = tri_keys, tri_cnt.astype(np.float64)
+
+    @staticmethod
+    def _lookup(keys: np.ndarray, cnt: np.ndarray, q: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(keys, q)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx_c] == q
+        out = np.where(hit, cnt[idx_c], 0.0)
+        return out
+
+    def perplexity(self, text: str) -> float:
+        t = " ".join(text.lower().split())
+        if len(t) < 3:
+            return float("inf") if not t else float(np.exp(-np.log(FLOOR)))
+        c = _encode(t)
+        tri = (c[:-2] << 32) | (c[1:-1] << 16) | c[2:]
+        bi_ctx = (c[:-2] << 16) | c[1:-1]
+        bi2 = (c[1:-1] << 16) | c[2:]
+        uni_ctx = c[1:-1]
+        uni = c[2:]
+
+        tri_c = self._lookup(self.tri_keys, self.tri_cnt, tri)
+        bictx_c = self._lookup(self.bi_keys, self.bi_cnt, bi_ctx)
+        bi2_c = self._lookup(self.bi_keys, self.bi_cnt, bi2)
+        unictx_c = self._lookup(self.uni_keys, self.uni_cnt, uni_ctx)
+        uni_c = self._lookup(self.uni_keys, self.uni_cnt, uni)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_tri = np.where(bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
+            p_bi = BACKOFF * np.where(unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0)
+            p_uni = BACKOFF * BACKOFF * uni_c / self.total
+        p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
+        p = np.maximum(p, FLOOR)
+        return float(np.exp(-np.mean(np.log(p))))
+
+
+_MODELS: Dict[str, CharTrigramLM] = {}
+
+
+def get_model(lang: str) -> CharTrigramLM:
+    key = lang if lang in LANGS else "en"
+    if key not in _MODELS:
+        _MODELS[key] = CharTrigramLM(_seed_text(key))
+    return _MODELS[key]
+
+
+def perplexity(text: str, lang: str = "en") -> float:
+    """Oracle path: perplexity of ``text`` under the LM for ``lang``
+    (unknown languages score against the English LM)."""
+    return get_model(lang).perplexity(text)

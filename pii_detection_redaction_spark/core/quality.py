@@ -1,0 +1,117 @@
+"""Gopher/C4-style heuristic quality rules — the keep/drop specification.
+
+The rule set (constants below) is OUR pinned spec, modeled on the published
+Gopher (Rae et al. 2021) and C4 (Raffel et al. 2019) filters. Every metric is
+defined so it is *expressible identically three ways*:
+
+1. this pure-Python oracle (golden labels),
+2. Spark DataFrame column expressions (``..functions.quality``) — JVM-side,
+   whole-stage-codegen'd, no Python in the hot path,
+3. ANSI SQL for the DuckDB differential oracle (``__spark_entry__``).
+
+Word-based rules auto-pass for ``lang == 'zh'`` (whitespace tokenization is
+meaningless there); the zh analog of the min-length rule uses chars.
+
+Final ``keep`` additionally requires language confidence and LM perplexity
+bounds (UDF-computed, pinned by fixtures; not part of the SQL-expressible
+subset).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+# --- thresholds (frozen spec) ---------------------------------------------
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_RATIO = 0.05
+MIN_STOPWORD_HITS = 2
+MAX_DUP_LINE_FRAC = 0.30
+MAX_ELLIPSIS_LINE_FRAC = 0.30
+MIN_LANG_CONF = 0.30
+# Junk (symbol soup / non-language) scores ~1e7 under every LM; clean text
+# tops out ~515 (zh char-level LM is the loosest). 1000 splits with 2x margin.
+MAX_PERPLEXITY = 1000.0
+
+# Gopher's canonical 8-word English stopword presence list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+SYMBOL_CHARS = "#…{}<>\\^~|"
+
+STOPWORD_REGEX = r"(?i)\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
+SYMBOL_REGEX = "[" + re.escape(SYMBOL_CHARS) + "]"
+
+RULE_NAMES = (
+    "min_words",
+    "max_words",
+    "mean_word_len",
+    "symbol_ratio",
+    "stopwords",
+    "dup_lines",
+    "ellipsis_lines",
+)
+
+_word_re = re.compile(r"\S+")
+_stop_re = re.compile(STOPWORD_REGEX)
+_symbol_re = re.compile(SYMBOL_REGEX)
+
+
+def text_metrics(text: str) -> Dict[str, float]:
+    """Raw per-document metrics underlying the rules (all SQL-expressible)."""
+    words = _word_re.findall(text)
+    n_words = len(words)
+    n_chars = len(text)
+    sum_word_len = sum(len(w) for w in words)
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    n_lines = len(lines)
+    n_distinct = len(set(lines))
+    n_ellipsis = sum(1 for ln in lines if ln.endswith("...") or ln.endswith("…"))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": (sum_word_len / n_words) if n_words else 0.0,
+        "symbol_ratio": (len(_symbol_re.findall(text)) / n_chars) if n_chars else 0.0,
+        "stop_hits": len(_stop_re.findall(text)),
+        "n_lines": n_lines,
+        "dup_line_frac": (1.0 - n_distinct / n_lines) if n_lines else 0.0,
+        "ellipsis_line_frac": (n_ellipsis / n_lines) if n_lines else 0.0,
+    }
+
+
+def rule_flags(text: str, lang: str) -> Dict[str, bool]:
+    """True = rule passes. ``lang`` is the document's (predicted) language."""
+    m = text_metrics(text)
+    ws_lang = lang != "zh"
+    return {
+        "min_words": (m["n_words"] >= MIN_WORDS) if ws_lang else (m["n_chars"] >= MIN_WORDS),
+        "max_words": m["n_words"] <= MAX_WORDS,
+        "mean_word_len": (
+            MIN_MEAN_WORD_LEN <= m["mean_word_len"] <= MAX_MEAN_WORD_LEN
+            if ws_lang
+            else True
+        ),
+        "symbol_ratio": m["symbol_ratio"] <= MAX_SYMBOL_RATIO,
+        "stopwords": (lang != "en") or (m["stop_hits"] >= MIN_STOPWORD_HITS),
+        "dup_lines": m["dup_line_frac"] <= MAX_DUP_LINE_FRAC,
+        "ellipsis_lines": m["ellipsis_line_frac"] <= MAX_ELLIPSIS_LINE_FRAC,
+    }
+
+
+def quality_decision(
+    text: str, lang: str, lang_conf: float, ppl: float
+) -> Tuple[bool, List[str]]:
+    """Full keep/drop: heuristic rules + langid confidence + perplexity.
+
+    Returns (keep, drop_reasons) — reasons empty when keep (per-rule lineage,
+    FIXTURES.md §4).
+    """
+    flags = rule_flags(text, lang)
+    reasons = [name for name in RULE_NAMES if not flags[name]]
+    if lang_conf < MIN_LANG_CONF:
+        reasons.append("lang_conf")
+    if ppl > MAX_PERPLEXITY:
+        reasons.append("perplexity")
+    return (not reasons), reasons

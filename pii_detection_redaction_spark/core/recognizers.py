@@ -1,0 +1,520 @@
+"""Compiled-regex PII recognizer bank — the detection specification.
+
+Re-expresses (from scratch, public knowledge only) the recognizer surface of
+the reference repo:
+
+- 12 Australian recognizers with their exact patterns, per-pattern scores,
+  context word lists, and the ABN mod-89 checksum
+  (reference ``entity_mapping/au_recognizers.py:8-410``);
+- the presidio-builtin recognizer *class* the reference enables implicitly via
+  ``AnalyzerEngine`` defaults (``common/common.py:31-51``): EMAIL_ADDRESS,
+  PHONE_NUMBER, CREDIT_CARD (Luhn), IP_ADDRESS, URL, IBAN_CODE (mod-97),
+  DATE_TIME — reimplemented with our own documented patterns;
+- deterministic PERSON heuristics replacing spaCy NER (which is an
+  uninstallable, non-deterministic dependency): title/greeting regexes modeled
+  on the reference's ``pdf_redactor/analyzer.py:62-86`` plus a seeded
+  first-name gazetteer. These ARE the spec — golden fixtures pin them.
+
+Presidio internals (context enhancement, conflict removal) are external code
+we must not depend on; the constants used here (CONTEXT_BOOST, window sizes,
+containment rules) are OUR documented spec, frozen by fixtures:
+
+- context boost: if any context phrase for the recognizer occurs
+  case-insensitively within ``CONTEXT_WINDOW_BEFORE`` chars before the span
+  start or ``CONTEXT_WINDOW_AFTER`` chars after the span end, the score is
+  raised by ``CONTEXT_BOOST`` and capped at 1.0 (modeled on presidio's
+  documented LemmaContextAwareEnhancer defaults: factor 0.35, cap 1.0).
+- conflict resolution (modeled on presidio's ``__remove_conflicts``):
+  (1) identical (start, end, entity_type) keeps the max score;
+  (2) identical (start, end) across types keeps the highest score,
+      tie-broken by ascending entity_type;
+  (3) a detection strictly contained in a longer detection with >= score
+      is dropped. Partial overlaps survive analysis (scrub-time selection
+      resolves them — see ``scrub.select_nonoverlapping``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+from .spans import Detection
+
+CONTEXT_BOOST = 0.35
+CONTEXT_WINDOW_BEFORE = 50
+CONTEXT_WINDOW_AFTER = 20
+
+
+@dataclass(frozen=True)
+class PatternSpec:
+    name: str
+    regex: str
+    score: float
+    flags: int = 0
+
+
+@dataclass
+class RecognizerSpec:
+    """One entity recognizer: patterns + context words + optional validator.
+
+    Extension point mirroring the reference's
+    ``analyzer.registry.add_recognizer(...)`` (``common/common.py:46-49``):
+    append a spec to the bank, no engine change needed.
+    """
+
+    entity_type: str
+    patterns: List[PatternSpec]
+    context: List[str] = field(default_factory=list)
+    # validator(matched_text) -> bool; False drops the match entirely
+    # (reference AbnRecognizer.validate_result, au_recognizers.py:47-49).
+    validator: Optional[Callable[[str], bool]] = None
+
+    def compiled(self):
+        return [(p, re.compile(p.regex, p.flags)) for p in self.patterns]
+
+
+# ---------------------------------------------------------------------------
+# Checksums / validators
+# ---------------------------------------------------------------------------
+
+_ABN_WEIGHTS = (10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+
+
+def is_valid_abn(text: str) -> bool:
+    """ABN modulo-89 checksum (reference ``au_recognizers.py:36-49``)."""
+    digits = [int(c) for c in text if c.isdigit()]
+    if len(digits) != 11:
+        return False
+    digits[0] -= 1
+    return sum(d * w for d, w in zip(digits, _ABN_WEIGHTS)) % 89 == 0
+
+
+def luhn_ok(text: str) -> bool:
+    """Luhn mod-10 check over the digits of a candidate card number."""
+    digits = [int(c) for c in text if c.isdigit()]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def iban_ok(text: str) -> bool:
+    """IBAN mod-97 == 1 check (ISO 13616)."""
+    s = re.sub(r"\s+", "", text).upper()
+    if not re.fullmatch(r"[A-Z]{2}\d{2}[A-Z0-9]{11,30}", s):
+        return False
+    rearranged = s[4:] + s[:4]
+    num = "".join(str(ord(c) - 55) if c.isalpha() else c for c in rearranged)
+    return int(num) % 97 == 1
+
+
+# ---------------------------------------------------------------------------
+# AU recognizers — patterns/scores/context transcribed as behavior from
+# reference au_recognizers.py (file:line cited per spec)
+# ---------------------------------------------------------------------------
+
+
+def _au_specs() -> List[RecognizerSpec]:
+    return [
+        # au_recognizers.py:74-98
+        RecognizerSpec(
+            "AU_TFN",
+            [
+                PatternSpec("tfn_spaced", r"\b\d{3}\s?\d{3}\s?\d{3}\b", 0.5),
+                PatternSpec("tfn_dashed", r"\b\d{3}-\d{3}-\d{3}\b", 0.6),
+                PatternSpec("tfn_plain", r"\b\d{9}\b", 0.4),
+            ],
+            ["tfn", "tax file number", "tax file no", "tax file"],
+        ),
+        # au_recognizers.py:101-120
+        RecognizerSpec(
+            "AU_MEDICARE",
+            [
+                PatternSpec("medicare_spaced", r"\b\d{4}\s?\d{5}\s?\d{1}\b", 0.6),
+                PatternSpec("medicare_plain", r"\b\d{10}\s?\d{1}\b", 0.55),
+            ],
+            ["medicare", "medicare number", "medicare card", "medicare no"],
+        ),
+        # au_recognizers.py:123-153
+        RecognizerSpec(
+            "AU_CENTRELINK_CRN",
+            [
+                PatternSpec("crn_10_digit", r"\b\d{10}\b", 0.4),
+                PatternSpec("crn_9_digit", r"\b\d{9}\b", 0.35),
+                PatternSpec("crn_spaced", r"\b\d{3}\s?\d{3}\s?\d{3,4}\b", 0.45),
+            ],
+            [
+                "crn",
+                "customer reference number",
+                "centrelink",
+                "centrelink number",
+                "reference number",
+            ],
+        ),
+        # au_recognizers.py:183-236
+        RecognizerSpec(
+            "AU_DRIVER_LICENSE",
+            [
+                PatternSpec("driver_license_nsw", r"\b\d{8}\b", 0.4),
+                PatternSpec("driver_license_vic", r"\b\d{10}\b", 0.4),
+                PatternSpec("driver_license_qld", r"\b\d{8,9}\b", 0.35),
+                PatternSpec("driver_license_sa_alpha", r"\b\d{6}[A-Z]\b", 0.5),
+                PatternSpec("driver_license_wa", r"\b\d{7}\b", 0.4),
+                PatternSpec("driver_license_general", r"\b[A-Z0-9]{6,10}\b", 0.3),
+            ],
+            [
+                "driver license",
+                "driver licence",
+                "drivers license",
+                "driving licence",
+                "dl number",
+                "license number",
+                "licence number",
+                "dl no",
+            ],
+        ),
+        # au_recognizers.py:239-264
+        RecognizerSpec(
+            "AU_PASSPORT",
+            [
+                PatternSpec("passport_new_format", r"\b[A-Z]{1,2}\d{7}\b", 0.6),
+                PatternSpec("passport_spaced", r"\b[A-Z]{1,2}\s?\d{7}\b", 0.55),
+            ],
+            [
+                "passport",
+                "passport number",
+                "passport no",
+                "australian passport",
+                "travel document",
+            ],
+        ),
+        # au_recognizers.py:8-49 (+ mod-89 validator)
+        RecognizerSpec(
+            "AU_ABN",
+            [
+                PatternSpec("abn_spaced", r"\b(?:\d[ ]?){11}\b", 0.5),
+                PatternSpec("abn_grouped", r"\b\d{2}\s?\d{3}\s?\d{3}\s?\d{3}\b", 0.6),
+                PatternSpec("abn_plain", r"\b\d{11}\b", 0.45),
+            ],
+            ["abn", "australian business number", "business number", "abn number"],
+            validator=lambda t: is_valid_abn("".join(c for c in t if c.isdigit())),
+        ),
+        # au_recognizers.py:52-71
+        RecognizerSpec(
+            "AU_ACN",
+            [
+                PatternSpec("acn_spaced", r"\b\d{3}\s?\d{3}\s?\d{3}\b", 0.5),
+                PatternSpec("acn_plain", r"\b\d{9}\b", 0.4),
+            ],
+            ["acn", "australian company number", "company number", "acn number"],
+        ),
+        # au_recognizers.py:156-180
+        RecognizerSpec(
+            "AU_BSB",
+            [
+                PatternSpec("bsb_dashed", r"\b\d{3}-\d{3}\b", 0.7),
+                PatternSpec("bsb_spaced", r"\b\d{3}\s\d{3}\b", 0.65),
+                PatternSpec("bsb_plain", r"\b\d{6}\b", 0.4),
+            ],
+            ["bsb", "bank state branch", "branch code", "bsb code"],
+        ),
+        # au_recognizers.py:267-309
+        RecognizerSpec(
+            "AU_PHONE_NUMBER",
+            [
+                PatternSpec("phone_mobile_intl", r"\+61\s?4\d{2}\s?\d{3}\s?\d{3}", 0.7),
+                PatternSpec("phone_mobile_domestic", r"\b04\d{2}\s?\d{3}\s?\d{3}\b", 0.65),
+                PatternSpec("phone_landline_brackets", r"\(0[2-8]\)\s?\d{4}\s?\d{4}", 0.6),
+                PatternSpec("phone_landline_intl", r"\+61\s?[2-8]\s?\d{4}\s?\d{4}", 0.7),
+                PatternSpec("phone_tollfree", r"\b1[38]00\s?\d{3}\s?\d{3}\b", 0.6),
+            ],
+            ["phone", "telephone", "mobile", "contact", "call", "tel", "ph"],
+        ),
+        # au_recognizers.py:327-359
+        RecognizerSpec(
+            "AU_BANK_ACCOUNT",
+            [
+                PatternSpec("bank_account_typical", r"\b\d{6}[- ]?\d{6,10}\b", 0.45),
+                PatternSpec("bank_account_long", r"\b\d{8,12}\b", 0.3),
+                PatternSpec("bank_account_short", r"\b\d{6,7}\b", 0.25),
+            ],
+            [
+                "bank account",
+                "account number",
+                "acct no",
+                "account no",
+                "acc no",
+                "bsb",
+                "account",
+            ],
+        ),
+        # au_recognizers.py:361-383 — deny-list; presidio deny-lists compile to
+        # word-bounded alternation with default score 0.5 (our pinned spec).
+        RecognizerSpec(
+            "AU_STATE",
+            [
+                PatternSpec(
+                    "au_state_deny_list",
+                    r"\b(?:New South Wales|Victoria|Queensland|South Australia"
+                    r"|Western Australia|Tasmania|Australian Capital Territory"
+                    r"|Northern Territory|NSW|VIC|QLD|SA|WA|TAS|ACT|NT)\b",
+                    0.5,
+                )
+            ],
+        ),
+        # au_recognizers.py:385-408
+        RecognizerSpec(
+            "AU_POSTCODE",
+            [PatternSpec("postcode_4digit", r"\b\d{4}\b", 0.35)],
+            [
+                "postcode",
+                "postal code",
+                "post code",
+                "delivery address",
+                "suburb",
+                "address",
+                "postcode:",
+                "post:",
+            ],
+        ),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Builtin-class recognizers (presidio defaults in the reference; OUR patterns)
+# ---------------------------------------------------------------------------
+
+_MONTHS = (
+    r"(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?"
+    r"|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?"
+    r"|Dec(?:ember)?)"
+)
+
+# Deterministic first-name gazetteer replacing spaCy PERSON (seeded spec —
+# spaCy en_core_web_lg is unavailable and non-deterministic; SURVEY.md §2.8 C5).
+FIRST_NAMES = (
+    "james john robert michael william david richard joseph thomas charles "
+    "christopher daniel matthew anthony mark donald steven paul andrew joshua "
+    "kenneth kevin brian george timothy ronald edward jason jeffrey ryan "
+    "mary patricia jennifer linda elizabeth barbara susan jessica sarah karen "
+    "lisa nancy betty margaret sandra ashley kimberly emily donna michelle "
+    "carol amanda dorothy melissa deborah stephanie rebecca sharon laura "
+    "cynthia amy anna ruth oliver charlotte amelia olivia isla noah jack "
+    "leo henry mia grace sophie harper lucas liam emma ava ethan"
+).split()
+
+_NAME_SEQ = r"[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){0,3}"
+
+
+def _builtin_specs() -> List[RecognizerSpec]:
+    return [
+        RecognizerSpec(
+            "EMAIL_ADDRESS",
+            [
+                PatternSpec(
+                    "email_basic",
+                    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+                    0.85,
+                )
+            ],
+            ["email", "e-mail", "mail", "contact"],
+        ),
+        RecognizerSpec(
+            "PHONE_NUMBER",
+            [
+                PatternSpec(
+                    "phone_intl_generic",
+                    # international numbers other than +61 (AU recognizer owns those)
+                    r"\+(?!61)\d{1,3}[ \-]?\d{2,4}[ \-]?\d{3,4}[ \-]?\d{3,4}\b",
+                    0.5,
+                ),
+            ],
+            ["phone", "telephone", "mobile", "call", "tel"],
+        ),
+        RecognizerSpec(
+            "CREDIT_CARD",
+            [
+                PatternSpec(
+                    "credit_card_16",
+                    r"\b\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{3,4}\b",
+                    0.75,
+                ),
+            ],
+            ["credit card", "card number", "visa", "mastercard", "amex", "cc"],
+            validator=luhn_ok,
+        ),
+        RecognizerSpec(
+            "IP_ADDRESS",
+            [
+                PatternSpec(
+                    "ipv4",
+                    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+                    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+                    0.6,
+                )
+            ],
+            ["ip", "ip address", "ipv4", "host"],
+        ),
+        RecognizerSpec(
+            "URL",
+            [
+                PatternSpec(
+                    "url_http",
+                    r"\bhttps?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%\-]*)?"
+                    r"(?<![.,;:!?)'\"])",
+                    0.6,
+                )
+            ],
+        ),
+        RecognizerSpec(
+            "IBAN_CODE",
+            [PatternSpec("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", 0.8)],
+            ["iban", "bank", "account"],
+            validator=iban_ok,
+        ),
+        RecognizerSpec(
+            "DATE_TIME",
+            [
+                PatternSpec("date_iso", r"\b\d{4}-\d{2}-\d{2}\b", 0.6),
+                PatternSpec("date_slash", r"\b\d{1,2}/\d{1,2}/\d{2,4}\b", 0.5),
+                PatternSpec("date_dmy_text", rf"\b\d{{1,2}}\s+{_MONTHS}\s+\d{{4}}\b", 0.6),
+                PatternSpec("date_mdy_text", rf"\b{_MONTHS}\s+\d{{1,2}},?\s+\d{{4}}\b", 0.6),
+            ],
+            ["date", "born", "dob", "birth"],
+        ),
+        # PERSON heuristics: title/greeting regexes modeled on the reference's
+        # pdf_redactor/analyzer.py:78-86 (title_name_re / greeting_name_re),
+        # scoped to the name sequence, plus a gazetteer pattern.
+        RecognizerSpec(
+            "PERSON",
+            [
+                PatternSpec(
+                    "person_with_title",
+                    r"(?:\b(?:Mr|Mrs|Ms|Dr|Prof)\.?\s+|\b(?:Miss|Professor|Sir|Madam|Ma'am)\s+)"
+                    rf"({_NAME_SEQ})",
+                    0.7,
+                ),
+                PatternSpec(
+                    "person_after_greeting",
+                    r"\b(?:Hello|Hi|Hey|Dear|Good\s+(?:morning|afternoon|evening))[\s,:\-]+"
+                    rf"({_NAME_SEQ})",
+                    0.65,
+                ),
+                PatternSpec(
+                    "person_gazetteer",
+                    r"\b((?:"
+                    + "|".join(sorted((n.capitalize() for n in FIRST_NAMES), key=lambda s: (-len(s), s)))
+                    + r")(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){1,2})\b",
+                    0.8,
+                ),
+            ],
+        ),
+    ]
+
+
+def default_bank() -> List[RecognizerSpec]:
+    """The full recognizer bank, in the reference's registration order
+    (``au_recognizers.py:312-410`` build order, then builtins)."""
+    return _au_specs() + _builtin_specs()
+
+
+_DEFAULT_BANK: Optional[List[RecognizerSpec]] = None
+_COMPILED: Dict[int, list] = {}
+
+
+def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
+    global _DEFAULT_BANK
+    if bank is None:
+        if _DEFAULT_BANK is None:
+            _DEFAULT_BANK = default_bank()
+        bank = _DEFAULT_BANK
+    key = id(bank)
+    if key not in _COMPILED:
+        _COMPILED[key] = [(spec, spec.compiled()) for spec in bank]
+    return _COMPILED[key]
+
+
+def _context_hit(text_lower: str, start: int, end: int, context: List[str]) -> bool:
+    if not context:
+        return False
+    lo = max(0, start - CONTEXT_WINDOW_BEFORE)
+    hi = min(len(text_lower), end + CONTEXT_WINDOW_AFTER)
+    window = text_lower[lo:start] + " " + text_lower[end:hi]
+    return any(c in window for c in context)
+
+
+def analyze(
+    text: str,
+    entities: Optional[Sequence[str]] = None,
+    min_score: float = 0.0,
+    bank: Optional[Sequence[RecognizerSpec]] = None,
+) -> List[Detection]:
+    """Run the recognizer bank over one text → resolved, sorted detections.
+
+    Mirrors the reference's per-chunk ``analyzer.analyze(text, entities=...)``
+    call (``text_detector/chunker.py:44``) with the conflict-resolution and
+    context-boost spec documented in the module docstring. Entity subsetting
+    (reference ``--entities`` plumbing, ``text_detector/cli.py:59-64``) skips
+    whole recognizers before any regex work.
+    """
+    if not text:
+        return []
+    ents = set(entities) if entities else None
+    text_lower = text.lower()
+    raw: List[Detection] = []
+    for spec, compiled in _get_compiled(bank):
+        if ents is not None and spec.entity_type not in ents:
+            continue
+        for pat, rx in compiled:
+            for m in rx.finditer(text):
+                # PERSON patterns capture the name in group 1; span = the name.
+                if m.lastindex:
+                    s, e = m.span(1)
+                else:
+                    s, e = m.span()
+                if e <= s:
+                    continue
+                if spec.validator is not None and not spec.validator(m.group(0)):
+                    continue
+                score = pat.score
+                if _context_hit(text_lower, s, e, spec.context):
+                    score = min(score + CONTEXT_BOOST, 1.0)
+                if score < min_score:
+                    continue
+                raw.append(Detection(spec.entity_type, s, e, score, pat.name))
+
+    return resolve_conflicts(raw)
+
+
+def resolve_conflicts(raw: List[Detection]) -> List[Detection]:
+    """Deterministic conflict resolution (spec rules 1-3, module docstring)."""
+    # Rule 1+2: per exact span keep single best (score desc, type asc).
+    by_span: Dict[tuple, Detection] = {}
+    for d in raw:
+        key = (d.start, d.end)
+        cur = by_span.get(key)
+        if cur is None or d.score > cur.score or (
+            d.score == cur.score and d.entity_type < cur.entity_type
+        ):
+            by_span[key] = d
+    kept = sorted(by_span.values(), key=lambda d: (d.start, -(d.end - d.start)))
+    # Rule 3: drop strict containment under an equal-or-higher score.
+    out: List[Detection] = []
+    for d in kept:
+        contained = False
+        for e in out:
+            if e.start <= d.start and d.end <= e.end and (e.end - e.start) > (d.end - d.start):
+                if e.score >= d.score:
+                    contained = True
+                    break
+        if not contained:
+            out.append(d)
+    out.sort(key=lambda d: d.sort_key())
+    return out

@@ -1,0 +1,251 @@
+"""Synthetic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Schema matches the BASELINE.json input_hint exactly:
+``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``.
+
+Every row is a pure function of ``(seed, i)`` — independent of corpus size, so
+sf0.001 is a strict prefix of sf0.1 and goldens can be spot-checked across
+scales. Hosts are Zipf-skewed (top-2 hosts ≈ 40% of rows) to exercise the
+salting path. Per-1000-row edge-case quotas (FIXTURES.md §1) are met by the
+``i % 20`` archetype wheel:
+
+  0 empty/whitespace · 1 too-short · 2 symbol-soup · 3 duplicate-lines ·
+  4 ellipsis-lines · 5 stopword-free English · 6 multi-person+owned entities ·
+  7 >5000-char doc with an entity planted across the 5000-char chunk boundary ·
+  8 valid-checksum ABN · 9 invalid-checksum ABN · 10-19 plain docs (mixed
+  language, optional planted PII).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+from datetime import datetime, timedelta, timezone
+from typing import List, Tuple
+
+import pandas as pd
+
+from ..core.langprofiles import CONTENT_WORDS, STOPWORDS
+from ..core.recognizers import FIRST_NAMES, is_valid_abn, luhn_ok
+
+SEED = 42
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+SURNAMES = (
+    "Smith Johnson Williams Brown Jones Garcia Miller Davis Rodriguez "
+    "Martinez Wilson Anderson Taylor Thomas Moore Jackson Martin Lee "
+    "Thompson White Harris Clark Lewis Robinson Walker Young Allen King "
+    "Wright Scott Green Baker Adams Nelson Hill Campbell Mitchell Carter"
+).split()
+
+HOSTS = [f"site{i:02d}.example.{tld}" for i, tld in enumerate(
+    ["com", "org", "net", "com", "io", "com", "org", "net", "co", "com",
+     "org", "net", "com", "io", "org", "com", "net", "org", "com", "io"]
+)]
+_HOST_WEIGHTS = [1.0 / (r + 1) for r in range(len(HOSTS))]
+_HOST_CUM = []
+_acc = 0.0
+for w in _HOST_WEIGHTS:
+    _acc += w
+    _HOST_CUM.append(_acc)
+
+
+def _pick_host(rng: random.Random) -> str:
+    x = rng.random() * _HOST_CUM[-1]
+    for host, c in zip(HOSTS, _HOST_CUM):
+        if x <= c:
+            return host
+    return HOSTS[-1]
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int, stop_frac: float = 0.4) -> str:
+    stop = STOPWORDS.get(lang, [])
+    content = CONTENT_WORDS[lang]
+    words = []
+    for _ in range(n_words):
+        if stop and rng.random() < stop_frac:
+            words.append(rng.choice(stop))
+        else:
+            words.append(rng.choice(content))
+    if lang == "zh":
+        return "".join(words) + "。"
+    sent = " ".join(words)
+    return sent[0].upper() + sent[1:] + "."
+
+
+def _paragraphs(rng: random.Random, lang: str, n_lines: int, stop_frac: float = 0.4) -> List[str]:
+    lines = []
+    for _ in range(n_lines):
+        n_sent = rng.randint(1, 3)
+        lines.append(" ".join(_sentence(rng, lang, rng.randint(6, 14), stop_frac)
+                              for _ in range(n_sent)))
+    return lines
+
+
+def _person(rng: random.Random) -> str:
+    return f"{rng.choice(FIRST_NAMES).capitalize()} {rng.choice(SURNAMES)}"
+
+
+def _valid_abn(rng: random.Random) -> str:
+    while True:
+        digits = "".join(str(rng.randint(0, 9)) for _ in range(11))
+        if digits[0] != "0" and is_valid_abn(digits):
+            return f"{digits[:2]} {digits[2:5]} {digits[5:8]} {digits[8:]}"
+
+
+def _invalid_abn(rng: random.Random) -> str:
+    while True:
+        digits = "".join(str(rng.randint(0, 9)) for _ in range(11))
+        if digits[0] != "0" and not is_valid_abn(digits):
+            return f"{digits[:2]} {digits[2:5]} {digits[5:8]} {digits[8:]}"
+
+
+def _credit_card(rng: random.Random) -> str:
+    while True:
+        body = "4" + "".join(str(rng.randint(0, 9)) for _ in range(14))
+        for check in "0123456789":
+            if luhn_ok(body + check):
+                d = body + check
+                return f"{d[:4]} {d[4:8]} {d[8:12]} {d[12:]}"
+
+
+def _au_mobile(rng: random.Random) -> str:
+    return f"04{rng.randint(0,99):02d} {rng.randint(0,999):03d} {rng.randint(0,999):03d}"
+
+
+def _email_for(name: str, rng: random.Random) -> str:
+    first, last = name.lower().split()
+    dom = rng.choice(["mail.example.com", "corp.example.org", "webmail.example.net"])
+    return f"{first}.{last}@{dom}"
+
+
+def _pii_snippets(rng: random.Random) -> List[str]:
+    name = _person(rng)
+    opts = [
+        f"Contact {name} on {_au_mobile(rng)} for details.",
+        f"Email {name} at {_email_for(name, rng)} regarding the invoice.",
+        f"Dear {name}, your medicare number is "
+        f"{rng.randint(1000,9999)} {rng.randint(10000,99999)} {rng.randint(1,9)}.",
+        f"Payment to BSB {rng.randint(100,999)}-{rng.randint(100,999)} "
+        f"account {rng.randint(100000,999999)}{rng.randint(10,99)}.",
+        f"Card on file: {_credit_card(rng)}.",
+        f"Mr. {name} visited on 2025-0{rng.randint(1,9)}-1{rng.randint(0,9)}.",
+        f"Server logs show ip {rng.randint(10,250)}.{rng.randint(0,255)}"
+        f".{rng.randint(0,255)}.{rng.randint(1,254)} accessed the portal.",
+    ]
+    return [rng.choice(opts)]
+
+
+def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
+    """Returns (text, lang) for row archetype ``i % 20``."""
+    arch = i % 20
+    if arch == 0:
+        return (rng.choice(["", "   ", "\n\n", " \n "]), "en")
+    if arch == 1:
+        return (" ".join(rng.choice(CONTENT_WORDS["en"]) for _ in range(rng.randint(2, 8))), "en")
+    if arch == 2:
+        soup = "".join(rng.choice("#{}<>\\^~|…@%$") for _ in range(rng.randint(120, 400)))
+        return (soup, "en")
+    if arch == 3:
+        line = _paragraphs(rng, "en", 1)[0]
+        uniq = _paragraphs(rng, "en", 2)
+        reps = [line] * rng.randint(6, 10)
+        return ("\n".join(uniq + reps), "en")
+    if arch == 4:
+        lines = [ln + "..." for ln in _paragraphs(rng, "en", rng.randint(6, 10))]
+        return ("\n".join(lines), "en")
+    if arch == 5:
+        lines = _paragraphs(rng, "en", rng.randint(4, 8), stop_frac=0.0)
+        return ("\n".join(lines), "en")
+    if arch == 6:
+        p1, p2 = _person(rng), _person(rng)
+        body = _paragraphs(rng, "en", 3)
+        lines = [
+            f"Hello {p1}, thanks for the update.",
+            body[0],
+            f"{p2} can be reached on {_au_mobile(rng)} or {_email_for(p2, rng)}.",
+            body[1],
+            f"Please send the contract to {_email_for(p1, rng)} by Friday.",
+            body[2],
+        ]
+        return ("\n".join(lines), "en")
+    if arch == 7:
+        lines = _paragraphs(rng, "en", 60)
+        text = "\n".join(lines)
+        head = text[:4985]
+        tail = text[4985:]
+        snippet = f" Contact number 04{rng.randint(10,99)} {rng.randint(100,999)} {rng.randint(100,999)} listed."
+        return (head + snippet + tail, "en")
+    if arch == 8:
+        lines = _paragraphs(rng, "en", 4)
+        lines.insert(2, f"Registered ABN {_valid_abn(rng)} for invoicing.")
+        return ("\n".join(lines), "en")
+    if arch == 9:
+        lines = _paragraphs(rng, "en", 4)
+        lines.insert(2, f"Registered ABN {_invalid_abn(rng)} for invoicing.")
+        return ("\n".join(lines), "en")
+
+    # plain docs 10-19: language mix en-heavy
+    r = rng.random()
+    if r < 0.5:
+        lang = "en"
+    else:
+        lang = ("de", "fr", "es", "zh")[int((r - 0.5) / 0.125) % 4]
+    n_lines = rng.randint(3, 18)
+    lines = _paragraphs(rng, lang, n_lines)
+    if lang == "en" and rng.random() < 0.5:
+        pos = rng.randint(0, len(lines))
+        for sn in _pii_snippets(rng):
+            lines.insert(pos, sn)
+    return ("\n".join(lines), lang)
+
+
+def render_html(text: str) -> bytes:
+    """Wrap text lines in escaped ``<p>`` tags; exact inverse of
+    ``core.extract.extract_text``."""
+    body = "".join(f"<p>{_html.escape(ln, quote=False)}</p>" for ln in text.split("\n"))
+    return (
+        "<html><head><title>page</title></head><body>" + body + "</body></html>"
+    ).encode("utf-8")
+
+
+def page_row(i: int, seed: int = SEED) -> dict:
+    rng = random.Random(seed * 1_000_003 + i)
+    host = _pick_host(rng)
+    text, lang = _doc_text(i, rng)
+    return {
+        "url": f"https://{host}/page-{i}",
+        "warc_ts": EPOCH + timedelta(seconds=i),
+        "html": render_html(text),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def pages_df(n: int, seed: int = SEED) -> pd.DataFrame:
+    rows = [page_row(i, seed) for i in range(n)]
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    return df
+
+
+SF_ROWS = {"0.001": 500, "0.01": 5_000, "0.1": 50_000}
+
+
+def write_pages_parquet(path: str, n: int, seed: int = SEED) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pages_df(n, seed)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, path)
+    return path

@@ -1,0 +1,79 @@
+"""Quality rules, language-ID, LM perplexity, corpus generator invariants."""
+
+import pandas as pd
+
+from pii_detection_redaction_spark.core.extract import extract_text
+from pii_detection_redaction_spark.core.langid import detect_language
+from pii_detection_redaction_spark.core.lm import perplexity
+from pii_detection_redaction_spark.core.quality import (
+    MAX_PERPLEXITY,
+    quality_decision,
+    rule_flags,
+)
+from pii_detection_redaction_spark.testing.corpus import pages_df
+
+
+def test_rule_archetypes_fail_expected_rules():
+    df = pages_df(200)
+    # archetype wheel: i%20 — see corpus.py docstring
+    def flags(i):
+        return rule_flags(df.text[i], df.lang[i])
+
+    assert not flags(1)["min_words"]  # too-short
+    assert not flags(2)["symbol_ratio"]  # symbol soup
+    assert not flags(3)["dup_lines"]  # duplicate lines
+    assert not flags(4)["ellipsis_lines"]  # ellipsis lines
+    assert not flags(5)["stopwords"]  # stopword-free English
+    # plain long docs pass everything
+    ok = flags(10)
+    assert all(ok.values()), ok
+
+
+def test_langid_accuracy_on_corpus():
+    df = pages_df(1000)
+    plain = df[(df.index % 20 >= 10) & (df.text.str.len() > 50)]
+    pred = [detect_language(t)[0] for t in plain.text]
+    acc = (pd.Series(pred).values == plain.lang.values).mean()
+    assert acc >= 0.98, acc
+
+
+def test_perplexity_separates_clean_from_junk():
+    df = pages_df(400)
+    clean_rows = df[df.index % 20 == 10].head(10)
+    junk = df[df.index % 20 == 2].text.head(10)
+    # pipeline semantics: score against the LM of the (predicted) language
+    ppl_clean = [perplexity(t, lang) for t, lang in zip(clean_rows.text, clean_rows.lang)]
+    ppl_junk = [perplexity(t, "en") for t in junk]
+    assert max(ppl_clean) < MAX_PERPLEXITY
+    assert min(ppl_junk) > MAX_PERPLEXITY
+
+
+def test_quality_decision_reasons():
+    keep, reasons = quality_decision("short", "en", 0.9, 10.0)
+    assert not keep and "min_words" in reasons
+    text = " ".join(["the data and report of that system have with value"] * 5)
+    keep2, reasons2 = quality_decision(text, "en", 0.9, 10.0)
+    assert keep2 and reasons2 == []
+    keep3, reasons3 = quality_decision(text, "en", 0.1, 10.0)
+    assert not keep3 and reasons3 == ["lang_conf"]
+
+
+def test_corpus_deterministic_and_prefix_stable():
+    a = pages_df(100)
+    b = pages_df(100)
+    pd.testing.assert_frame_equal(a, b)
+    big = pages_df(200)
+    pd.testing.assert_frame_equal(a, big.head(100))
+
+
+def test_html_extraction_byte_identical():
+    df = pages_df(300)
+    for h, t in zip(df.html, df.text):
+        assert extract_text(h) == t
+
+
+def test_host_skew():
+    df = pages_df(2000)
+    hosts = df.url.str.extract(r"https://([^/]+)/")[0]
+    top2 = hosts.value_counts(normalize=True).head(2).sum()
+    assert 0.30 <= top2 <= 0.55, top2

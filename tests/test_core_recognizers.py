@@ -1,0 +1,127 @@
+"""Unit tests for the recognizer bank (the pinned detection spec).
+
+The reference ships no tests (SURVEY.md §5.1); these tests freeze our
+reimplementation of its recognizer semantics (au_recognizers.py patterns,
+scores, checksums, context boost)."""
+
+from pii_detection_redaction_spark.core.recognizers import (
+    CONTEXT_BOOST,
+    analyze,
+    is_valid_abn,
+    iban_ok,
+    luhn_ok,
+)
+
+
+def _types(dets):
+    return {d.entity_type for d in dets}
+
+
+def _by_type(dets, t):
+    return [d for d in dets if d.entity_type == t]
+
+
+def test_abn_checksum():
+    # 51 824 753 556 is the well-known valid example ABN (public ATO docs).
+    assert is_valid_abn("51824753556")
+    assert not is_valid_abn("51824753557")
+    assert not is_valid_abn("1234567890")  # wrong length
+
+
+def test_luhn():
+    assert luhn_ok("4242424242424242")
+    assert not luhn_ok("4242424242424241")
+    assert not luhn_ok("1234")
+
+
+def test_iban():
+    assert iban_ok("DE89370400440532013000")
+    assert not iban_ok("DE89370400440532013001")
+
+
+def test_abn_detection_requires_valid_checksum():
+    ok = analyze("Our abn is 51 824 753 556 for invoices.")
+    assert "AU_ABN" in _types(ok)
+    bad = analyze("Our abn is 51 824 753 557 for invoices.")
+    assert "AU_ABN" not in _types(bad)
+
+
+def test_context_boost_applied_and_capped():
+    with_ctx = analyze("tax file number: 123-456-789")
+    no_ctx = analyze("ref 123-456-789")
+    tfn_with = _by_type(with_ctx, "AU_TFN")
+    tfn_without = _by_type(no_ctx, "AU_TFN")
+    assert tfn_with and tfn_without
+    assert abs(tfn_with[0].score - (0.6 + CONTEXT_BOOST)) < 1e-9
+    assert abs(tfn_without[0].score - 0.6) < 1e-9
+
+
+def test_au_phone_and_generic_phone_disjoint():
+    au = analyze("call 0412 345 678 now")
+    assert _by_type(au, "AU_PHONE_NUMBER")
+    gen = analyze("call +1 212 555 0123 now")
+    assert _by_type(gen, "PHONE_NUMBER")
+    assert not _by_type(gen, "AU_PHONE_NUMBER")
+
+
+def test_credit_card_luhn_gate():
+    assert "CREDIT_CARD" in _types(analyze("card 4242 4242 4242 4242 ok"))
+    assert "CREDIT_CARD" not in _types(analyze("card 4242 4242 4242 4241 ok"))
+
+
+def test_email_url_ip_date():
+    t = "see https://ex.example.com/a?b=1 or mail bob.smith@ex.com from 10.0.0.1 on 2025-03-04"
+    types = _types(analyze(t))
+    assert {"URL", "EMAIL_ADDRESS", "IP_ADDRESS", "DATE_TIME"} <= types
+
+
+def test_person_patterns():
+    assert _by_type(analyze("Dear Mr. John Smith, welcome"), "PERSON")
+    d = _by_type(analyze("Hello Olivia Baker, hi"), "PERSON")
+    assert d and d[0].start == 6 and d[0].end == len("Hello Olivia Baker")
+
+
+def test_same_span_conflict_keeps_best_score():
+    # 9-digit plain: AU_TFN(0.4) vs AU_ACN(0.4) vs CRN(0.35) — tie on score,
+    # entity_type ascending → AU_ACN wins.
+    dets = analyze("ref 123456789 end")
+    span_dets = [d for d in dets if (d.start, d.end) == (4, 13)]
+    assert len(span_dets) == 1 and span_dets[0].entity_type == "AU_ACN"
+    # with tfn context the TFN recognizer is boosted and wins; tfn_spaced
+    # (\s? optional) also matches the plain form, so base score is 0.5.
+    dets2 = analyze("tfn 123456789 end")
+    span2 = [d for d in dets2 if d.entity_type == "AU_TFN"]
+    assert span2 and abs(span2[0].score - 0.85) < 1e-9
+
+
+def test_containment_drops_lower_score_inner():
+    # mobile 0412 345 678: inner '0412' postcode match is contained in the
+    # higher-scoring phone span and must be dropped.
+    dets = analyze("number 0412 345 678 listed")
+    assert "AU_POSTCODE" not in _types(dets)
+    assert _by_type(dets, "AU_PHONE_NUMBER")
+
+
+def test_entity_subsetting():
+    t = "tfn 123-456-789 and bob@ex.com"
+    only_email = analyze(t, entities=["EMAIL_ADDRESS"])
+    assert _types(only_email) == {"EMAIL_ADDRESS"}
+
+
+def test_min_score_filter():
+    dets = analyze("ref 123456789 end", min_score=0.5)
+    assert all(d.score >= 0.5 for d in dets)
+
+
+def test_au_state_deny_list():
+    dets = analyze("Office in New South Wales and QLD today")
+    states = _by_type(dets, "AU_STATE")
+    assert len(states) == 2
+
+
+def test_deterministic_ordering():
+    t = "tfn 123-456-789, bob@ex.com, 0412 345 678, NSW 2000"
+    a, b = analyze(t), analyze(t)
+    assert [d.as_tuple() for d in a] == [d.as_tuple() for d in b]
+    starts = [d.start for d in a]
+    assert starts == sorted(starts)
