@@ -64,7 +64,8 @@ def text_metrics(text: str) -> Dict[str, float]:
     n_words = len(words)
     n_chars = len(text)
     sum_word_len = sum(len(w) for w in words)
-    lines = [ln.strip() for ln in text.split("\n")]
+    # strip spaces only (== SQL trim semantics in Spark and DuckDB)
+    lines = [ln.strip(" ") for ln in text.split("\n")]
     lines = [ln for ln in lines if ln]
     n_lines = len(lines)
     n_distinct = len(set(lines))

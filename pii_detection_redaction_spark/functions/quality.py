@@ -1,0 +1,108 @@
+"""Quality metrics/rules as Spark column expressions (no Python in hot path).
+
+Mirrors ``core.quality`` metric-for-metric — same regexes, same arithmetic,
+same guards — so Spark output equals the oracle bit-for-bit while staying
+entirely inside whole-stage codegen (these are the Gopher/C4-style rules the
+survey maps to plain column expressions, SURVEY.md §2.11).
+
+``add_quality_columns(df, text_col, lang_col)`` appends:
+  metric cols: n_chars n_words mean_word_len symbol_ratio stop_hits n_lines
+               dup_line_frac ellipsis_line_frac
+  rule flags:  rule_<name> for core.quality.RULE_NAMES
+  rules_pass:  conjunction of the heuristic rules
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import quality as Q
+
+# Java-regex-safe equivalents of the oracle's patterns (verified identical
+# match semantics for these classes in Python re, Java regex, and RE2).
+WORD_RE = r"\S+"
+NONSPACE_RE = r"\S"
+STOP_RE = r"(?i)\b(?:" + "|".join(Q.GOPHER_STOPWORDS) + r")\b"
+SYMBOL_RE = "[#…{}<>\\\\^~|]"
+
+
+def _nonempty_lines(text: Column) -> Column:
+    # NB: must wrap trim in a 1-arg lambda — F.trim has an optional second
+    # parameter in Spark 4, so passing it bare makes transform() feed it the
+    # element *index* as the trim-character set (silent no-op).
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def quality_metric_columns(text: Column) -> dict:
+    n_chars = F.length(text)
+    n_words = F.regexp_count(text, F.lit(WORD_RE))
+    nonspace = F.regexp_count(text, F.lit(NONSPACE_RE))
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.when(n_words > 0, nonspace / n_words).otherwise(F.lit(0.0)),
+        "symbol_ratio": F.when(
+            n_chars > 0, F.regexp_count(text, F.lit(SYMBOL_RE)) / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stop_hits": F.regexp_count(text, F.lit(STOP_RE)),
+        "n_lines": n_lines,
+        "dup_line_frac": F.when(n_lines > 0, 1.0 - n_distinct / n_lines).otherwise(
+            F.lit(0.0)
+        ),
+        "ellipsis_line_frac": F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(
+            F.lit(0.0)
+        ),
+    }
+
+
+def rule_flag_columns(m: dict, lang: Column) -> dict:
+    ws_lang = lang != "zh"
+    return {
+        "min_words": F.when(ws_lang, m["n_words"] >= Q.MIN_WORDS).otherwise(
+            m["n_chars"] >= Q.MIN_WORDS
+        ),
+        "max_words": m["n_words"] <= Q.MAX_WORDS,
+        "mean_word_len": F.when(
+            ws_lang,
+            (m["mean_word_len"] >= Q.MIN_MEAN_WORD_LEN)
+            & (m["mean_word_len"] <= Q.MAX_MEAN_WORD_LEN),
+        ).otherwise(F.lit(True)),
+        "symbol_ratio": m["symbol_ratio"] <= Q.MAX_SYMBOL_RATIO,
+        "stopwords": (lang != "en") | (m["stop_hits"] >= Q.MIN_STOPWORD_HITS),
+        "dup_lines": m["dup_line_frac"] <= Q.MAX_DUP_LINE_FRAC,
+        "ellipsis_lines": m["ellipsis_line_frac"] <= Q.MAX_ELLIPSIS_LINE_FRAC,
+    }
+
+
+def add_quality_columns(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    text, lang = F.col(text_col), F.col(lang_col)
+    metrics = quality_metric_columns(text)
+    for name, col in metrics.items():
+        df = df.withColumn(name, col)
+    flags = rule_flag_columns({k: F.col(k) for k in metrics}, lang)
+    passed = F.lit(True)
+    for name in Q.RULE_NAMES:
+        df = df.withColumn(f"rule_{name}", flags[name])
+        passed = passed & F.col(f"rule_{name}")
+    return df.withColumn("rules_pass", passed)
+
+
+def drop_reasons_column(lang_conf_col: str = "lang_conf", ppl_col: str = "ppl") -> Column:
+    """array<string> of failed rule names + lang_conf/perplexity gates —
+    per-rule lineage (FIXTURES.md §4)."""
+    parts = [
+        F.when(~F.col(f"rule_{name}"), F.lit(name)) for name in Q.RULE_NAMES
+    ]
+    parts.append(F.when(F.col(lang_conf_col) < Q.MIN_LANG_CONF, F.lit("lang_conf")))
+    parts.append(F.when(F.col(ppl_col) > Q.MAX_PERPLEXITY, F.lit("perplexity")))
+    arr = F.array(*parts)
+    return F.filter(arr, lambda x: x.isNotNull())

@@ -1,0 +1,190 @@
+"""Vectorized pandas/Arrow UDFs wrapping the ``core`` semantics library.
+
+Design (SURVEY.md §4): the entire reference operator surface decomposes into
+built-in relational ops plus a handful of fat Arrow-batched UDFs. Each UDF
+here:
+
+- is created by a *factory* so configuration (entity subset, min-score, chunk
+  size) is pushed into the closure — the Spark-side analog of the reference's
+  ``analyzer.analyze(entities=...)`` config pushdown;
+- initializes heavyweight state (compiled regex bank, LM arrays) once per
+  executor process via module-level lazy singletons — never per row, never
+  per batch;
+- transfers data via Arrow (``spark.sql.execution.arrow.pyspark.enabled``),
+  batch-bounded by ``arrow.maxRecordsPerBatch``.
+
+Scale note: every UDF is row-parallel with no cross-row state, so the plan
+stays a single narrow pipeline — scan → ArrowEvalPython → project — with no
+shuffle until an explicit repartition/aggregation. That property is what
+makes the pipeline embarrassingly parallel at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..core import chunker as _chunker
+from ..core import extract as _extract
+from ..core import langid as _langid
+from ..core import lm as _lm
+from ..core import scrub as _scrub
+from ..core.spans import Detection
+
+DETECTION_FIELDS = [
+    T.StructField("entity_type", T.StringType()),
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("pattern_name", T.StringType()),
+]
+DETECTION_TYPE = T.StructType(DETECTION_FIELDS)
+DETECTIONS_TYPE = T.ArrayType(DETECTION_TYPE)
+LANGID_TYPE = T.StructType(
+    [T.StructField("lang", T.StringType()), T.StructField("conf", T.DoubleType())]
+)
+
+
+def make_extract_udf():
+    """html:binary -> text:string (byte-identical per url; core.extract)."""
+
+    @pandas_udf(T.StringType())
+    def extract_udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: _extract.extract_text(b))
+
+    return extract_udf
+
+
+def make_detect_udf(
+    entities: Optional[Sequence[str]] = None,
+    min_score: float = 0.0,
+    size: int = _chunker.DEFAULT_CHUNK_SIZE,
+    overlap: int = _chunker.DEFAULT_CHUNK_OVERLAP,
+):
+    """text -> array<struct> of detections (chunked analyze, reference
+    text_detector/chunker.py:29-68 semantics). Config is closed over —
+    compiled once per executor, reused across batches."""
+    ent = list(entities) if entities else None
+
+    @pandas_udf(DETECTIONS_TYPE)
+    def detect_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            dets = _chunker.analyze_long_text(
+                t, size=size, overlap=overlap, min_score=min_score, entities=ent
+            )
+            out.append([d.as_tuple() for d in dets])
+        return pd.Series(out)
+
+    return detect_udf
+
+
+def _coerce_detections(dets) -> List[Detection]:
+    if dets is None:
+        return []
+    out = []
+    for d in dets:
+        if isinstance(d, dict):
+            out.append(
+                Detection(
+                    d["entity_type"], d["start"], d["end"], d["score"], d.get("pattern_name", "")
+                )
+            )
+        else:  # Row / tuple
+            out.append(Detection(d[0], d[1], d[2], d[3], d[4] if len(d) > 4 else ""))
+    return out
+
+
+def make_scrub_udf(mode: str = "relationship", masking_char: str = "*"):
+    """(text, detections) -> scrubbed text. Per-document relationship masking
+    (reference relationships.py:109-155) — row-local, no shuffle."""
+
+    @pandas_udf(T.StringType())
+    def scrub_udf(texts: pd.Series, dets: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _scrub.scrub_document(t or "", _coerce_detections(d), mode=mode,
+                                      masking_char=masking_char)
+                for t, d in zip(texts, dets)
+            ]
+        )
+
+    return scrub_udf
+
+
+def langid_batch(texts: pd.Series) -> pd.DataFrame:
+    """Truly-vectorized language ID: pandas ``str.count`` per marker regex
+    (8 passes per batch, zero per-row Python), then the same
+    ``score_from_counts`` arithmetic as the oracle, vectorized in numpy.
+    Returns DataFrame(lang, conf)."""
+    s = texts.fillna("")
+    cjk = s.str.count(_langid.CJK_PATTERN).to_numpy(dtype=np.int64)
+    nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
+    langs = _langid._SCORED_LANGS
+    scores = []
+    for lang in langs:
+        sw = s.str.count(r"(?i)" + _langid.STOPWORD_PATTERNS[lang]).to_numpy(np.int64)
+        pat = _langid.CHARSET_PATTERNS[lang]
+        ch = s.str.count(pat).to_numpy(np.int64) if pat else np.zeros(len(s), np.int64)
+        scores.append(2.0 * sw + 1.0 * ch)
+    total = scores[0] + scores[1] + scores[2] + scores[3]
+    mat = np.stack(scores, axis=1)
+    best_i = np.argmax(mat, axis=1)  # first max — same tie-break as oracle
+    best = mat[np.arange(len(s)), best_i]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cjk_frac = np.where(nonspace > 0, cjk / np.maximum(nonspace, 1), 0.0)
+        conf_scored = np.where(total > 0, best / np.where(total > 0, total, 1.0), 0.0)
+    is_zh = (nonspace > 0) & (cjk_frac > _langid.CJK_THRESHOLD)
+    lang_arr = np.array(langs, dtype=object)[best_i]
+    lang_arr = np.where(total > 0, lang_arr, "und")
+    conf = np.where(total > 0, conf_scored, 0.0)
+    lang_out = np.where(is_zh, "zh", lang_arr)
+    conf_out = np.where(is_zh, np.minimum(1.0, cjk_frac), conf)
+    return pd.DataFrame({"lang": lang_out, "conf": conf_out})
+
+
+def make_langid_udf():
+    @pandas_udf(LANGID_TYPE)
+    def langid_udf(texts: pd.Series) -> pd.DataFrame:
+        return langid_batch(texts)
+
+    return langid_udf
+
+
+def make_perplexity_udf():
+    """(text, lang) -> double. Groups the batch by lang so each LM's numpy
+    arrays are fetched once per batch; scoring itself is vectorized numpy."""
+
+    @pandas_udf(T.DoubleType())
+    def ppl_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.float64)
+        frame = pd.DataFrame(
+            {"t": texts.fillna("").to_numpy(), "l": langs.fillna("und").to_numpy()}
+        )
+        for lang, grp in frame.groupby("l", sort=False):
+            model = _lm.get_model(lang)
+            for pos, t in zip(grp.index.to_numpy(), grp["t"].to_numpy()):
+                out[pos] = model.perplexity(t)
+        return pd.Series(out)
+
+    return ppl_udf
+
+
+def make_token_count_udf(pattern: str = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]"):
+    """BPE-ish token counting: words+contractions or single symbol chars.
+    Vectorized str.count — no per-row Python."""
+
+    @pandas_udf(T.IntegerType())
+    def token_count_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.count(pattern).astype("int32")
+
+    return token_count_udf

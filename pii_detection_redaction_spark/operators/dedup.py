@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing uses the portable md5-based ``core.hashing.hash64`` (== DuckDB
+``md5_number_lower``) so every operator is differentially testable against a
+pure-SQL oracle.
+
+Scale design notes (the point of each choice):
+- exact dedup: hash-groupBy on a 64-bit content hash — one shuffle keyed by
+  the hash, uniform by construction; ``min(doc_id)`` as the canonical keeper
+  makes the result deterministic under any partitioning.
+- MinHash-LSH: per-doc signature is row-local UDF work (embarrassingly
+  parallel); candidate generation explodes b band keys per doc and
+  self-joins on the band key — the *only* shuffle, keyed by band hash, which
+  is uniform unless two docs are near-identical (exactly the rows we want
+  colliding). Equal-key skew from boilerplate dupes is handled by AQE skew
+  join; band width r trades recall vs join fan-out: P(collide) = 1-(1-s^r)^b.
+- SimHash: 64-bit fingerprint per doc; near-dup = Hamming distance <= k.
+  Banding trick for the join: split 64 bits into (k+1) blocks — two docs
+  within distance k must agree exactly on >= 1 block (pigeonhole), so the
+  join keys on (block_idx, block_value) instead of an O(n^2) cross join.
+- n-gram Jaccard verify: exact similarity on LSH candidates only (cheap,
+  row-pair-local).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..core import hashing as H
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_col(text_col: str = "text"):
+    """md5 hex of the raw text — portable across Spark/DuckDB/Python."""
+    return F.md5(F.col(text_col))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_md5, n_docs, keeper_id).
+    Only groups with >1 member are returned."""
+    return (
+        df.select(F.col(id_col), content_hash_col(text_col).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct text. Window-free formulation:
+    groupBy + min + semi-join back, so the heavy payload columns are only
+    shuffled once on the join."""
+    keepers = (
+        df.select(F.col(id_col), content_hash_col(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<decimal-ish bigint-as-string?>) — signatures computed
+    in an Arrow-batched UDF; unsigned 64-bit values are exposed as
+    ``decimal(20,0)``-compatible strings cast to DOUBLE-safe BIGINT via
+    signed two's complement for storage efficiency."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sig = H.minhash_signature(t or "", num_hashes=num_hashes, k=k)
+            out.append([v - (1 << 64) if v >= (1 << 63) else v for v in sig])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash): b = num_hashes/band_size rows per doc."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sig = H.minhash_signature(t or "", num_hashes=num_hashes, k=k)
+            bands = H.minhash_bands(sig, band_size=band_size)
+            out.append([v - (1 << 64) if v >= (1 << 63) else v for v in bands])
+        return pd.Series(out)
+
+    return (
+        df.select(F.col(id_col), F.posexplode(bands_udf(F.col(text_col))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    The self-join shuffles only (id, band_idx, band_hash) — 3 narrow columns;
+    text never moves. Pairs are deduped with ``distinct()`` after the join.
+    """
+    bands = minhash_band_table(df, id_col, text_col, num_hashes, band_size, k)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact k-gram Jaccard on candidate pairs; keeps pairs >= threshold.
+    Joins text onto the (small) candidate set — broadcast when it fits."""
+    t_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    t_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+
+    @pandas_udf(T.DoubleType())
+    def jac_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [H.jaccard_kgrams(x or "", y or "", k=k) for x, y in zip(ta, tb)]
+        )
+
+    return (
+        pairs.join(t_a, "id_a").join(t_b, "id_b")
+        .withColumn("jaccard", jac_udf(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    @pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            v = H.simhash64(t or "")
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming via the block-pigeonhole
+    join (no cross join): split 64 bits into max_hamming+1 blocks; matching
+    pairs must share at least one exact block."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sims = simhash_table(df, id_col, text_col)
+
+    blocks = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,221 @@
+"""The flagship pipeline: extract → langid → quality → detect → scrub → sink.
+
+Spark-first assembly of the reference's text pipeline (entry point B,
+``text_detector/cli.py`` → SURVEY.md §3.2) extended with the north-rule
+quality-filter stages. The plan is one narrow pipeline per bucket group —
+parquet scan (column-pruned) → codegen'd quality expressions → Arrow UDFs →
+write — with shuffles only at the explicit url-hash repartition and the
+metrics aggregation.
+
+Scale design:
+- url-hash bucketing: ``bucket = pmod(xxhash64(url), num_buckets)`` spreads
+  load uniformly regardless of host skew (distinct urls hash uniformly);
+- host skew is still visible to host-keyed *aggregations* (per-host lineage
+  metrics), so those run as salted two-stage aggs: partial
+  ``groupBy(host, salt)`` then final ``groupBy(host)`` — a Zipf host holding
+  40% of rows is split across SALT_BUCKETS reducers first;
+- counters use ``df.observe`` (no extra pass over the data);
+- checkpoint-resume: bucket groups are the commit unit (sources.snapshots).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import quality as Q
+from ..functions.quality import add_quality_columns, drop_reasons_column
+from ..functions.udfs import (
+    make_detect_udf,
+    make_extract_udf,
+    make_langid_udf,
+    make_perplexity_udf,
+    make_scrub_udf,
+)
+from ..sources.snapshots import SnapshotStore
+
+SALT_BUCKETS = 16
+
+
+@dataclass
+class PipelineConfig:
+    num_buckets: int = 64
+    groups: int = 4  # commit units (bucket groups) per full run
+    entities: Optional[Sequence[str]] = None
+    min_score: float = 0.0
+    chunk_size: int = 5000
+    chunk_overlap: int = 300
+    scrub_mode: str = "relationship"
+    extract_from_html: bool = True
+    salt_buckets: int = SALT_BUCKETS
+    extra: Dict = field(default_factory=dict)
+
+
+def with_bucket(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.num_buckets)).cast("int")
+    ).withColumn("grp", (F.col("bucket") % cfg.groups).cast("int"))
+
+
+def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Pure transformation: pages(url, warc_ts, html, text, lang) → enriched
+    frame with extraction, langid, perplexity, quality, detections, scrub."""
+    extract_udf = make_extract_udf()
+    langid_udf = make_langid_udf()
+    ppl_udf = make_perplexity_udf()
+    detect_udf = make_detect_udf(
+        entities=cfg.entities,
+        min_score=cfg.min_score,
+        size=cfg.chunk_size,
+        overlap=cfg.chunk_overlap,
+    )
+    scrub_udf = make_scrub_udf(mode=cfg.scrub_mode)
+
+    if cfg.extract_from_html and "html" in df.columns:
+        # byte-identical per-url extraction invariant: extracted text IS the
+        # canonical text downstream; extract_ok lineage flags divergence from
+        # any pre-existing text column.
+        df = df.withColumn("extracted_text", extract_udf(F.col("html")))
+        if "text" in df.columns:
+            df = df.withColumn(
+                "extract_ok", F.col("extracted_text") == F.col("text")
+            ).drop("text")
+        else:
+            df = df.withColumn("extract_ok", F.lit(True))
+        df = df.withColumnRenamed("extracted_text", "text")
+    else:
+        df = df.withColumn("extract_ok", F.lit(True))
+
+    df = df.withColumn("lid", langid_udf(F.col("text")))
+    df = (
+        df.withColumn("lang_pred", F.col("lid.lang"))
+        .withColumn("lang_conf", F.col("lid.conf"))
+        .drop("lid")
+    )
+    df = df.withColumn("ppl", ppl_udf(F.col("text"), F.col("lang_pred")))
+    df = add_quality_columns(df, "text", "lang_pred")
+    df = df.withColumn("drop_reasons", drop_reasons_column("lang_conf", "ppl"))
+    df = df.withColumn("keep", F.size("drop_reasons") == 0)
+
+    # Detection+scrub only on kept docs: when() short-circuit is not
+    # guaranteed for UDFs, so gate via nullable text instead — the UDF sees
+    # '' for dropped docs and returns [] at near-zero cost.
+    df = df.withColumn(
+        "detections",
+        detect_udf(F.when(F.col("keep"), F.col("text")).otherwise(F.lit(""))),
+    )
+    df = df.withColumn(
+        "scrubbed_text",
+        F.when(
+            F.col("keep"), scrub_udf(F.col("text"), F.col("detections"))
+        ).otherwise(F.lit(None)),
+    )
+    df = df.withColumn("n_entities_scrubbed", F.size("detections"))
+    return df
+
+
+OUTPUT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "bucket",
+    "lang",
+    "lang_pred",
+    "lang_conf",
+    "ppl",
+    "keep",
+    "drop_reasons",
+    "extract_ok",
+    "detections",
+    "scrubbed_text",
+    "n_entities_scrubbed",
+    "n_chars",
+    "n_words",
+]
+
+
+def host_metrics(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-host lineage counters via salted two-stage aggregation.
+
+    Stage 1 shuffles on (host, salt) — skewed hosts split across
+    ``salt_buckets`` reducers; stage 2 reduces ``hosts x salt`` pre-aggregated
+    rows, which is tiny. Deterministic salt = pmod(xxhash64(url), S).
+    """
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1).alias("host")
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).alias("salt")
+    partial = (
+        df.select(host, salt, "keep", "n_entities_scrubbed")
+        .groupBy("host", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum("n_entities_scrubbed").alias("entities"),
+        )
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("docs").alias("docs_seen"),
+            F.sum("kept").alias("docs_kept"),
+            (F.sum("docs") - F.sum("kept")).alias("docs_dropped"),
+            F.sum("entities").alias("entities_scrubbed"),
+        )
+        .orderBy("host")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    cfg: Optional[PipelineConfig] = None,
+    resume: bool = True,
+) -> Dict[str, int]:
+    """Batch run with snapshot commits per bucket group; resumable.
+
+    Returns the accumulated counters across all snapshots (including any from
+    prior partial runs when resuming).
+    """
+    cfg = cfg or PipelineConfig()
+    store = SnapshotStore(out_root)
+    done = store.committed_groups() if resume else set()
+
+    pages = with_bucket(spark.read.parquet(pages_path), cfg)
+
+    for gid in range(cfg.groups):
+        if gid in done:
+            continue
+        obs = Observation(f"grp-{gid}")
+        part = pages.filter(F.col("grp") == gid)
+        out = transform_pages(part, cfg).select(*OUTPUT_COLUMNS)
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_seen"),
+            F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+            F.sum("n_entities_scrubbed").alias("entities_scrubbed"),
+            F.sum((~F.col("extract_ok")).cast("long")).alias("extract_mismatch"),
+        )
+        gpath = store.group_path(gid)
+        # repartition by bucket inside the group → deterministic file layout,
+        # one task per bucket; mode=overwrite keeps retries idempotent.
+        (
+            out.repartition(max(1, cfg.num_buckets // cfg.groups), "bucket")
+            .write.mode("overwrite")
+            .parquet(gpath)
+        )
+        counters = {k: int(v or 0) for k, v in obs.get.items()}
+        counters["docs_dropped"] = counters["docs_seen"] - counters["docs_kept"]
+        store.commit([gid], [gpath], counters)
+
+    return store.counters()
+
+
+def read_output(spark: SparkSession, out_root: str) -> DataFrame:
+    store = SnapshotStore(out_root)
+    paths = store.data_paths()
+    if not paths:
+        raise FileNotFoundError(f"no committed snapshots under {out_root}")
+    return spark.read.parquet(*paths)

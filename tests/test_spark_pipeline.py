@@ -1,0 +1,145 @@
+"""End-to-end Spark pipeline vs the pure-Python oracle — the correctness gate.
+
+Verifies, per url on the synthetic pages corpus:
+- byte-identical extracted text (input_hint per-row invariant),
+- langid / perplexity / quality flags equal the oracle exactly,
+- detection spans equal ``analyze_long_text`` exactly,
+- scrubbed text byte-identical to ``scrub_document``,
+- keep/drop F1 == 1.0 vs oracle labels (north rule demands >= 0.99),
+- snapshot resume reproduces identical results after a simulated partial run.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from pii_detection_redaction_spark.core import analyze_long_text, scrub_document
+from pii_detection_redaction_spark.core.langid import detect_language
+from pii_detection_redaction_spark.core.lm import perplexity
+from pii_detection_redaction_spark.core.quality import quality_decision
+from pii_detection_redaction_spark.core.scrub import select_nonoverlapping
+from pii_detection_redaction_spark.plans.pipeline import (
+    PipelineConfig,
+    read_output,
+    run_pipeline,
+)
+from pii_detection_redaction_spark.testing.corpus import pages_df
+
+CFG = PipelineConfig(num_buckets=16, groups=4)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe") / "out")
+    counters = run_pipeline(spark, pages_small, out, CFG)
+    rows = {r["url"]: r.asDict() for r in read_output(spark, out).collect()}
+    return counters, rows
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    df = pages_df(500)
+    out = {}
+    for _, r in df.iterrows():
+        lang, conf = detect_language(r.text)
+        ppl = perplexity(r.text, lang)
+        keep, reasons = quality_decision(r.text, lang, conf, ppl)
+        dets = analyze_long_text(r.text) if keep else []
+        scrubbed = scrub_document(r.text, dets) if keep else None
+        out[r.url] = {
+            "text": r.text,
+            "lang_true": r.lang,
+            "lang_pred": lang,
+            "lang_conf": conf,
+            "ppl": ppl,
+            "keep": keep,
+            "drop_reasons": reasons,
+            "detections": [d.as_tuple() for d in dets],
+            "scrubbed_text": scrubbed,
+        }
+    return out
+
+
+def test_counts_and_counters(pipeline_out, oracle_rows):
+    counters, rows = pipeline_out
+    assert len(rows) == 500
+    assert counters["docs_seen"] == 500
+    assert counters["docs_kept"] == sum(1 for o in oracle_rows.values() if o["keep"])
+    assert counters["extract_mismatch"] == 0
+
+
+def test_extraction_byte_identical(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    for url, o in oracle_rows.items():
+        assert rows[url]["extract_ok"], url
+
+
+def test_langid_and_ppl_match_oracle(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    for url, o in oracle_rows.items():
+        r = rows[url]
+        assert r["lang_pred"] == o["lang_pred"], url
+        assert r["lang_conf"] == pytest.approx(o["lang_conf"], abs=0, rel=0), url
+        assert r["ppl"] == pytest.approx(o["ppl"], rel=1e-12), url
+
+
+def test_keep_drop_exact_match(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    mismatches = [u for u, o in oracle_rows.items() if rows[u]["keep"] != o["keep"]]
+    assert mismatches == []  # F1 == 1.0
+    for url, o in oracle_rows.items():
+        assert list(rows[url]["drop_reasons"]) == o["drop_reasons"], url
+
+
+def test_detections_match_oracle(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    for url, o in oracle_rows.items():
+        got = [
+            (d["entity_type"], d["start"], d["end"], d["score"], d["pattern_name"])
+            for d in rows[url]["detections"]
+        ]
+        assert got == o["detections"], url
+
+
+def test_scrubbed_text_byte_identical(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    for url, o in oracle_rows.items():
+        assert rows[url]["scrubbed_text"] == o["scrubbed_text"], url
+
+
+def test_langid_accuracy_against_ground_truth(pipeline_out, oracle_rows):
+    _, rows = pipeline_out
+    scored = [
+        (rows[u]["lang_pred"], o["lang_true"])
+        for u, o in oracle_rows.items()
+        if len(o["text"]) > 50 and rows[u]["keep"]
+    ]
+    acc = sum(1 for p, t in scored if p == t) / len(scored)
+    assert acc >= 0.98, acc
+
+
+def test_resume_after_partial_commit(spark, pages_small, tmp_path):
+    out = str(tmp_path / "resume_out")
+    # full reference run
+    full = run_pipeline(spark, pages_small, out, CFG)
+    full_rows = read_output(spark, out).count()
+
+    # simulate a crash: drop the last snapshot + its data directory
+    manifests = sorted(glob.glob(os.path.join(out, "_snapshots", "manifest-*.json")))
+    import json
+
+    with open(manifests[-1]) as f:
+        last = json.load(f)
+    os.remove(manifests[-1])
+    for p in last["data_paths"]:
+        shutil.rmtree(p)
+
+    partial = read_output(spark, out).count()
+    assert partial < full_rows
+
+    # resume: only the missing group is reprocessed; results identical
+    resumed = run_pipeline(spark, pages_small, out, CFG)
+    assert resumed == full
+    assert read_output(spark, out).count() == full_rows
