@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship PII-scrub + quality pipeline over the sf0.001
+documents table; ``queries``/``oracle_sql`` expose the full operator catalog
+(pii_detection_redaction_spark.plans.queries / .oracles) for the driver's
+DuckDB differential check at sf0.01.
+
+Queries intentionally without an oracle entry (non-SQL-expressible — full
+regex bank with context boost, LM perplexity, LSH bucket recall):
+``pii_detections``, ``pii_entity_counts``, ``pii_scrub``, ``pii_scrub_pages``,
+``quality_pipeline``, ``embedding_lsh_topk``. Their value-level gate is the pytest suite, which
+pins them byte-identically against the pure-Python oracle library.
 """
 
 from __future__ import annotations
@@ -15,24 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter pipeline (langid + perplexity + Gopher/
+    C4 rules → keep/drop) over sf0.001 documents — one row per document."""
+    from pii_detection_redaction_spark.plans.queries import q_quality_pipeline
+
+    return q_quality_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pii_detection_redaction_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pii_detection_redaction_spark.plans.oracles import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata struct,
+processed by Arrow-batched ``mapInPandas`` stages. The codec libraries are
+not installed in this container, so the *decode kernels* are stubbed behind
+``DecodeUnavailable`` with a deterministic fake used by tests — but the
+Spark-side contract (schemas, batch iteration, partitioning, UDF signatures)
+is real and tested: swapping in a real decoder changes one function.
+
+This mirrors how the reference treats images (PIL bytes in, boxes out —
+``image_redactor/redactor.py:43-93``) without porting its visual pipeline,
+which SURVEY.md §2.1 scopes out for the web-text rebuild.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real decode kernels: codec libs are not in this container."""
+
+
+def decode_image(payload: bytes):  # pragma: no cover - by design
+    raise DecodeUnavailable(
+        "image decode requires PIL/libjpeg — not installed; use "
+        "fake_feature_kernel for deterministic plumbing tests"
+    )
+
+
+def fake_feature_kernel(payload: bytes, dim: int = 8) -> list:
+    """Deterministic stand-in for decode+embed: md5-derived unit-norm vector.
+    Stable across executors/runs — lets tests pin exact outputs."""
+    h = hashlib.md5(payload or b"").digest()
+    vals = [int.from_bytes(h[2 * i : 2 * i + 2], "little") / 65535.0 for i in range(dim)]
+    norm = sum(v * v for v in vals) ** 0.5 or 1.0
+    return [float(v / norm) for v in vals]
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    dim: int = 8,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """mapInPandas feature extraction: iterates Arrow batches, never
+    materializes the whole partition; output schema is fixed
+    (FEATURE_SCHEMA). Partitioning is inherited — payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload_md5": [
+                        hashlib.md5(p or b"").hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p or b"") for p in payloads],
+                    "feature": [fake_feature_kernel(p, dim) for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, meta_col: str = "meta", every_n: int = 30
+) -> DataFrame:
+    """Declarative frame-sampling plan: explodes frame indices 0, n, 2n, ...
+    from metadata without touching payload bytes (JVM-side sequence)."""
+    n_frames = F.coalesce(F.col(f"{meta_col}.n_frames"), F.lit(0))
+    idx = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return df.withColumn(
+        "frame_idx", F.explode(F.when(n_frames > 0, idx).otherwise(F.array()))
+    )

