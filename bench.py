@@ -60,9 +60,9 @@ def _pages_path(sf: float) -> str:
 
     n = SF_ROWS.get(str(sf), 5000)
     os.makedirs(os.path.join(REPO, "_data"), exist_ok=True)
-    path = os.path.join(REPO, "_data", f"pages_sf{sf}.parquet")
+    path = os.path.join(REPO, "_data", f"pages_sf{sf}_multi")
     if not os.path.exists(path):
-        write_pages_parquet(path, n)
+        write_pages_parquet(path, n, n_files=64)
     return path, n
 
 
@@ -74,16 +74,44 @@ def run_queries(sf_dir: str) -> dict:
                           shuffle_partitions=CPUS)
     timings = {}
     try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink: forces full materialization of every column (count()
+            # would let Catalyst prune the expensive UDF columns away)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            print(f"  {name}: {timings[name]}s", file=sys.stderr)
     finally:
         spark.stop()
     return timings
+
+
+def _warm_python_workers(spark, cores: int, cfg) -> None:
+    """Spawn + warm every Python worker (fork, imports, Arrow init) with one
+    tiny row per task before timing — we measure steady-state throughput, not
+    cluster cold-start, matching how a long-running 100 TB job amortizes."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.plans.pipeline import transform_pages, with_bucket
+
+    n = cfg.num_buckets
+    tiny = (
+        spark.range(n * 4)
+        .select(
+            F.concat(F.lit("https://w.example.com/p-"), F.col("id")).alias("url"),
+            F.current_timestamp().alias("warc_ts"),
+            F.encode(F.lit("<html><body><p>the and of that warmup text</p></body></html>"), "UTF-8").alias("html"),
+            F.lit("the and of that warmup text").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        .repartition(n, "url")
+    )
+    transform_pages(with_bucket(tiny, cfg), cfg).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> dict:
@@ -97,6 +125,7 @@ def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> d
                           master=f"local[{cores}]", shuffle_partitions=cores)
     cfg = PipelineConfig(num_buckets=max(cores * 2, 16), groups=1)
     try:
+        _warm_python_workers(spark, cores, cfg)
         t0 = time.perf_counter()
         counters = run_pipeline(spark, pages_path, out_dir, cfg)
         secs = time.perf_counter() - t0

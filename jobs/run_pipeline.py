@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality-filter + PII-scrub pipeline.
+
+Cluster usage (north-rule packaging clause):
+
+    zip -r pii_spark.zip pii_detection_redaction_spark
+    spark-submit --py-files pii_spark.zip jobs/run_pipeline.py \
+        --input s3://bucket/pages/ --output s3://bucket/scrubbed/ \
+        --buckets 4096 --groups 64
+
+Local smoke:
+
+    python jobs/run_pipeline.py --input _data/pages_sf0.001.parquet \
+        --output _data/out --buckets 16 --groups 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="pages parquet path/dir")
+    p.add_argument("--output", required=True, help="snapshot-store root")
+    p.add_argument("--buckets", type=int, default=64, help="url-hash buckets")
+    p.add_argument("--groups", type=int, default=4, help="commit units per run")
+    p.add_argument("--scrub-mode", default="relationship",
+                   choices=["relationship", "replace", "mask"])
+    p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--entities", nargs="*", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pii_detection_redaction_spark.plans.pipeline import (
+        PipelineConfig,
+        host_metrics,
+        read_output,
+        run_pipeline,
+    )
+    from pii_detection_redaction_spark.plans.session import build_session
+
+    spark = build_session(app_name="pii-scrub-pipeline", master=args.master)
+    cfg = PipelineConfig(
+        num_buckets=args.buckets,
+        groups=args.groups,
+        scrub_mode=args.scrub_mode,
+        min_score=args.min_score,
+        entities=args.entities,
+    )
+    counters = run_pipeline(
+        spark, args.input, args.output, cfg, resume=not args.no_resume
+    )
+    # per-host lineage table written beside the data
+    out = read_output(spark, args.output)
+    host_metrics(out, cfg).write.mode("overwrite").parquet(
+        f"{args.output}/_metrics/host_metrics"
+    )
+    print(json.dumps(counters))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,15 @@ def get_model(lang: str) -> CharTrigramLM:
     return _MODELS[key]
 
 
+def all_models() -> Dict[str, CharTrigramLM]:
+    """Train (once) and return every language model. Called on the Spark
+    driver so the pickled UDF closure ships the ready-made arrays (a few KB)
+    to executors instead of re-training per worker process."""
+    for lang in LANGS:
+        get_model(lang)
+    return dict(_MODELS)
+
+
 def perplexity(text: str, lang: str = "en") -> float:
     """Oracle path: perplexity of ``text`` under the LM for ``lang``
     (unknown languages score against the English LM)."""

@@ -189,7 +189,13 @@ def run_pipeline(
         if gid in done:
             continue
         obs = Observation(f"grp-{gid}")
-        part = pages.filter(F.col("grp") == gid)
+        # Repartition by bucket BEFORE the UDF stages: the scan's natural
+        # split (row groups / file splits) can be far coarser than the core
+        # count — e.g. a single-row-group file would otherwise run the whole
+        # Arrow UDF chain in one task. After this exchange the heavy work is
+        # spread over num_buckets/groups tasks regardless of input layout.
+        n_parts = max(1, cfg.num_buckets // cfg.groups)
+        part = pages.filter(F.col("grp") == gid).repartition(n_parts, "bucket")
         out = transform_pages(part, cfg).select(*OUTPUT_COLUMNS)
         out = out.observe(
             obs,
@@ -199,13 +205,9 @@ def run_pipeline(
             F.sum((~F.col("extract_ok")).cast("long")).alias("extract_mismatch"),
         )
         gpath = store.group_path(gid)
-        # repartition by bucket inside the group → deterministic file layout,
-        # one task per bucket; mode=overwrite keeps retries idempotent.
-        (
-            out.repartition(max(1, cfg.num_buckets // cfg.groups), "bucket")
-            .write.mode("overwrite")
-            .parquet(gpath)
-        )
+        # already partitioned by bucket upstream → one file per bucket task;
+        # mode=overwrite keeps retries idempotent.
+        out.write.mode("overwrite").parquet(gpath)
         counters = {k: int(v or 0) for k, v in obs.get.items()}
         counters["docs_dropped"] = counters["docs_seen"] - counters["docs_kept"]
         store.commit([gid], [gpath], counters)

@@ -1,0 +1,83 @@
+"""End-to-end CSV redaction: the reference's ``csv_redactor`` pipeline
+(redact_csv_file, ``csv_redactor/redactor.py:55-128``) as Spark source→sink.
+
+read.csv (header/delimiter options == reference skip_header/delimiter params)
+→ unpivot → per-cell detect → mask/replace → reassemble wide → write.csv,
+plus the JSON detections sink (``csv_redactor/cli.py:172-178`` analog) and
+the stderr summary (``formatter.py:24-37``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.csvops import (
+    cell_detections_long,
+    detect_cells,
+    detection_summary,
+    redact_cells,
+    unpivot_cells,
+)
+
+ROW_ID = "__row_id"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    df = spark.read.csv(path, sep=delimiter, header=header, inferSchema=False)
+    # stable row ids for reassembly (monotonically increasing per partition
+    # is fine: uniqueness is all reassembly needs)
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def redact_csv(
+    df: DataFrame,
+    use_entity_labels: bool = False,
+    redaction_char: str = "*",
+    min_score: float = 0.0,
+    entities: Optional[Sequence[str]] = None,
+) -> Dict[str, DataFrame]:
+    """Returns {'redacted': wide redacted frame, 'detections': long table,
+    'summary': per-entity-type counts}."""
+    value_cols = [c for c in df.columns if c != ROW_ID]
+    long = unpivot_cells(df, ROW_ID, value_cols)
+    detected = detect_cells(long, entities=entities, min_score=min_score)
+    detections = cell_detections_long(detected, ROW_ID)
+    redacted_long = redact_cells(
+        detected, use_entity_labels=use_entity_labels, redaction_char=redaction_char
+    ).select(ROW_ID, "col_name", "redacted_cell")
+
+    # reassemble wide: join redacted cells back; untouched cells keep originals
+    wide = df
+    for c in value_cols:
+        repl = redacted_long.filter(F.col("col_name") == c).select(
+            ROW_ID, F.col("redacted_cell").alias(f"__red_{c}")
+        )
+        wide = wide.join(repl, ROW_ID, "left").withColumn(
+            c, F.coalesce(F.col(f"__red_{c}"), F.col(c))
+        ).drop(f"__red_{c}")
+
+    return {
+        "redacted": wide.drop(ROW_ID),
+        "detections": detections,
+        "summary": detection_summary(detections, ROW_ID),
+    }
+
+
+def write_csv(df: DataFrame, path: str, delimiter: str = ",", header: bool = True) -> None:
+    df.write.mode("overwrite").csv(path, sep=delimiter, header=header)
+
+
+def detections_to_json(detections: DataFrame) -> DataFrame:
+    """JSON detections sink shape (reference formatter.py:8-21): one JSON
+    string per detection row."""
+    return detections.select(
+        F.to_json(F.struct(*[F.col(c) for c in detections.columns])).alias("json")
+    )

@@ -232,7 +232,10 @@ def pages_df(n: int, seed: int = SEED) -> pd.DataFrame:
 SF_ROWS = {"0.001": 500, "0.01": 5_000, "0.1": 50_000}
 
 
-def write_pages_parquet(path: str, n: int, seed: int = SEED) -> str:
+def write_pages_parquet(path: str, n: int, seed: int = SEED, n_files: int = 1) -> str:
+    """Write the corpus as one parquet file (n_files=1) or a directory of
+    n_files equal slices — multi-file layout gives Spark a parallel scan
+    (a single-row-group file is one scan task no matter the cluster size)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -247,5 +250,15 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED) -> str:
         ]
     )
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    if n_files <= 1:
+        pq.write_table(table, path)
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = table.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(path, f"part-{i:04d}.parquet"))
     return path

@@ -33,7 +33,9 @@ def pages_small():
 
 @pytest.fixture(scope="session")
 def sf001_dir():
-    return "/root/testdata/sf0.001"
+    # override (e.g. PII_TEST_SF_DIR=/root/testdata/sf0.01) to run the
+    # differential suite at the driver's correctness scale
+    return os.environ.get("PII_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
