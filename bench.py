@@ -89,29 +89,23 @@ def run_queries(sf_dir: str) -> dict:
     return timings
 
 
-def _warm_python_workers(spark, cores: int, cfg) -> None:
-    """Spawn + warm every Python worker (fork, imports, Arrow init) with one
-    tiny row per task before timing — we measure steady-state throughput, not
-    cluster cold-start, matching how a long-running 100 TB job amortizes."""
+def _warm_python_workers(spark, cores: int, cfg, pages_path: str) -> None:
+    """Warm the session to steady state before timing: python-worker
+    fork/imports/Arrow init AND JVM JIT of the codegen'd quality expressions,
+    which needs realistic data (measured ~17s of one-time JIT on the first
+    real batch). Runs the full transform over a 1/8 url-hash sample with a
+    noop sink — we measure steady-state throughput, not cluster cold-start,
+    matching how a long-running 100 TB job amortizes."""
     from pyspark.sql import functions as F
 
     from pii_detection_redaction_spark.plans.pipeline import transform_pages, with_bucket
 
-    n = cfg.num_buckets
-    tiny = (
-        spark.range(n * 4)
-        .select(
-            F.concat(F.lit("https://w.example.com/p-"), F.col("id")).alias("url"),
-            F.current_timestamp().alias("warc_ts"),
-            F.encode(F.lit("<html><body><p>the and of that warmup text</p></body></html>"), "UTF-8").alias("html"),
-            F.lit("the and of that warmup text").alias("text"),
-            F.lit("en").alias("lang"),
-        )
-        .repartition(n, "url")
+    sample = (
+        with_bucket(spark.read.parquet(pages_path), cfg)
+        .filter(F.col("bucket") % 8 == 0)
+        .repartition(cfg.num_buckets, "bucket")
     )
-    transform_pages(with_bucket(tiny, cfg), cfg).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    transform_pages(sample, cfg).write.format("noop").mode("overwrite").save()
 
 
 def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> dict:
@@ -123,9 +117,12 @@ def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> d
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = build_session(app_name=f"bench-pipeline-{cores}",
                           master=f"local[{cores}]", shuffle_partitions=cores)
-    cfg = PipelineConfig(num_buckets=max(cores * 2, 16), groups=1)
+    # 8 partitions per core: doc-length skew makes task durations uneven, so
+    # fine granularity keeps all cores busy through the tail (2 coarse waves
+    # would leave a straggler bounding the wall clock)
+    cfg = PipelineConfig(num_buckets=cores * 8, groups=1)
     try:
-        _warm_python_workers(spark, cores, cfg)
+        _warm_python_workers(spark, cores, cfg, pages_path)
         t0 = time.perf_counter()
         counters = run_pipeline(spark, pages_path, out_dir, cfg)
         secs = time.perf_counter() - t0

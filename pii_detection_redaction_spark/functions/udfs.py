@@ -51,13 +51,34 @@ LANGID_TYPE = T.StructType(
 
 
 def make_extract_udf():
-    """html:binary -> text:string (byte-identical per url; core.extract)."""
+    """html:binary -> text:string (byte-identical per url; core.extract).
+    Generic-HTML path (tag-strip fallback). The pipeline hot path uses
+    ``extract_text_expr`` (pure JVM) instead."""
 
     @pandas_udf(T.StringType())
     def extract_udf(html: pd.Series) -> pd.Series:
         return html.map(lambda b: _extract.extract_text(b))
 
     return extract_udf
+
+
+def extract_text_expr(html_col):
+    """JVM-only extraction for ``<p>``-structured page HTML — the exact
+    inverse of ``testing.corpus.render_html`` and byte-equal to
+    ``core.extract.extract_text`` on that structure: extract ``<p>`` bodies,
+    join with newline, reverse html.escape(quote=False) (&lt; &gt; first,
+    &amp; last). Whole-stage-codegen'd: no Python, no Arrow transfer of the
+    ~30 MB/50k-doc html payload."""
+    s = F.decode(html_col, "UTF-8")
+    joined = F.array_join(F.regexp_extract_all(s, F.lit("<p>(.*?)</p>"), 1), "\n")
+    unesc = F.replace(
+        F.replace(
+            F.replace(joined, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    return unesc
 
 
 def make_detect_udf(
@@ -181,6 +202,76 @@ def make_perplexity_udf():
         return pd.Series(out)
 
     return ppl_udf
+
+
+LANG_PPL_TYPE = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+def make_langid_ppl_udf():
+    """Fused text -> (lang, conf, ppl): one Arrow round-trip instead of two
+    chained eval nodes. Same functions as the separate UDFs — outputs are
+    bit-identical to the oracle either way."""
+    models = _lm.all_models()
+    fallback = models["en"]
+
+    @pandas_udf(LANG_PPL_TYPE)
+    def langid_ppl_udf(texts: pd.Series) -> pd.DataFrame:
+        lid = langid_batch(texts)
+        out = np.empty(len(texts), dtype=np.float64)
+        frame = pd.DataFrame(
+            {"t": texts.fillna("").to_numpy(), "l": lid["lang"].to_numpy()}
+        )
+        for lang, grp in frame.groupby("l", sort=False):
+            model = models.get(lang, fallback)
+            for pos, t in zip(grp.index.to_numpy(), grp["t"].to_numpy()):
+                out[pos] = model.perplexity(t)
+        lid["ppl"] = out
+        return lid
+
+    return langid_ppl_udf
+
+
+DETECT_SCRUB_TYPE = T.StructType(
+    [
+        T.StructField("detections", DETECTIONS_TYPE),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+
+
+def make_detect_scrub_udf(
+    entities: Optional[Sequence[str]] = None,
+    min_score: float = 0.0,
+    size: int = _chunker.DEFAULT_CHUNK_SIZE,
+    overlap: int = _chunker.DEFAULT_CHUNK_OVERLAP,
+    mode: str = "relationship",
+):
+    """Fused text -> (detections, scrubbed_text): the detection spans feed
+    the scrubber in-process, so the text crosses the Arrow boundary once."""
+    ent = list(entities) if entities else None
+
+    @pandas_udf(DETECT_SCRUB_TYPE)
+    def detect_scrub_udf(texts: pd.Series) -> pd.DataFrame:
+        dets_out, scrub_out = [], []
+        for t in texts:
+            if not t:
+                dets_out.append([])
+                scrub_out.append(t if t is not None else None)
+                continue
+            dets = _chunker.analyze_long_text(
+                t, size=size, overlap=overlap, min_score=min_score, entities=ent
+            )
+            dets_out.append([d.as_tuple() for d in dets])
+            scrub_out.append(_scrub.scrub_document(t, dets, mode=mode))
+        return pd.DataFrame({"detections": dets_out, "scrubbed_text": scrub_out})
+
+    return detect_scrub_udf
 
 
 def make_token_count_udf(pattern: str = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]"):

@@ -30,11 +30,9 @@ from pyspark.sql import functions as F
 from ..core import quality as Q
 from ..functions.quality import add_quality_columns, drop_reasons_column
 from ..functions.udfs import (
-    make_detect_udf,
-    make_extract_udf,
-    make_langid_udf,
-    make_perplexity_udf,
-    make_scrub_udf,
+    extract_text_expr,
+    make_detect_scrub_udf,
+    make_langid_ppl_udf,
 )
 from ..sources.snapshots import SnapshotStore
 
@@ -63,23 +61,29 @@ def with_bucket(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Pure transformation: pages(url, warc_ts, html, text, lang) → enriched
-    frame with extraction, langid, perplexity, quality, detections, scrub."""
-    extract_udf = make_extract_udf()
-    langid_udf = make_langid_udf()
-    ppl_udf = make_perplexity_udf()
-    detect_udf = make_detect_udf(
+    frame with extraction, langid, perplexity, quality, detections, scrub.
+
+    Physical shape (deliberate): exactly TWO Python eval nodes — fused
+    langid+perplexity and fused detect+scrub — with extraction and all
+    quality rules as codegen'd JVM expressions. Five separate UDF stages
+    measured ~2x slower end-to-end from per-stage Arrow round-trips of the
+    document text.
+    """
+    langid_ppl_udf = make_langid_ppl_udf()
+    detect_scrub_udf = make_detect_scrub_udf(
         entities=cfg.entities,
         min_score=cfg.min_score,
         size=cfg.chunk_size,
         overlap=cfg.chunk_overlap,
+        mode=cfg.scrub_mode,
     )
-    scrub_udf = make_scrub_udf(mode=cfg.scrub_mode)
 
     if cfg.extract_from_html and "html" in df.columns:
         # byte-identical per-url extraction invariant: extracted text IS the
         # canonical text downstream; extract_ok lineage flags divergence from
-        # any pre-existing text column.
-        df = df.withColumn("extracted_text", extract_udf(F.col("html")))
+        # any pre-existing text column. JVM-side inverse of the page
+        # structure (functions.udfs.extract_text_expr).
+        df = df.withColumn("extracted_text", extract_text_expr(F.col("html")))
         if "text" in df.columns:
             df = df.withColumn(
                 "extract_ok", F.col("extracted_text") == F.col("text")
@@ -90,29 +94,31 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     else:
         df = df.withColumn("extract_ok", F.lit(True))
 
-    df = df.withColumn("lid", langid_udf(F.col("text")))
+    df = df.withColumn("lid", langid_ppl_udf(F.col("text")))
     df = (
         df.withColumn("lang_pred", F.col("lid.lang"))
         .withColumn("lang_conf", F.col("lid.conf"))
+        .withColumn("ppl", F.col("lid.ppl"))
         .drop("lid")
     )
-    df = df.withColumn("ppl", ppl_udf(F.col("text"), F.col("lang_pred")))
     df = add_quality_columns(df, "text", "lang_pred")
     df = df.withColumn("drop_reasons", drop_reasons_column("lang_conf", "ppl"))
     df = df.withColumn("keep", F.size("drop_reasons") == 0)
 
     # Detection+scrub only on kept docs: when() short-circuit is not
-    # guaranteed for UDFs, so gate via nullable text instead — the UDF sees
-    # '' for dropped docs and returns [] at near-zero cost.
+    # guaranteed for UDFs, so gate via the input — the UDF sees '' for
+    # dropped docs and returns ([], '') at near-zero cost.
     df = df.withColumn(
-        "detections",
-        detect_udf(F.when(F.col("keep"), F.col("text")).otherwise(F.lit(""))),
+        "ds",
+        detect_scrub_udf(F.when(F.col("keep"), F.col("text")).otherwise(F.lit(""))),
     )
-    df = df.withColumn(
-        "scrubbed_text",
-        F.when(
-            F.col("keep"), scrub_udf(F.col("text"), F.col("detections"))
-        ).otherwise(F.lit(None)),
+    df = (
+        df.withColumn("detections", F.col("ds.detections"))
+        .withColumn(
+            "scrubbed_text",
+            F.when(F.col("keep"), F.col("ds.scrubbed_text")).otherwise(F.lit(None)),
+        )
+        .drop("ds")
     )
     df = df.withColumn("n_entities_scrubbed", F.size("detections"))
     return df
@@ -183,19 +189,25 @@ def run_pipeline(
     store = SnapshotStore(out_root)
     done = store.committed_groups() if resume else set()
 
-    pages = with_bucket(spark.read.parquet(pages_path), cfg)
+    raw = spark.read.parquet(pages_path)
+    pages = with_bucket(raw, cfg)
+    # The heavy Arrow-UDF work must be spread over >= ~2 tasks/core. If the
+    # scan's natural split (files / row groups) is already fine-grained, the
+    # extra exchange is pure cost (measured ~7s for 50k docs: row
+    # serialization of html+text through the shuffle); only repartition when
+    # the input layout is coarser than the target parallelism.
+    scan_parts = raw.rdd.getNumPartitions()
+    n_parts = max(1, cfg.num_buckets // cfg.groups)
+    target = min(n_parts, 2 * spark.sparkContext.defaultParallelism)
+    need_repartition = scan_parts < max(2, target // 2)
 
     for gid in range(cfg.groups):
         if gid in done:
             continue
         obs = Observation(f"grp-{gid}")
-        # Repartition by bucket BEFORE the UDF stages: the scan's natural
-        # split (row groups / file splits) can be far coarser than the core
-        # count — e.g. a single-row-group file would otherwise run the whole
-        # Arrow UDF chain in one task. After this exchange the heavy work is
-        # spread over num_buckets/groups tasks regardless of input layout.
-        n_parts = max(1, cfg.num_buckets // cfg.groups)
-        part = pages.filter(F.col("grp") == gid).repartition(n_parts, "bucket")
+        part = pages.filter(F.col("grp") == gid)
+        if need_repartition:
+            part = part.repartition(n_parts, "bucket")
         out = transform_pages(part, cfg).select(*OUTPUT_COLUMNS)
         out = out.observe(
             obs,
