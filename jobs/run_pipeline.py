@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow `python jobs/run_pipeline.py` from a checkout (sys.path[0] is jobs/);
+# on a cluster the package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

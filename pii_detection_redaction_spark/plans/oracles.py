@@ -151,6 +151,27 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rk FROM (
 ) WHERE rk <= 3 ORDER BY o_custkey, rk
 """
 
+ORACLE_SQL["sales_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+ORACLE_SQL["segment_setops"] = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY c_custkey
+"""
+
 ORACLE_SQL["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

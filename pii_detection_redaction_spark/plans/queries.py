@@ -165,6 +165,37 @@ def q_order_rank_per_customer(spark, sf_dir):
     )
 
 
+def q_sales_cube(spark, sf_dir):
+    """CUBE grouping sets over lineitem (multi-dimensional rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def q_segment_setops(spark, sf_dir):
+    """Set operations: customers present in BUILDING or MACHINERY segments
+    minus those with an account balance below zero (union/except/intersect
+    family, distinct semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        building.union(machinery).distinct().subtract(negative)
+        .orderBy("c_custkey")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -460,6 +491,8 @@ QUERIES = {
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "order_rank_per_customer": q_order_rank_per_customer,
+    "sales_cube": q_sales_cube,
+    "segment_setops": q_segment_setops,
     "events_hourly": q_events_hourly,
     "events_sessionized": q_events_sessionized,
     "events_json": q_events_json,

@@ -1,0 +1,87 @@
+"""Property-based tests (SURVEY.md §5.4): scrub invariants, chunking
+invariance, mask length rules — over generated adversarial inputs."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_detection_redaction_spark.core import analyze, analyze_long_text, scrub_document
+from pii_detection_redaction_spark.core.scrub import mask_spans, select_nonoverlapping
+from pii_detection_redaction_spark.core.spans import Detection
+
+# text with embedded PII-ish fragments
+_frag = st.sampled_from(
+    [
+        "tfn 123-456-789",
+        "abn 51 824 753 556",
+        "bob.smith@ex.com",
+        "0412 345 678",
+        "4242 4242 4242 4242",
+        "Hello James Walker",
+        "NSW 2000",
+        "10.0.0.1",
+        "2025-03-04",
+        "plain words here",
+        "",
+    ]
+)
+_texts = st.lists(_frag, min_size=0, max_size=12).map(lambda xs: " and ".join(xs))
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_selected_spans_never_overlap(text):
+    kept = select_nonoverlapping(analyze(text))
+    for a, b in zip(kept, kept[1:]):
+        assert a.end <= b.start
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_scrub_deterministic_and_removes_values(text):
+    dets = analyze(text)
+    out1 = scrub_document(text, dets)
+    out2 = scrub_document(text, dets)
+    assert out1 == out2
+    for d in select_nonoverlapping(dets):
+        value = text[d.start : d.end]
+        # high-confidence long values must not survive verbatim
+        if d.score >= 0.6 and len(value) >= 8:
+            assert value not in out1
+
+
+@given(_texts, st.integers(min_value=40, max_value=200))
+@settings(max_examples=40, deadline=None)
+def test_chunking_invariance(text, size):
+    """Same detections for any chunk size, given overlap >= max entity len
+    (reference overlap semantics, chunker.py:19-26)."""
+    base = [d.as_tuple() for d in analyze(text)]
+    chunked = [d.as_tuple() for d in analyze_long_text(text, size=size, overlap=39)]
+    if len(text) <= size:
+        assert chunked == base
+
+
+@given(st.text(alphabet=string.ascii_letters + " ", min_size=0, max_size=300),
+       st.integers(min_value=1, max_value=250))
+@settings(max_examples=60, deadline=None)
+def test_mask_length_rule(text, span_len):
+    """Mask op: '*' x min(len, 100) + preserved remainder (C12)."""
+    if not text:
+        return
+    end = min(span_len, len(text))
+    d = [Detection("X", 0, end, 1.0)]
+    out = mask_spans(text, d)
+    assert len(out) == len(text)
+    k = min(end, 100)
+    assert out[:k] == "*" * k
+    assert out[end:] == text[end:]
+
+
+@given(_texts)
+@settings(max_examples=30, deadline=None)
+def test_scrub_idempotent_property(text):
+    dets = analyze_long_text(text)
+    once = scrub_document(text, dets)
+    twice = scrub_document(once, analyze_long_text(once))
+    assert once == twice
