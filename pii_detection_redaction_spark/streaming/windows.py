@@ -1,0 +1,42 @@
+"""Event-time windowed aggregation with watermarks (Structured Streaming).
+
+The reference has no streaming surface (SURVEY.md §2.10); this provides the
+standard late-data-tolerant rollup the north-star pipeline would use for
+continuous ingestion monitoring: per event-time window counts with a
+watermark bounding state. State is keyed by (window, event_type) — bounded
+by watermark horizon / window size, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Works on both batch and streaming frames (same plan shape; watermark
+    is a no-op in batch)."""
+    df = events
+    if df.isStreaming:
+        # watermarks require TIMESTAMP (ltz); parquet NTZ columns cast
+        # losslessly under the UTC session
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
