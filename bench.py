@@ -65,7 +65,8 @@ def _pages_path(sf: float, mult: int = 1):
 
     n = SF_ROWS.get(str(sf), 5000) * mult
     os.makedirs(os.path.join(REPO, "_data"), exist_ok=True)
-    path = os.path.join(REPO, "_data", f"pages_sf{sf}_x{mult}_256f")
+    from pii_detection_redaction_spark.testing.corpus import CORPUS_VERSION
+    path = os.path.join(REPO, "_data", f"pages_v{CORPUS_VERSION}_sf{sf}_x{mult}_256f")
     if not os.path.exists(path):
         write_pages_parquet(path, n, n_files=256)
     return path, n

@@ -22,6 +22,8 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .toxicity import MAX_TOXICITY_HITS, TOXICITY_REGEX
+
 # --- thresholds (frozen spec) ---------------------------------------------
 MIN_WORDS = 20
 MAX_WORDS = 100_000
@@ -51,11 +53,13 @@ RULE_NAMES = (
     "stopwords",
     "dup_lines",
     "ellipsis_lines",
+    "toxicity",
 )
 
 _word_re = re.compile(r"\S+")
 _stop_re = re.compile(STOPWORD_REGEX)
 _symbol_re = re.compile(SYMBOL_REGEX)
+_tox_re = re.compile(TOXICITY_REGEX)
 
 
 def text_metrics(text: str) -> Dict[str, float]:
@@ -79,6 +83,7 @@ def text_metrics(text: str) -> Dict[str, float]:
         "n_lines": n_lines,
         "dup_line_frac": (1.0 - n_distinct / n_lines) if n_lines else 0.0,
         "ellipsis_line_frac": (n_ellipsis / n_lines) if n_lines else 0.0,
+        "tox_hits": len(_tox_re.findall(text)),
     }
 
 
@@ -98,6 +103,7 @@ def rule_flags(text: str, lang: str) -> Dict[str, bool]:
         "stopwords": (lang != "en") or (m["stop_hits"] >= MIN_STOPWORD_HITS),
         "dup_lines": m["dup_line_frac"] <= MAX_DUP_LINE_FRAC,
         "ellipsis_lines": m["ellipsis_line_frac"] <= MAX_ELLIPSIS_LINE_FRAC,
+        "toxicity": m["tox_hits"] <= MAX_TOXICITY_HITS,
     }
 
 

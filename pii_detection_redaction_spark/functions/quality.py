@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core import quality as Q
+from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 
 # Java-regex-safe equivalents of the oracle's patterns (verified identical
 # match semantics for these classes in Python re, Java regex, and RE2).
@@ -61,6 +62,7 @@ def quality_metric_columns(text: Column) -> dict:
         "ellipsis_line_frac": F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(
             F.lit(0.0)
         ),
+        "tox_hits": F.regexp_count(text, F.lit(TOXICITY_REGEX)),
     }
 
 
@@ -80,6 +82,7 @@ def rule_flag_columns(m: dict, lang: Column) -> dict:
         "stopwords": (lang != "en") | (m["stop_hits"] >= Q.MIN_STOPWORD_HITS),
         "dup_lines": m["dup_line_frac"] <= Q.MAX_DUP_LINE_FRAC,
         "ellipsis_lines": m["ellipsis_line_frac"] <= Q.MAX_ELLIPSIS_LINE_FRAC,
+        "toxicity": m["tox_hits"] <= MAX_TOXICITY_HITS,
     }
 
 
@@ -94,6 +97,12 @@ def add_quality_columns(df: DataFrame, text_col: str, lang_col: str) -> DataFram
         df = df.withColumn(f"rule_{name}", flags[name])
         passed = passed & F.col(f"rule_{name}")
     return df.withColumn("rules_pass", passed)
+
+
+def mask_toxicity_column(text: Column) -> Column:
+    """JVM-side toxicity masking (same regex/label as the oracle's
+    ``core.toxicity.mask_toxicity``); applied to kept docs after PII scrub."""
+    return F.regexp_replace(text, TOXICITY_REGEX, TOXIC_MASK)
 
 
 def drop_reasons_column(lang_conf_col: str = "lang_conf", ppl_col: str = "ppl") -> Column:

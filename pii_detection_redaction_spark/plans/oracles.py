@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from ..core import langid as LID
 from ..core import quality as Q
+from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 from .queries import (
     DATE_RE,
     EMAIL_RE,
@@ -53,11 +54,12 @@ WITH m AS (
     len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace,
     len(regexp_extract_all(text, '{_SYMBOLS}')) AS n_symbols,
     len(regexp_extract_all(text, '{_STOPS}')) AS stop_hits,
+    len(regexp_extract_all(text, '{TOXICITY_REGEX}')) AS tox_hits,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                 x -> x <> '') AS lines
   FROM documents
 ), mm AS (
-  SELECT doc_id, lang, n_chars, n_words, stop_hits,
+  SELECT doc_id, lang, n_chars, n_words, stop_hits, tox_hits,
     CASE WHEN n_words > 0 THEN CAST(nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
     CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / n_chars ELSE 0.0 END AS symbol_ratio,
     len(lines) AS n_lines,
@@ -78,7 +80,8 @@ WITH m AS (
     symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
     (lang <> 'en' OR stop_hits >= {Q.MIN_STOPWORD_HITS}) AS rule_stopwords,
     dup_line_frac <= {Q.MAX_DUP_LINE_FRAC} AS rule_dup_lines,
-    ellipsis_line_frac <= {Q.MAX_ELLIPSIS_LINE_FRAC} AS rule_ellipsis_lines
+    ellipsis_line_frac <= {Q.MAX_ELLIPSIS_LINE_FRAC} AS rule_ellipsis_lines,
+    tox_hits <= {MAX_TOXICITY_HITS} AS rule_toxicity
   FROM mm
 )
 """
@@ -211,6 +214,7 @@ SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
   round(mean_word_len, 6) AS mean_word_len,
   round(symbol_ratio, 6) AS symbol_ratio,
   CAST(stop_hits AS INTEGER) AS stop_hits,
+  CAST(tox_hits AS INTEGER) AS tox_hits,
   round(dup_line_frac, 6) AS dup_line_frac,
   {', '.join(f'rule_{n}' for n in Q.RULE_NAMES)},
   ({_RULES_PASS}) AS rules_pass
@@ -227,6 +231,14 @@ SELECT lang, count(*) AS n_docs,
 FROM fl GROUP BY lang ORDER BY lang
 """
 )
+
+ORACLE_SQL["toxicity_scrub"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TOXICITY_REGEX}')) AS INTEGER) AS tox_hits,
+  len(regexp_extract_all(text, '{TOXICITY_REGEX}')) <= {MAX_TOXICITY_HITS} AS rule_toxicity,
+  md5(regexp_replace(text, '{TOXICITY_REGEX}', '{TOXIC_MASK}', 'g')) AS masked_md5
+FROM documents ORDER BY doc_id
+"""
 
 ORACLE_SQL["doc_token_stats"] = f"""
 SELECT doc_id,

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import quality as Q
-from ..functions.quality import add_quality_columns, drop_reasons_column
+from ..functions.quality import (
+    add_quality_columns,
+    drop_reasons_column,
+    mask_toxicity_column,
+)
 from ..functions.udfs import (
     extract_text_expr,
     make_detect_scrub_udf,
@@ -115,8 +119,14 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     df = (
         df.withColumn("detections", F.col("ds.detections"))
         .withColumn(
+            # toxicity-scrub composition (north_star): kept docs get residual
+            # lexicon hits masked AFTER the PII scrub — JVM regexp_replace,
+            # same regex/label as core.toxicity.mask_toxicity. Docs above the
+            # hit threshold never reach here (dropped by rule_toxicity).
             "scrubbed_text",
-            F.when(F.col("keep"), F.col("ds.scrubbed_text")).otherwise(F.lit(None)),
+            F.when(
+                F.col("keep"), mask_toxicity_column(F.col("ds.scrubbed_text"))
+            ).otherwise(F.lit(None)),
         )
         .drop("ds")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..core import langid as LID
 from ..core import quality as Q
+from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 from ..core.langprofiles import STOPWORDS
 from ..functions.quality import NONSPACE_RE, STOP_RE, SYMBOL_RE, WORD_RE, add_quality_columns
 from ..functions.udfs import (
@@ -252,6 +253,7 @@ def q_doc_quality_flags(spark, sf_dir):
         F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("symbol_ratio", 6).alias("symbol_ratio"),
         "stop_hits",
+        "tox_hits",
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
         *[F.col(f"rule_{n}").alias(f"rule_{n}") for n in Q.RULE_NAMES],
         "rules_pass",
@@ -268,6 +270,21 @@ def q_doc_quality_agg(spark, sf_dir):
         for n in Q.RULE_NAMES
     ]
     return out.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+def q_toxicity_scrub(spark, sf_dir):
+    """Toxicity lexicon stage (north_star "toxicity-scrub") — hit count, the
+    keep/drop rule flag, and the md5 of the masked text, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    hits = F.regexp_count("text", F.lit(TOXICITY_REGEX))
+    return d.select(
+        "doc_id",
+        hits.alias("tox_hits"),
+        (hits <= MAX_TOXICITY_HITS).alias("rule_toxicity"),
+        F.md5(F.regexp_replace(F.col("text"), TOXICITY_REGEX, TOXIC_MASK)).alias(
+            "masked_md5"
+        ),
+    ).orderBy("doc_id")
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -498,6 +515,7 @@ QUERIES = {
     "events_json": q_events_json,
     "doc_quality_flags": q_doc_quality_flags,
     "doc_quality_agg": q_doc_quality_agg,
+    "toxicity_scrub": q_toxicity_scrub,
     "doc_token_stats": q_doc_token_stats,
     "langid_documents": q_langid_documents,
     "doc_fingerprints": q_doc_fingerprints,

@@ -27,9 +27,16 @@ import pandas as pd
 
 from ..core.langprofiles import CONTENT_WORDS, STOPWORDS
 from ..core.recognizers import FIRST_NAMES, is_valid_abn, luhn_ok
+from ..core.toxicity import TOXICITY_LEXICON
+
+# planted-toxicity vocabulary (subset of the pinned lexicon)
+_TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
+                   ("bullshit", "shitty", "pissed", "bollocks", "fucking", "crap"))
 
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+# bump on any generator change — cache keys (tests/_data, bench corpus) embed it
+CORPUS_VERSION = 2
 
 SURNAMES = (
     "Smith Johnson Williams Brown Jones Garcia Miller Davis Rodriguez "
@@ -197,6 +204,18 @@ def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
         pos = rng.randint(0, len(lines))
         for sn in _pii_snippets(rng):
             lines.insert(pos, sn)
+    # toxicity plants (appended last so earlier rng draws are unperturbed):
+    # arch 10 → above-threshold hits (dropped, reason 'toxicity');
+    # other en docs → 25% chance of 1-2 residual hits (kept, masked).
+    if lang == "en":
+        if arch == 10:
+            t = [_TOX_WORDS[rng.randrange(len(_TOX_WORDS))] for _ in range(3)]
+            lines.append(
+                f"This {t[0]} release is {t[1]} broken and the docs are {t[2]} useless."
+            )
+        elif rng.random() < 0.25:
+            w = _TOX_WORDS[rng.randrange(len(_TOX_WORDS))]
+            lines.append(f"Honestly the old parser was {w} slow.")
     return ("\n".join(lines), lang)
 
 

@@ -16,11 +16,14 @@ def spark():
 
 
 def _pages_parquet(n: int, name: str) -> str:
-    os.makedirs(DATA_DIR, exist_ok=True)
-    path = os.path.join(DATA_DIR, name)
-    if not os.path.exists(path):
-        from pii_detection_redaction_spark.testing.corpus import write_pages_parquet
+    from pii_detection_redaction_spark.testing.corpus import (
+        CORPUS_VERSION,
+        write_pages_parquet,
+    )
 
+    os.makedirs(DATA_DIR, exist_ok=True)
+    path = os.path.join(DATA_DIR, f"v{CORPUS_VERSION}-{name}")
+    if not os.path.exists(path):
         write_pages_parquet(path, n)
     return path
 

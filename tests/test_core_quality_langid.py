@@ -24,9 +24,35 @@ def test_rule_archetypes_fail_expected_rules():
     assert not flags(3)["dup_lines"]  # duplicate lines
     assert not flags(4)["ellipsis_lines"]  # ellipsis lines
     assert not flags(5)["stopwords"]  # stopword-free English
-    # plain long docs pass everything
-    ok = flags(10)
+    # plain long docs pass everything (arch 13; arch 10 is the toxic plant)
+    ok = flags(13)
     assert all(ok.values()), ok
+
+
+def test_toxicity_rule_and_mask():
+    from pii_detection_redaction_spark.core.toxicity import (
+        TOXIC_MASK,
+        mask_toxicity,
+        toxicity_hits,
+        toxicity_spans,
+    )
+
+    df = pages_df(200)
+    # arch-10 English docs carry 3 planted hits -> rule fails (dropped)
+    toxic = [i for i in range(200) if i % 20 == 10 and df.lang[i] == "en"]
+    assert toxic, "corpus must contain arch-10 English docs"
+    for i in toxic:
+        assert toxicity_hits(df.text[i]) >= 3
+        assert not rule_flags(df.text[i], df.lang[i])["toxicity"]
+    # masking removes every hit, is idempotent, and marks each span
+    t = df.text[toxic[0]]
+    masked = mask_toxicity(t)
+    assert toxicity_hits(masked) == 0
+    assert mask_toxicity(masked) == masked
+    assert masked.count(TOXIC_MASK) == len(toxicity_spans(t))
+    # word-boundary: no substring false positives
+    assert toxicity_hits("the shitake mushroom class is fine") == 0
+    assert toxicity_hits("Total BULLSHIT, frankly.") == 1
 
 
 def test_langid_accuracy_on_corpus():

@@ -20,6 +20,7 @@ from pii_detection_redaction_spark.core.langid import detect_language
 from pii_detection_redaction_spark.core.lm import perplexity
 from pii_detection_redaction_spark.core.quality import quality_decision
 from pii_detection_redaction_spark.core.scrub import select_nonoverlapping
+from pii_detection_redaction_spark.core.toxicity import mask_toxicity
 from pii_detection_redaction_spark.plans.pipeline import (
     PipelineConfig,
     read_output,
@@ -47,7 +48,7 @@ def oracle_rows():
         ppl = perplexity(r.text, lang)
         keep, reasons = quality_decision(r.text, lang, conf, ppl)
         dets = analyze_long_text(r.text) if keep else []
-        scrubbed = scrub_document(r.text, dets) if keep else None
+        scrubbed = mask_toxicity(scrub_document(r.text, dets)) if keep else None
         out[r.url] = {
             "text": r.text,
             "lang_true": r.lang,
