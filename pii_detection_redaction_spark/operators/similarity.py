@@ -94,6 +94,127 @@ def lsh_bucket_col(vec_col, dim: int, nbits: int = 8, seed: int = SEED):
     return bucket
 
 
+def cosine_near_dup_pairs(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (id_a < id_b) with rounded cosine
+    >= threshold. O(n²) self-join — the correctness baseline; use
+    ``cosine_near_dup_lsh`` at scale. Threshold compares the 6dp-rounded
+    cosine so the decision is engine-stable (matches the DuckDB oracle)."""
+    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_dup_lsh(
+    items: DataFrame,
+    threshold: float,
+    dim: int,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates are generated only within LSH
+    sign buckets (equi self-join on the bucket key — shuffle-partitioned by
+    bucket, no n² blowup), then verified with the exact cosine. Recall < 1 by
+    construction (cross-bucket pairs are missed); raise recall by lowering
+    nbits or unioning several seeds. This is the 100-TB path: per-bucket
+    candidate count shrinks ~2^nbits."""
+    wb = items.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
+    a = wb.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = wb.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _centroids(items: DataFrame, n: int, id_col: str, vec_col: str) -> List[List[float]]:
+    """Deterministic centroid pick: the n lowest-id vectors (a k-means++ -ish
+    seeding would also work; determinism matters more here than quantizer
+    quality, and the probe list compensates)."""
+    rows = items.orderBy(F.asc(id_col)).select(vec_col).limit(n).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _centroid_sims(vec_col, cents: List[List[float]]):
+    return F.array(
+        *[
+            cosine_sim_col(vec_col, F.array(*[F.lit(w) for w in c]))
+            for c in cents
+        ]
+    )
+
+
+def cosine_topk_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: items are assigned to their
+    nearest centroid (one JVM expression — no Python, no shuffle); each query
+    probes its ``n_probe`` nearest centroid lists and re-ranks exactly inside
+    them. The join is an equi-join on the centroid id, so candidate volume is
+    ~n_probe/n_centroids of the corpus — the IVF scale story, complementary
+    to LSH (data-adaptive lists vs oblivious hyperplanes)."""
+    cents = _centroids(items, n_centroids, id_col, vec_col)
+    item_sims = _centroid_sims(F.col(vec_col), cents)
+    ib = items.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__ivec"),
+        # first max position: deterministic on ties
+        (F.array_position(item_sims, F.array_max(item_sims)) - 1)
+        .cast("int")
+        .alias("centroid"),
+    )
+    q_sims = _centroid_sims(F.col(vec_col), cents)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    q_sims,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.transform(ranked, lambda s: s["idx"])).alias("centroid"),
+    )
+    cand = ib.join(F.broadcast(qb), "centroid")
+    scored = cand.withColumn(
+        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk_lsh(
     items: DataFrame,
     queries: DataFrame,

@@ -20,6 +20,7 @@ from ..core import langid as LID
 from ..core import quality as Q
 from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 from .queries import (
+    ACCTBAL_BANDS,
     DATE_RE,
     EMAIL_RE,
     IP_RE,
@@ -201,6 +202,42 @@ SELECT event_type,
   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
   count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["events_asof_attribution"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, event_id AS view_id, value FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  v.view_id, round(v.value, 2) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in ACCTBAL_BANDS)
+
+ORACLE_SQL["acctbal_range_join"] = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT band, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+GROUP BY band ORDER BY band
+"""
+
+# same double arithmetic / association order as the Spark F.aggregate fold
+_ND_DOT = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+_ND_ANORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+_ND_BNORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+
+ORACLE_SQL["embedding_near_dup"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_ND_DOT} / ({_ND_ANORM} * {_ND_BNORM}), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.40 ORDER BY id_a, id_b
 """
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from ..functions.udfs import (
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
+from ..operators.joins import asof_join, bin_range_join
 from ..operators.multimodal import extract_features
 
 # 19-entity severity dimension transcribed as behavior from the reference's
@@ -239,6 +240,61 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """As-of join (backward, inclusive): every purchase attributed to the
+    user's latest view at or before it — union+running-window operator,
+    one shuffle (operators.joins.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="view_ts",
+        value_cols=["view_id", "view_value"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "view_id",
+        F.round("view_value", 2).alias("view_value"),
+    ).orderBy("purchase_id")
+
+
+# literal balance bands shared by the Spark query and the SQL oracle
+ACCTBAL_BANDS = [
+    ("neg", -1000.0, 0.0),
+    ("low", 0.0, 2500.0),
+    ("mid", 2500.0, 5000.0),
+    ("high", 5000.0, 7500.0),
+    ("top", 7500.0, 10000.0),
+]
+
+
+def q_acctbal_range_join(spark, sf_dir):
+    """Range join (point-in-interval) via bin bucketing — equi-join on bin id
+    instead of a BroadcastNestedLoopJoin (operators.joins.bin_range_join)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bands = spark.createDataFrame(
+        ACCTBAL_BANDS, "band string, lo double, hi double"
+    )
+    joined = bin_range_join(c, bands, "c_acctbal", "lo", "hi", bin_size=500.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("band")
+    )
+
+
 # ===========================================================================
 # Documents: quality rules / text stats / language ID
 # ===========================================================================
@@ -350,6 +406,26 @@ def q_embedding_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.cosine_topk_bruteforce(e, q, k=5).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (the correctness baseline;
+    threshold is corpus-relative — this table's max pairwise cosine ≈0.51).
+    The LSH-bucketed variant is recall-tested in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(e, threshold=0.40).orderBy("id_a", "id_b")
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (centroid-list probing) — rows-only check;
+    recall vs brute force is asserted in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_ivf(e, q, k=5, n_centroids=16, n_probe=6).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
@@ -525,6 +601,10 @@ QUERIES = {
     "jaccard_consecutive": q_jaccard_consecutive,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "events_asof_attribution": q_events_asof_attribution,
+    "acctbal_range_join": q_acctbal_range_join,
     "severity_rollup": q_severity_rollup,
     "multimodal_features": q_multimodal_features,
     "pii_detections": q_pii_detections,

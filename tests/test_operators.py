@@ -180,3 +180,98 @@ def test_streaming_pipeline_drain(spark, pages_small, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == 500
+
+
+def test_asof_join_small_case(spark):
+    from pii_detection_redaction_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 8, 80.0)],
+        "k int, rt int, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {
+        "a": 100.0,  # inclusive: rt == t matches
+        "b": 150.0,  # latest at-or-before
+        "c": None,   # nothing at-or-before
+        "d": None,   # right ts after left ts
+        "e": None,   # key absent on right
+    }
+
+
+def test_asof_join_tiebreak(spark):
+    from pii_detection_redaction_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 1.0), (1, 10, 3, 3.0), (1, 10, 2, 2.0)],
+        "k int, rt int, eid int, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        value_cols=["v"], tiebreak="eid",
+    ).collect()
+    assert out[0]["v"] == 3.0  # greatest tiebreak wins
+
+
+def test_bin_range_join_equals_inequality_join(spark, sf001_dir):
+    from pii_detection_redaction_spark.operators.joins import bin_range_join
+    from pii_detection_redaction_spark.plans.queries import ACCTBAL_BANDS
+
+    c = spark.read.parquet(f"{sf001_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    bands = spark.createDataFrame(ACCTBAL_BANDS, "band string, lo double, hi double")
+    binned = bin_range_join(c, bands, "c_acctbal", "lo", "hi", bin_size=500.0)
+    naive = c.join(
+        bands, (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi"))
+    )
+    a = sorted((r["c_custkey"], r["band"]) for r in binned.collect())
+    b = sorted((r["c_custkey"], r["band"]) for r in naive.collect())
+    assert a == b and len(a) > 0
+    # bucketing must not duplicate a match even when an interval spans bins
+    assert len(a) == len(set(a))
+
+
+def test_near_dup_lsh_recall(spark, sf001_dir):
+    e = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(e, threshold=0.40).collect()
+    }
+    assert exact, "threshold should yield a non-empty exact pair set"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_lsh(e, threshold=0.40, dim=64, nbits=2).collect()
+    }
+    # every LSH pair is verified exact (precision 1.0); recall modest on
+    # cluster-free random vectors
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf001_dir):
+    e = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_sets = {}
+    for r in SIM.cosine_topk_bruteforce(e, q, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in SIM.cosine_topk_ivf(e, q, k=5, n_centroids=16, n_probe=8).collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / 5 for qid in exact_sets
+    ]
+    # probing half the lists on structure-free vectors: expect ~0.5+
+    assert sum(recalls) / len(recalls) >= 0.4
