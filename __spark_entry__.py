@@ -8,7 +8,7 @@ DuckDB differential check at sf0.01.
 Queries intentionally without an oracle entry (non-SQL-expressible — full
 regex bank with context boost, LM perplexity, LSH bucket recall):
 ``pii_detections``, ``pii_entity_counts``, ``pii_scrub``, ``pii_scrub_pages``,
-``quality_pipeline``, ``embedding_lsh_topk``. Their value-level gate is the pytest suite, which
+``quality_pipeline``, ``embedding_lsh_topk``, ``embedding_ivf_topk``. Their value-level gate is the pytest suite, which
 pins them byte-identically against the pure-Python oracle library.
 """
 

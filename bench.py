@@ -40,7 +40,9 @@ HEADLINE = [
     "region_revenue",
     "order_rank_per_customer",
     "events_sessionized",
+    "events_asof_attribution",
     "doc_quality_agg",
+    "toxicity_scrub",
     "langid_documents",
     "minhash_bands",
     "simhash",
