@@ -68,3 +68,42 @@ def test_pipeline_core_shuffle_free(spark, pages_small):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # UDF stages are Arrow-vectorized
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_asof_join_single_core_shuffle(spark, sf001_dir):
+    """The as-of operator itself costs exactly one Exchange (the window's
+    partitionBy(key)) — no nested-loop join, no range explosion."""
+    from pii_detection_redaction_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("v")
+    )
+    out = asof_join(left, right, "user_id", "ts", "vts", ["v"])
+    # simple mode: one line per operator (formatted repeats names in details)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bin_range_join_is_hash_join(spark, sf001_dir):
+    """Bin bucketing turns point-in-interval into an equi-join — the plan
+    must contain a hash join on the bin id and no nested-loop join."""
+    from pii_detection_redaction_spark.operators.joins import bin_range_join
+    from pii_detection_redaction_spark.plans.queries import ACCTBAL_BANDS
+
+    c = spark.read.parquet(f"{sf001_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    bands = spark.createDataFrame(ACCTBAL_BANDS, "band string, lo double, hi double")
+    out = bin_range_join(c, bands, "c_acctbal", "lo", "hi", bin_size=500.0)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan, plan
