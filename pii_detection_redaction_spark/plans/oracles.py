@@ -204,6 +204,22 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLE_SQL["promo_revenue"] = """
+WITH j AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+    CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS promo,
+    l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), a AS (
+  SELECT month, round(sum(promo), 2) AS promo_revenue,
+         round(sum(rev), 2) AS total_revenue, count(*) AS n_items
+  FROM j GROUP BY month
+)
+SELECT month, promo_revenue, total_revenue,
+  round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct, n_items
+FROM a ORDER BY month
+"""
+
 ORACLE_SQL["events_asof_attribution"] = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -64,6 +64,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread for UDF-heavy consumers: the testdata tables are single
+    small parquet files, so Spark's byte-based splitting yields ONE scan task
+    while the downstream Python UDF cost is CPU-bound — the shuffle of a few
+    MB of text costs milliseconds and buys full-cluster parallelism. (The
+    flagship pipeline does the same via its bucket repartition.)"""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def u64_signed_sql(expr: str) -> str:
     """DuckDB: UBIGINT expression -> signed BIGINT two's complement."""
     return (
@@ -240,6 +250,34 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style conditional aggregation over the lineitem x part join,
+    monthly: share of revenue from PROMO-type parts. The ratio is computed
+    from the 2dp-rounded sums so it is engine-stable at 4dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).alias("promo"),
+        rev.alias("rev"),
+    )
+    agg = j.groupBy("month").agg(
+        F.round(F.sum("promo"), 2).alias("promo_revenue"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+        "n_items",
+    ).orderBy("month")
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join (backward, inclusive): every purchase attributed to the
     user's latest view at or before it — union+running-window operator,
@@ -350,7 +388,7 @@ def q_doc_token_stats(spark, sf_dir):
 def q_langid_documents(spark, sf_dir):
     """Language-ID over documents — evidence counts are SQL-expressible, so
     this UDF gets a full value-level DuckDB oracle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     out = TS.language_id(d)
     return out.select(
         "doc_id", "lang_pred", F.round("lang_conf", 6).alias("lang_conf")
@@ -490,7 +528,7 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_pii_detections(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     detect = make_detect_udf()
     return (
         d.withColumn("d", F.explode(detect(F.col("text"))))
@@ -507,7 +545,7 @@ def q_pii_detections(spark, sf_dir):
 
 
 def q_pii_entity_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     detect = make_detect_udf()
     return (
         d.select(F.explode(detect(F.col("text"))).alias("d"))
@@ -518,7 +556,7 @@ def q_pii_entity_counts(spark, sf_dir):
 
 
 def q_pii_scrub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     detect = make_detect_udf()
     scrub = make_scrub_udf()
     return (
@@ -556,7 +594,7 @@ def q_pii_scrub_pages(spark, sf_dir):
 
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     lid = make_langid_udf()
     ppl = make_perplexity_udf()
     d = d.withColumn("lid", lid(F.col("text")))
@@ -583,6 +621,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "customers_without_orders": q_customers_without_orders,
+    "promo_revenue": q_promo_revenue,
     "order_rank_per_customer": q_order_rank_per_customer,
     "sales_cube": q_sales_cube,
     "segment_setops": q_segment_setops,

@@ -13,7 +13,9 @@ salting path. Per-1000-row edge-case quotas (FIXTURES.md §1) are met by the
   4 ellipsis-lines · 5 stopword-free English · 6 multi-person+owned entities ·
   7 >5000-char doc with an entity planted across the 5000-char chunk boundary ·
   8 valid-checksum ABN · 9 invalid-checksum ABN · 10-19 plain docs (mixed
-  language, optional planted PII).
+  language, optional planted PII; English arch-10 docs additionally carry 3
+  planted toxicity-lexicon hits → dropped, and other English plain docs have
+  a 25% chance of 1 residual hit → kept and masked).
 """
 
 from __future__ import annotations

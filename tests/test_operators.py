@@ -275,3 +275,87 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf001_dir):
     ]
     # probing half the lists on structure-free vectors: expect ~0.5+
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded-random differential: asof_join == pandas.merge_asof (backward,
+    inclusive) on datasets with many keys, duplicate left timestamps, and
+    keys missing from either side."""
+    import random
+
+    import pandas as pd
+
+    from pii_detection_redaction_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    for case in range(4):
+        left = pd.DataFrame(
+            {
+                "k": [rng.randint(0, 5) for _ in range(150)],
+                "t": [rng.randint(0, 60) for _ in range(150)],
+                "lid": list(range(150)),
+            }
+        )
+        right = (
+            pd.DataFrame(
+                {
+                    "k": [rng.randint(0, 6) for _ in range(150)],
+                    "rt": [rng.randint(0, 60) for _ in range(150)],
+                    "v": [round(rng.uniform(0, 100), 3) for _ in range(150)],
+                }
+            )
+            .drop_duplicates(["k", "rt"])  # unique (key, ts): no tie ambiguity
+            .reset_index(drop=True)
+        )
+        expected = pd.merge_asof(
+            left.sort_values(["t", "lid"]),
+            right.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v))
+            for r in expected.itertuples()
+        }
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key="k",
+            left_ts="t",
+            right_ts="rt",
+            value_cols=["v"],
+        ).collect()
+        got = {int(r["lid"]): (None if r["v"] is None else float(r["v"])) for r in out}
+        assert got == exp, f"case {case}"
+
+
+def test_bin_range_join_overlapping_intervals_random(spark):
+    """Seeded-random differential incl. overlapping intervals, negative
+    coordinates, empty intervals, and bin-edge-aligned bounds."""
+    import random
+
+    from pii_detection_redaction_spark.operators.joins import bin_range_join
+
+    rng = random.Random(11)
+    pts = [(i, round(rng.uniform(-50, 50), 2)) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        lo = round(rng.uniform(-55, 50), 2)
+        if j % 7 == 0:
+            lo = float(int(lo))  # exactly on a bin edge (bin_size divides it)
+        hi = lo if j % 11 == 0 else round(lo + rng.uniform(0, 30), 2)
+        ivs.append((j, lo, hi))
+    expected = sorted(
+        (pid, iid)
+        for pid, x in pts
+        for iid, lo, hi in ivs
+        if lo <= x < hi
+    )
+    p = spark.createDataFrame(pts, "pid int, x double")
+    iv = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+    out = bin_range_join(p, iv, "x", "lo", "hi", bin_size=5.0)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == expected and len(got) > 100
