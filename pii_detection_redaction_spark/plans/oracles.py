@@ -196,6 +196,18 @@ SELECT user_id,
 FROM x GROUP BY user_id ORDER BY user_id
 """
 
+ORACLE_SQL["event_transitions"] = """
+WITH x AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM x WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_type, to_type
+"""
+
 ORACLE_SQL["events_json"] = """
 SELECT event_type,
   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,

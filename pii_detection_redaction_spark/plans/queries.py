@@ -238,6 +238,15 @@ def q_events_sessionized(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Grouped applyInPandas: per-user Markov transition counts, summed into
+    the global event-type transition matrix (operators.events)."""
+    from ..operators.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("from_type", "to_type")
+
+
 def q_events_json(spark, sf_dir):
     """JSON scalar extraction from the props column."""
     ev = _t(spark, sf_dir, "events")
@@ -628,6 +637,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionized": q_events_sessionized,
     "events_json": q_events_json,
+    "event_transitions": q_event_transitions,
     "doc_quality_flags": q_doc_quality_flags,
     "doc_quality_agg": q_doc_quality_agg,
     "toxicity_scrub": q_toxicity_scrub,
