@@ -150,6 +150,7 @@ OUTPUT_COLUMNS = [
     "n_entities_scrubbed",
     "n_chars",
     "n_words",
+    "tox_hits",
 ]
 
 
@@ -225,6 +226,8 @@ def run_pipeline(
             F.sum(F.col("keep").cast("long")).alias("docs_kept"),
             F.sum("n_entities_scrubbed").alias("entities_scrubbed"),
             F.sum((~F.col("extract_ok")).cast("long")).alias("extract_mismatch"),
+            F.sum(F.when(F.col("keep"), F.col("tox_hits")).otherwise(F.lit(0)))
+            .alias("tox_masked"),
         )
         gpath = store.group_path(gid)
         # already partitioned by bucket upstream → one file per bucket task;
