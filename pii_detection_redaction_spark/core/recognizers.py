@@ -69,6 +69,12 @@ class RecognizerSpec:
     # validator(matched_text) -> bool; False drops the match entirely
     # (reference AbnRecognizer.validate_result, au_recognizers.py:47-49).
     validator: Optional[Callable[[str], bool]] = None
+    # Cheap NECESSARY condition for any pattern of this spec to match:
+    # r"\d" = text must contain a digit; any other value = literal substring
+    # that must be present. Sound by construction (every pattern literally
+    # requires it), so gating cannot change output — verified by
+    # test_precondition_gating_is_lossless. None = always run.
+    precondition: Optional[str] = None
 
     def compiled(self):
         return [(p, re.compile(p.regex, p.flags)) for p in self.patterns]
@@ -419,10 +425,29 @@ def _builtin_specs() -> List[RecognizerSpec]:
     ]
 
 
+# Necessary-condition gates per entity type (audited against every pattern:
+# all AU numeric ids / cards / IPs / IBANs / dates require a digit; email
+# requires '@'; intl phone requires '+'; URL requires literal 'http').
+# AU_DRIVER_LICENSE is deliberately ungated: its [A-Z0-9]{6,10} pattern can
+# match digit-free text. AU_STATE (literals) and PERSON (name heuristics)
+# have no cheap necessary substring.
+_PRECONDITIONS = {
+    "AU_TFN": r"\d", "AU_MEDICARE": r"\d", "AU_CENTRELINK_CRN": r"\d",
+    "AU_PASSPORT": r"\d", "AU_ABN": r"\d", "AU_ACN": r"\d", "AU_BSB": r"\d",
+    "AU_PHONE_NUMBER": r"\d", "AU_BANK_ACCOUNT": r"\d", "AU_POSTCODE": r"\d",
+    "CREDIT_CARD": r"\d", "IP_ADDRESS": r"\d", "IBAN_CODE": r"\d",
+    "DATE_TIME": r"\d", "EMAIL_ADDRESS": "@", "PHONE_NUMBER": "+",
+    "URL": "http",
+}
+
+
 def default_bank() -> List[RecognizerSpec]:
     """The full recognizer bank, in the reference's registration order
     (``au_recognizers.py:312-410`` build order, then builtins)."""
-    return _au_specs() + _builtin_specs()
+    bank = _au_specs() + _builtin_specs()
+    for spec in bank:
+        spec.precondition = _PRECONDITIONS.get(spec.entity_type)
+    return bank
 
 
 _DEFAULT_BANK: Optional[List[RecognizerSpec]] = None
@@ -439,6 +464,9 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
     if key not in _COMPILED:
         _COMPILED[key] = [(spec, spec.compiled()) for spec in bank]
     return _COMPILED[key]
+
+
+_digit_search = re.compile(r"\d").search
 
 
 def _context_hit(text_lower: str, start: int, end: int, context: List[str]) -> bool:
@@ -468,10 +496,20 @@ def analyze(
         return []
     ents = set(entities) if entities else None
     text_lower = text.lower()
+    has_digit: Optional[bool] = None
     raw: List[Detection] = []
     for spec, compiled in _get_compiled(bank):
         if ents is not None and spec.entity_type not in ents:
             continue
+        pre = spec.precondition
+        if pre is not None:
+            if pre == r"\d":
+                if has_digit is None:
+                    has_digit = _digit_search(text) is not None
+                if not has_digit:
+                    continue
+            elif pre not in text:
+                continue
         for pat, rx in compiled:
             for m in rx.finditer(text):
                 # PERSON patterns capture the name in group 1; span = the name.

@@ -125,3 +125,31 @@ def test_deterministic_ordering():
     assert [d.as_tuple() for d in a] == [d.as_tuple() for d in b]
     starts = [d.start for d in a]
     assert starts == sorted(starts)
+
+
+def test_precondition_gating_is_lossless():
+    """The per-spec precondition gates are necessary conditions — analysis
+    with gates must equal analysis with every gate stripped, over the full
+    corpus plus adversarial strings around each gate boundary."""
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.recognizers import default_bank
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    ungated = default_bank()
+    for s in ungated:
+        s.precondition = None
+
+    samples = list(pages_df(300).text)
+    samples += [
+        "No digits here at all, Mr. Smith said to Elizabeth Brown.",
+        "ABCDEFG plain uppercase run without numbers",  # driver-license alnum pattern
+        "email without at sign john dot smith example com",
+        "contact j.s@x.io",  # minimal email
+        "HTTP://UPPER.CASE/url and https://ok.example/x",
+        "plus sign but no number + alone",
+        "New South Wales and Victoria",  # AU_STATE, digit-free
+    ]
+    for t in samples:
+        gated = [d.as_tuple() for d in analyze_long_text(t)]
+        full = [d.as_tuple() for d in analyze_long_text(t, bank=ungated)]
+        assert gated == full, t[:80]
