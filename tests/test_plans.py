@@ -107,3 +107,25 @@ def test_bin_range_join_is_hash_join(spark, sf001_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan, plan
+
+
+def test_sql_function_registration(spark, pages_small):
+    """spark.sql surface: registered UDFs equal the pure-Python oracle."""
+    from pii_detection_redaction_spark.core import analyze_long_text, scrub_document
+    from pii_detection_redaction_spark.core.toxicity import mask_toxicity
+    from pii_detection_redaction_spark.plans.sqlfuncs import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.read.parquet(pages_small).limit(60).createOrReplaceTempView("pages_v")
+    rows = spark.sql(
+        "SELECT url, text, pii_scrub(text) AS clean, pii_scrub_all(text) AS clean_all,"
+        " size(pii_detect(text)) AS n, langid(text).lang AS lang"
+        " FROM pages_v WHERE length(text) > 0"
+    ).collect()
+    assert rows
+    for r in rows:
+        dets = analyze_long_text(r["text"])
+        expect = scrub_document(r["text"], dets)
+        assert r["clean"] == expect, r["url"]
+        assert r["clean_all"] == mask_toxicity(expect), r["url"]
+        assert r["n"] == len(dets)
