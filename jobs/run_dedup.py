@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the post-scrub exact-dedup pass.
+
+    spark-submit --py-files pii_spark.zip jobs/run_dedup.py \
+        --input s3://bucket/scrubbed/ --output s3://bucket/final/
+
+Local smoke:
+
+    python jobs/run_dedup.py --input _data/vout --output _data/final
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="scrub-pipeline snapshot root")
+    p.add_argument("--output", required=True, help="final deduped table path")
+    p.add_argument("--report", action="store_true",
+                   help="also print the duplicate-group audit counts")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pii_detection_redaction_spark.plans.dedup_pass import (
+        dedup_pass,
+        duplicate_report,
+    )
+    from pii_detection_redaction_spark.plans.session import build_session
+
+    spark = build_session(app_name="pii-dedup-pass", master=args.master)
+    counters = dedup_pass(spark, args.input, args.output)
+    if args.report:
+        counters["dup_groups"] = duplicate_report(spark, args.input).count()
+    print(json.dumps(counters))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

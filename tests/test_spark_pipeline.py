@@ -144,3 +144,53 @@ def test_resume_after_partial_commit(spark, pages_small, tmp_path):
     resumed = run_pipeline(spark, pages_small, out, CFG)
     assert resumed == full
     assert read_output(spark, out).count() == full_rows
+
+
+def test_dedup_pass_removes_planted_duplicates(spark, tmp_path):
+    """scrub -> dedup second pass: planted cross-bucket exact duplicates are
+    removed, keeper is the smallest url, non-duplicates untouched."""
+    import pandas as pd
+
+    from pii_detection_redaction_spark.plans.dedup_pass import dedup_pass, duplicate_report
+    from pii_detection_redaction_spark.plans.pipeline import run_pipeline
+    from pii_detection_redaction_spark.testing.corpus import pages_df, render_html
+
+    df = pages_df(120)
+    # plant exact duplicates: copy text/html of three kept-looking docs onto
+    # new urls (different hosts -> different url-hash buckets)
+    donors = df[(df.index % 20).isin([13, 14])].head(3)
+    clones = []
+    for i, (_, d) in enumerate(donors.iterrows()):
+        clones.append(
+            {
+                "url": f"https://zzz-clone{i}.example.net/copy-{i}",
+                "warc_ts": d["warc_ts"],
+                "html": d["html"],
+                "text": d["text"],
+                "lang": d["lang"],
+            }
+        )
+    full = pd.concat([df, pd.DataFrame(clones)], ignore_index=True)
+    src = str(tmp_path / "pages.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(full, schema=schema, preserve_index=False), src)
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, src, out, CFG)
+    dest = str(tmp_path / "final")
+    counters = dedup_pass(spark, out, dest)
+    assert counters["exact_dups_removed"] == 3, counters
+
+    rep = {r["content_md5"]: r for r in duplicate_report(spark, out).collect()}
+    assert len(rep) == 3
+    for r in rep.values():
+        assert r["n_docs"] == 2
+        assert not r["keeper_id"].startswith("https://zzz-clone")
+    final_urls = {r["url"] for r in spark.read.parquet(dest).select("url").collect()}
+    assert not any(u.startswith("https://zzz-clone") for u in final_urls)
