@@ -25,17 +25,27 @@ def main() -> None:
     p.add_argument("--output", required=True, help="final deduped table path")
     p.add_argument("--report", action="store_true",
                    help="also print the duplicate-group audit counts")
+    p.add_argument("--near", action="store_true",
+                   help="MinHash-LSH near-dup removal (transitive clusters)"
+                        " instead of exact dedup")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="k-gram Jaccard threshold for --near")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     from pii_detection_redaction_spark.plans.dedup_pass import (
         dedup_pass,
         duplicate_report,
+        near_dedup_pass,
     )
     from pii_detection_redaction_spark.plans.session import build_session
 
     spark = build_session(app_name="pii-dedup-pass", master=args.master)
-    counters = dedup_pass(spark, args.input, args.output)
+    if args.near:
+        counters = near_dedup_pass(spark, args.input, args.output,
+                                   threshold=args.threshold)
+    else:
+        counters = dedup_pass(spark, args.input, args.output)
     if args.report:
         counters["dup_groups"] = duplicate_report(spark, args.input).count()
     print(json.dumps(counters))

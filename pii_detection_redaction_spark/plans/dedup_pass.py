@@ -19,7 +19,13 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_exact, exact_duplicates
+from ..operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_verify_pairs,
+    minhash_candidate_pairs,
+)
+from ..operators.graph import connected_components
 from .pipeline import read_output
 
 
@@ -42,6 +48,40 @@ def dedup_pass(
         "docs_out": n_out,
         "exact_dups_removed": n_in - n_out,
     }
+
+
+def near_dedup_pass(
+    spark: SparkSession,
+    pipeline_out_root: str,
+    dest: str,
+    threshold: float = 0.8,
+    text_col: str = "scrubbed_text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> Dict[str, int]:
+    """MinHash-LSH near-dup removal with transitive clustering:
+
+    candidates (band self-join, text never shuffles) → exact k-gram Jaccard
+    verify (>= threshold) → connected components over the verified pair graph
+    (A~B, B~C collapse to one cluster) → keep the smallest url per cluster.
+    """
+    kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
+    cand = minhash_candidate_pairs(
+        kept, id_col="url", text_col=text_col,
+        num_hashes=num_hashes, band_size=band_size,
+    )
+    verified = jaccard_verify_pairs(
+        kept, cand, id_col="url", text_col=text_col, threshold=threshold
+    )
+    comps = connected_components(verified.select("id_a", "id_b"))
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("url")
+    )
+    final = kept.join(losers, "url", "left_anti")
+    final.write.mode("overwrite").parquet(dest)
+    n_in = kept.count()
+    n_out = spark.read.parquet(dest).count()
+    return {"docs_in": n_in, "docs_out": n_out, "near_dups_removed": n_in - n_out}
 
 
 def duplicate_report(

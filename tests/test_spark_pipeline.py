@@ -194,3 +194,65 @@ def test_dedup_pass_removes_planted_duplicates(spark, tmp_path):
         assert not r["keeper_id"].startswith("https://zzz-clone")
     final_urls = {r["url"] for r in spark.read.parquet(dest).select("url").collect()}
     assert not any(u.startswith("https://zzz-clone") for u in final_urls)
+
+
+def test_near_dedup_pass_transitive_chain(spark, tmp_path):
+    """near-dup pass: a chain of small edits (A~B~C) collapses to ONE keeper
+    via connected components; unrelated docs survive."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_redaction_spark.plans.dedup_pass import near_dedup_pass
+    from pii_detection_redaction_spark.plans.pipeline import run_pipeline
+    from pii_detection_redaction_spark.testing.corpus import pages_df, render_html
+
+    df = pages_df(120)
+    donor = df[(df.index % 20) == 13].iloc[0]
+    base_lines = donor["text"].split("\n")
+    variants = []
+    for i in range(3):
+        lines = list(base_lines)
+        # successive small edits: each variant differs a bit more
+        for j in range(i):
+            lines[j] = lines[j] + f" edit{j}"
+        text = "\n".join(lines)
+        variants.append(
+            {
+                "url": f"https://aaa-chain{i}.example.org/v-{i}",
+                "warc_ts": donor["warc_ts"],
+                "html": render_html(text),
+                "text": text,
+                "lang": donor["lang"],
+            }
+        )
+    full = pd.concat([df, pd.DataFrame(variants)], ignore_index=True)
+    src = str(tmp_path / "pages.parquet")
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(full, schema=schema, preserve_index=False), src)
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, src, out, CFG)
+    dest = str(tmp_path / "final")
+    counters = near_dedup_pass(spark, out, dest, threshold=0.7)
+    final_urls = {r["url"] for r in spark.read.parquet(dest).select("url").collect()}
+    chain = {u for u in final_urls if "chain" in u} | (
+        {donor["url"]} & final_urls
+    )
+    # the donor + 3 variants form one near-dup cluster -> exactly one survives
+    assert len(chain) == 1, sorted(chain)
+    assert counters["near_dups_removed"] >= 3
+
+
+def test_connected_components_basic(spark):
+    from pii_detection_redaction_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("q", "q")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
