@@ -216,6 +216,27 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLE_SQL["rolling_revenue"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS day_rev,
+         datediff('day', DATE '1990-01-01', date_trunc('day', o_orderdate)) AS day_n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, round(day_rev, 2) AS day_rev,
+  round(sum(day_rev) OVER (ORDER BY day_n RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+FROM daily ORDER BY day
+"""
+
+ORACLE_SQL["nation_coverage"] = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
 ORACLE_SQL["promo_revenue"] = """
 WITH j AS (
   SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,

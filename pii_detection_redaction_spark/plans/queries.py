@@ -259,6 +259,51 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_rolling_revenue(spark, sf_dir):
+    """RANGE-frame window: 7-day trailing revenue per order day (frame is
+    value-based — days with no orders still bound the window correctly)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+        .withColumn("day_n", F.datediff(F.col("day"), F.lit("1990-01-01")))
+    )
+    w = Window.orderBy("day_n").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("rev7", F.sum("day_rev").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("day_rev", 2).alias("day_rev"),
+            F.round("rev7", 2).alias("rev7"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_nation_coverage(spark, sf_dir):
+    """FULL OUTER join: per-nation customer and supplier counts, keeping
+    nations present on either side only."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14-style conditional aggregation over the lineitem x part join,
     monthly: share of revenue from PROMO-type parts. The ratio is computed
@@ -631,6 +676,8 @@ QUERIES = {
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "promo_revenue": q_promo_revenue,
+    "rolling_revenue": q_rolling_revenue,
+    "nation_coverage": q_nation_coverage,
     "order_rank_per_customer": q_order_rank_per_customer,
     "sales_cube": q_sales_cube,
     "segment_setops": q_segment_setops,
