@@ -70,8 +70,13 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Physical shape (deliberate): exactly TWO Python eval nodes — fused
     langid+perplexity and fused detect+scrub — with extraction and all
     quality rules as codegen'd JVM expressions. Five separate UDF stages
-    measured ~2x slower end-to-end from per-stage Arrow round-trips of the
-    document text.
+    measured ~2x slower end-to-end from per-stage Arrow round-trips.
+    Counter-intuitive but measured: hoisting langid to JVM ``regexp_count``
+    columns (functions.langid_expr) was tried and is 2.5x SLOWER than the
+    fused pandas UDF at 16 cores (17-19s vs 7.3s per 100k docs, and the
+    7.3s includes perplexity) — Java regex case-insensitive alternations
+    lose badly to pandas' C ``str.count`` loop; the Arrow transfer is not
+    the bottleneck at this row width.
     """
     langid_ppl_udf = make_langid_ppl_udf()
     detect_scrub_udf = make_detect_scrub_udf(

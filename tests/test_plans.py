@@ -129,3 +129,21 @@ def test_sql_function_registration(spark, pages_small):
         assert r["clean"] == expect, r["url"]
         assert r["clean_all"] == mask_toxicity(expect), r["url"]
         assert r["n"] == len(dets)
+
+
+def test_langid_expr_bit_identical(spark, sf001_dir):
+    """The JVM-expression langid (the SQL-oracle structure) stays
+    bit-identical to the Python oracle, including ties and und/zh paths."""
+    from pii_detection_redaction_spark.core.langid import detect_language
+    from pii_detection_redaction_spark.functions.langid_expr import langid_columns
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    pdf = pages_df(200)
+    sdf = spark.createDataFrame(pdf[["url", "text"]])
+    lang, conf = langid_columns(F.col("text"))
+    got = {
+        r["url"]: (r["l"], r["c"])
+        for r in sdf.select("url", lang.alias("l"), conf.alias("c")).collect()
+    }
+    for _, r in pdf.iterrows():
+        assert got[r.url] == detect_language(r.text), r.url
