@@ -39,6 +39,10 @@ def build_session(
         # stays well under executor memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # web-scale inputs contain invalid UTF-8; decode() must replace
+        # malformed bytes with U+FFFD (== the oracle's errors="replace"),
+        # not abort the task (Spark 4 default throws MALFORMED_CHARACTER_CODING)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

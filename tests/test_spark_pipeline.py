@@ -256,3 +256,63 @@ def test_connected_components_basic(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
+
+
+def test_pipeline_adversarial_inputs(spark):
+    """Nulls, malformed HTML, invalid UTF-8, and a 120k-char doc flow
+    through transform_pages without crashing, with sane lineage."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.plans.pipeline import transform_pages, with_bucket
+    from pii_detection_redaction_spark.testing.corpus import render_html
+
+    # digit-free distinct lines: digits would legitimately detect as
+    # AU_POSTCODE/TFN spans and get scrubbed
+    big_text = "\n".join(
+        "the data and report of that system have with value line %s%s%s"
+        % (chr(97 + i % 26), chr(97 + (i // 26) % 26), chr(97 + (i // 676) % 26))
+        for i in range(2400)
+    )  # ~150k chars -> multi-chunk detect path
+    rows = [
+        ("https://x.example/null-html", None, None, "en"),
+        ("https://x.example/null-both", None, None, None),
+        ("https://x.example/no-p-tags", b"<html><body>plain <b>bold</b></body></html>", None, "en"),
+        ("https://x.example/bad-utf8", b"<p>\xff\xfe broken</p>", None, "en"),
+        ("https://x.example/empty-bytes", b"", "orphan text", "en"),
+        ("https://x.example/big", render_html(big_text), big_text, "en"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "warc_ts", F.current_timestamp()
+    )
+    from pii_detection_redaction_spark.plans.pipeline import PipelineConfig
+
+    out = {
+        r["url"]: r.asDict()
+        for r in transform_pages(
+            with_bucket(df, PipelineConfig(num_buckets=4, groups=1)),
+            PipelineConfig(num_buckets=4, groups=1),
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    # null/empty/garbage docs are dropped, never crash
+    for u in ("https://x.example/null-html", "https://x.example/null-both",
+              "https://x.example/no-p-tags", "https://x.example/empty-bytes"):
+        assert out[u]["keep"] is False, u
+        assert out[u]["scrubbed_text"] is None
+    # the big structured doc survives byte-identically
+    big = out["https://x.example/big"]
+    assert big["extract_ok"] and big["keep"]
+    # == on the raw strings (no pytest repr: difflib on 150k chars is O(n^2))
+    assert (big["scrubbed_text"] == big_text) is True  # nothing to scrub
+    # bad utf-8 inside <p>: JVM decode replaces, doc proceeds (then dropped
+    # as too short) — the point is no exception and honest lineage
+    assert out["https://x.example/bad-utf8"]["keep"] is False
