@@ -32,8 +32,12 @@ SEED = 42
 
 
 def _dot(a, b):
+    # promote BEFORE multiplying: float32 x float32 stays float32 in Spark,
+    # and the rounded products diverge from double math at ~1e-9 — enough to
+    # flip a 6dp-rounded cosine on ~1/500 pairs (caught by the sf0.1 DuckDB
+    # differential, whose products are computed in double)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -41,7 +45,9 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
 
 
