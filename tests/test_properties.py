@@ -85,3 +85,44 @@ def test_scrub_idempotent_property(text):
     once = scrub_document(text, dets)
     twice = scrub_document(once, analyze_long_text(once))
     assert once == twice
+
+
+_tox_frag = st.sampled_from(
+    [
+        "this is bullshit",
+        "a shitty day",
+        "BULLSHIT!",
+        "shitakemushroom",  # substring, must NOT match
+        "bull shit",        # split words: only 'shit' matches
+        "plain words here",
+        "Fucking-hyphенated",
+        "",
+    ]
+)
+_tox_texts = st.lists(
+    st.one_of(_tox_frag, st.text(alphabet=string.printable, max_size=30)),
+    min_size=0,
+    max_size=8,
+).map(lambda xs: " ".join(xs))
+
+
+@given(_tox_texts)
+@settings(max_examples=80, deadline=None)
+def test_toxicity_mask_properties(text):
+    from pii_detection_redaction_spark.core.toxicity import (
+        TOXIC_MASK,
+        mask_toxicity,
+        toxicity_hits,
+        toxicity_spans,
+    )
+
+    masked = mask_toxicity(text)
+    # masking removes every hit and is idempotent
+    assert toxicity_hits(masked) == 0
+    assert mask_toxicity(masked) == masked
+    # hit-free text passes through byte-identically
+    if toxicity_hits(text) == 0:
+        assert masked == text
+    # span count == mask-insert count (no pre-existing masks in generated text)
+    if TOXIC_MASK not in text:
+        assert masked.count(TOXIC_MASK) == len(toxicity_spans(text))
