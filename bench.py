@@ -27,10 +27,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-# N vs 4N parallelism levels for the scaling-efficiency criterion. 4/16 on
-# the low-numbered CPUs: this shared host's background load lands mostly on
-# high CPU ids, making high-core-count runs swing +-2x while low-CPU pinned
-# runs are stable (measured).
+# N vs 4N parallelism levels for the scaling-efficiency criterion. Each
+# level runs in a fresh process pinned to the currently-idlest CPUs
+# (_idlest_cpus): the shared host's background load moves around and
+# unpinned wide runs swing +-2x (measured).
 SCALE_LO = int(os.environ.get("BENCH_CORES_LO", 4))
 SCALE_HI = int(os.environ.get("BENCH_CORES_HI", 16))
 SCALE_DOCS_MULT = int(os.environ.get("BENCH_SCALE_DOCS_MULT", 4))
@@ -116,6 +116,31 @@ def _warm_python_workers(spark, cores: int, cfg, pages_path: str) -> None:
     transform_pages(sample, cfg).write.format("noop").mode("overwrite").save()
 
 
+def _idlest_cpus(n: int, sample_s: float = 1.0) -> set:
+    """The n currently-idlest CPUs by /proc/stat delta — the shared host's
+    background load moves around, so 'low-numbered CPUs are quiet' is only
+    usually true; sampling at launch pins each level onto whatever is
+    actually quiet right now (interference only ever adds time, so cleaner
+    pinning tightens the min-time estimate)."""
+    def busy():
+        out = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    p = line.split()
+                    cpu = int(p[0][3:])
+                    idle = int(p[4]) + int(p[5])  # idle + iowait
+                    total = sum(int(x) for x in p[1:11])
+                    out[cpu] = (total - idle, total)
+        return out
+    import time as _t
+    a = busy(); _t.sleep(sample_s); b = busy()
+    load = {c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1]) for c in b}
+    allowed = sorted(os.sched_getaffinity(0))
+    ranked = sorted(allowed, key=lambda c: (load.get(c, 1.0), c))
+    return set(ranked[:n])
+
+
 def _pipeline_worker(cores: int, pages_path: str, out_dir: str) -> dict:
     """Runs inside a FRESH process: pin CPU affinity before the JVM launches
     so local[N] really means N cores — the gateway JVM and every forked
@@ -129,7 +154,7 @@ def _pipeline_worker(cores: int, pages_path: str, out_dir: str) -> dict:
     from pii_detection_redaction_spark.plans.pipeline import PipelineConfig, run_pipeline
     from pii_detection_redaction_spark.plans.session import build_session
 
-    os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
+    os.sched_setaffinity(0, _idlest_cpus(cores))
     # 16 concurrent tasks over the 200k-doc corpus GC-thrash an 8g heap
     # (measured: 46s -> 36s at 12g); the single-JVM local session plays both
     # driver and executor, so size it like an executor.
@@ -193,34 +218,39 @@ def main() -> None:
         # The host is shared: capacity swings +-25% between minutes. Run
         # interleaved trials per level and keep the best (least-interfered)
         # — the steady-state capability of each parallelism level.
-        # Asymmetric trials: the hi-level run is ~3x shorter, so a single bad
-        # host-noise window distorts it far more than the long lo run (which
-        # integrates over the noise). Give hi extra interleaved trials.
-        trials = int(os.environ.get("BENCH_TRIALS", 2))
-        trials_hi = int(os.environ.get("BENCH_TRIALS_HI", trials + 2))
-        lo = hi = None
-        for i in range(max(trials, trials_hi)):
-            if i < trials:
-                r_lo = run_pipeline_at(SCALE_LO, pages_path, n_docs, out + "_lo")
-                if lo is None or r_lo["seconds"] < lo["seconds"]:
-                    lo = r_lo
-            if i < trials_hi:
-                r_hi = run_pipeline_at(SCALE_HI, pages_path, n_docs, out + "_hi")
-                if hi is None or r_hi["seconds"] < hi["seconds"]:
-                    hi = r_hi
-        speedup = lo["seconds"] / hi["seconds"]
+        # Estimator: background interference only ever ADDS time, so each
+        # level's MINIMUM across interleaved trials is its least-interfered
+        # measurement and min(lo)/min(hi) is a consistent estimate of the
+        # uninterfered machine's scaling ratio (it converges as trials
+        # grow). Per-pair back-to-back ratios are also recorded for spread
+        # transparency — on this shared host identical code has measured
+        # pairs from 0.67 to 1.05 purely from load weather.
+        trials = int(os.environ.get("BENCH_TRIALS", 3))
         ratio = SCALE_HI / SCALE_LO
-        eff = speedup / ratio
+        lo = hi = None
+        pair_effs = []
+        for i in range(trials):
+            r_lo = run_pipeline_at(SCALE_LO, pages_path, n_docs, out + "_lo")
+            r_hi = run_pipeline_at(SCALE_HI, pages_path, n_docs, out + "_hi")
+            pair_effs.append((r_lo["seconds"] / r_hi["seconds"]) / ratio)
+            total += r_lo["seconds"] + r_hi["seconds"]
+            if lo is None or r_lo["seconds"] < lo["seconds"]:
+                lo = r_lo
+            if hi is None or r_hi["seconds"] < hi["seconds"]:
+                hi = r_hi
+            print(f"  pair {i}: lo={r_lo['seconds']}s hi={r_hi['seconds']}s "
+                  f"eff={pair_effs[-1]:.3f}", file=sys.stderr)
+        eff = (lo["seconds"] / hi["seconds"]) / ratio
         result["pipeline"] = hi
         result["scaling"] = {
             "cores_lo": SCALE_LO,
             "cores_hi": SCALE_HI,
             "docs_per_sec_lo": lo["docs_per_sec"],
             "docs_per_sec_hi": hi["docs_per_sec"],
-            "speedup": round(speedup, 3),
+            "pair_efficiencies": [round(e, 3) for e in sorted(pair_effs)],
+            "speedup": round(eff * ratio, 3),
             "efficiency": round(eff, 3),
         }
-        total += lo["seconds"] + hi["seconds"]
 
     result["value"] = round(total, 3)
     print(json.dumps(result))
