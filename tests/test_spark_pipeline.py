@@ -316,3 +316,37 @@ def test_pipeline_adversarial_inputs(spark):
     # bad utf-8 inside <p>: JVM decode replaces, doc proceeds (then dropped
     # as too short) — the point is no exception and honest lineage
     assert out["https://x.example/bad-utf8"]["keep"] is False
+
+
+def test_salted_host_metrics_equals_unsalted(spark, pipeline_out, pages_small):
+    """The salted two-stage host aggregation must equal a plain one-stage
+    groupBy(host) — salting changes the shuffle shape, never the numbers."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.plans.pipeline import host_metrics
+
+    out_df = spark.createDataFrame(
+        [
+            {
+                "url": u,
+                "keep": bool(r["keep"]),
+                "n_entities_scrubbed": int(r["n_entities_scrubbed"]),
+            }
+            for u, r in pipeline_out[1].items()
+        ]
+    )
+    salted = {r["host"]: r.asDict() for r in host_metrics(out_df, CFG).collect()}
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1).alias("host")
+    plain = {
+        r["host"]: r.asDict()
+        for r in out_df.select(host, "keep", "n_entities_scrubbed")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("docs_seen"),
+            F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+            (F.count(F.lit(1)) - F.sum(F.col("keep").cast("long"))).alias("docs_dropped"),
+            F.sum("n_entities_scrubbed").alias("entities_scrubbed"),
+        )
+        .collect()
+    }
+    assert salted == plain and len(salted) >= 10
