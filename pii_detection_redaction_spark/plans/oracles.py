@@ -196,6 +196,16 @@ SELECT user_id,
 FROM x GROUP BY user_id ORDER BY user_id
 """
 
+ORACLE_SQL["events_pivot"] = """
+SELECT user_id,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
 ORACLE_SQL["event_transitions"] = """
 WITH x AS (
   SELECT user_id, event_type,

@@ -247,6 +247,17 @@ def q_event_transitions(spark, sf_dir):
     return transition_matrix(ev).orderBy("from_type", "to_type")
 
 
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts, one column per event type (explicit
+    value list keeps the output schema static — required at scale, where a
+    values-scan before the pivot would be its own job)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    return out.select("user_id", *cols).orderBy("user_id")
+
+
 def q_events_json(spark, sf_dir):
     """JSON scalar extraction from the props column."""
     ev = _t(spark, sf_dir, "events")
@@ -685,6 +696,7 @@ QUERIES = {
     "events_sessionized": q_events_sessionized,
     "events_json": q_events_json,
     "event_transitions": q_event_transitions,
+    "events_pivot": q_events_pivot,
     "doc_quality_flags": q_doc_quality_flags,
     "doc_quality_agg": q_doc_quality_agg,
     "toxicity_scrub": q_toxicity_scrub,
