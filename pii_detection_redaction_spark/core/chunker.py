@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
-from .recognizers import RecognizerSpec, analyze, resolve_conflicts
+from .entities import expand_entities
+from .recognizers import (
+    RecognizerSpec,
+    analyze,
+    propagate_repeated_names,
+    resolve_conflicts,
+)
 from .spans import Detection
 
 DEFAULT_CHUNK_SIZE = 5000
@@ -57,19 +63,30 @@ def analyze_long_text(
         return []
     if len(text) <= size:
         # Single chunk — identical result, skip the window machinery.
-        return analyze(text, entities=entities, min_score=min_score, bank=bank)
+        dets = analyze(text, entities=entities, min_score=min_score, bank=bank)
+    else:
+        best: Dict[Tuple[int, int, str], Detection] = {}
+        for start_offset, chunk in chunk_text(text, size=size, overlap=overlap):
+            for d in analyze(chunk, entities=entities, min_score=min_score, bank=bank):
+                gs, ge = start_offset + d.start, start_offset + d.end
+                key = (gs, ge, d.entity_type)
+                cur = best.get(key)
+                if cur is None or d.score > cur.score:
+                    best[key] = Detection(d.entity_type, gs, ge, d.score, d.pattern_name)
 
-    best: Dict[Tuple[int, int, str], Detection] = {}
-    for start_offset, chunk in chunk_text(text, size=size, overlap=overlap):
-        for d in analyze(chunk, entities=entities, min_score=min_score, bank=bank):
-            gs, ge = start_offset + d.start, start_offset + d.end
-            key = (gs, ge, d.entity_type)
-            cur = best.get(key)
-            if cur is None or d.score > cur.score:
-                best[key] = Detection(d.entity_type, gs, ge, d.score, d.pattern_name)
+        # Chunk overlap can surface span pairs that single-chunk conflict
+        # resolution would have collapsed (a boundary-truncated match inside a
+        # full match seen by the next chunk); re-resolve globally so results
+        # are chunking-invariant.
+        dets = resolve_conflicts(list(best.values()))
 
-    # Chunk overlap can surface span pairs that single-chunk conflict
-    # resolution would have collapsed (a boundary-truncated match inside a
-    # full match seen by the next chunk); re-resolve globally so results are
-    # chunking-invariant.
-    return resolve_conflicts(list(best.values()))
+    # Document-level repeated-name propagation (recognizers.
+    # propagate_repeated_names): runs over the WHOLE text, so a name detected
+    # in one chunk masks its bare occurrences in every other chunk. Gated on
+    # the (group-expanded) entity request like any other type.
+    ents = expand_entities(entities)
+    if ents is None or "REPEATED_NAME" in ents:
+        extra = propagate_repeated_names(text, dets, min_score=min_score)
+        if extra:
+            dets = sorted(dets + extra, key=lambda d: d.sort_key())
+    return dets

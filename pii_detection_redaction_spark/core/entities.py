@@ -1,0 +1,155 @@
+"""Entity taxonomy: severity dimension, functional groups, person types.
+
+Constants transcribed as behavior from the reference's
+``entity_mapping/entity_config.py`` — the severity map (``:5-38``), the
+functional groups (``:77-125``), and the full AU entity list (``:50-74``).
+This is the single source the three engines consume: the Python oracle and
+UDF bank import it directly, the Spark severity dim table and the DuckDB
+oracle VALUES list are generated from ``SEVERITY_DIM`` (plans.queries /
+plans.oracles).
+
+Entity types the engine never emits (LOCATION/CITY/AU_ADDRESS/... — spaCy
+NER surfaces replaced per SURVEY.md §2.8 C5) keep their severity rows so the
+dimension stays reference-complete for user-supplied detections.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Iterable, List, Optional, Set, Tuple
+
+# reference entity_config.py:5-38 (AU_ENTITY_SEVERITY_MAP), verbatim
+ENTITY_SEVERITY: Dict[str, str] = {
+    "AU_TFN": "critical",
+    "AU_MEDICARE": "critical",
+    "AU_PASSPORT": "critical",
+    "AU_CENTRELINK_CRN": "critical",
+    "AU_DRIVER_LICENSE": "high",
+    "AU_ABN": "high",
+    "AU_ACN": "high",
+    "AU_BANK_ACCOUNT": "high",
+    "AU_BSB": "high",
+    "CREDIT_CARD": "high",
+    "IBAN_CODE": "high",
+    "AU_ACCOUNT_NUMBER": "high",
+    "PERSON": "medium",
+    "PERSON_WITH_TITLE": "medium",
+    "PERSON_AFTER_GREETING": "medium",
+    "REPEATED_NAME": "medium",
+    "EMAIL_ADDRESS": "medium",
+    "AU_PHONE_NUMBER": "medium",
+    "PHONE_NUMBER": "medium",
+    "DATE_TIME": "medium",
+    "AU_ADDRESS": "medium",
+    "ORGANIZATION": "medium",
+    "IP_ADDRESS": "medium",
+    "URL": "medium",
+    "AU_STATE": "low",
+    "AU_POSTCODE": "low",
+    "NAME_TITLE": "low",
+    "LOCATION": "low",
+    "CITY": "low",
+}
+
+DEFAULT_SEVERITY = "medium"  # entity_config.py:128-129 get() default
+
+# (entity_type, severity) rows for the broadcast dim table / SQL VALUES list
+SEVERITY_DIM: List[Tuple[str, str]] = sorted(ENTITY_SEVERITY.items())
+
+# reference entity_config.py:50-74 (ALL_AU_ENTITY_TYPES), verbatim order
+ALL_AU_ENTITY_TYPES: List[str] = [
+    "AU_TFN",
+    "AU_MEDICARE",
+    "AU_PASSPORT",
+    "AU_CENTRELINK_CRN",
+    "AU_DRIVER_LICENSE",
+    "AU_ABN",
+    "AU_ACN",
+    "AU_BANK_ACCOUNT",
+    "AU_BSB",
+    "AU_PHONE_NUMBER",
+    "AU_STATE",
+    "AU_POSTCODE",
+    "PERSON",
+    "EMAIL_ADDRESS",
+    "PHONE_NUMBER",
+    "CREDIT_CARD",
+    "DATE_TIME",
+    "LOCATION",
+    "ORGANIZATION",
+]
+
+# reference entity_config.py:77-125 (AU_ENTITY_GROUPS), verbatim
+ENTITY_GROUPS: Dict[str, List[str]] = {
+    "financial": [
+        "AU_ABN",
+        "AU_ACN",
+        "AU_BANK_ACCOUNT",
+        "AU_BSB",
+        "CREDIT_CARD",
+        "IBAN_CODE",
+    ],
+    "government_id": [
+        "AU_TFN",
+        "AU_MEDICARE",
+        "AU_PASSPORT",
+        "AU_DRIVER_LICENSE",
+        "AU_CENTRELINK_CRN",
+    ],
+    "personal": [
+        "PERSON",
+        "PERSON_WITH_TITLE",
+        "PERSON_AFTER_GREETING",
+        "REPEATED_NAME",
+        "EMAIL_ADDRESS",
+        "AU_PHONE_NUMBER",
+        "PHONE_NUMBER",
+        "DATE_TIME",
+    ],
+    "geographic": [
+        "AU_STATE",
+        "AU_POSTCODE",
+        "LOCATION",
+        "CITY",
+        "AU_ADDRESS",
+    ],
+    "all_au_specific": [
+        "AU_TFN",
+        "AU_MEDICARE",
+        "AU_PASSPORT",
+        "AU_CENTRELINK_CRN",
+        "AU_DRIVER_LICENSE",
+        "AU_ABN",
+        "AU_ACN",
+        "AU_BANK_ACCOUNT",
+        "AU_BSB",
+        "AU_PHONE_NUMBER",
+        "AU_STATE",
+        "AU_POSTCODE",
+    ],
+    "all_au": ALL_AU_ENTITY_TYPES,
+}
+
+# Person-class types: all enumerate as relationship-mask owners and all seed
+# repeated-name propagation (entity_config.py:20-23 groups them at the same
+# severity; REPEATED_NAME is the propagation output type).
+PERSON_TYPES: FrozenSet[str] = frozenset(
+    {"PERSON", "PERSON_WITH_TITLE", "PERSON_AFTER_GREETING", "REPEATED_NAME"}
+)
+
+
+def severity_of(entity_type: str) -> str:
+    """entity_config.py:128-129 (get_entity_severity)."""
+    return ENTITY_SEVERITY.get(entity_type, DEFAULT_SEVERITY)
+
+
+def expand_entities(entities: Optional[Iterable[str]]) -> Optional[Set[str]]:
+    """Expand a user entity request into a concrete type set: each element is
+    either a group name (reference ``--entities financial`` style subsetting
+    over AU_ENTITY_GROUPS) or a literal entity type. None stays None (= all).
+    """
+    if entities is None:
+        return None
+    out: Set[str] = set()
+    for name in entities:
+        out.update(ENTITY_GROUPS.get(name, (name,)))
+    return out

@@ -57,6 +57,10 @@ RULE_NAMES = (
 )
 
 _word_re = re.compile(r"\S+")
+# default (Unicode) \b in both \b-bearing patterns: matches Java regex
+# exactly (measured — Java's \b is Unicode-aware); RE2/DuckDB is ASCII-\b
+# and diverges on non-ASCII adjacency, guarded by a corpus test
+# (core.toxicity module doc).
 _stop_re = re.compile(STOPWORD_REGEX)
 _symbol_re = re.compile(SYMBOL_REGEX)
 _tox_re = re.compile(TOXICITY_REGEX)

@@ -10,10 +10,20 @@ the reference repo:
   ``AnalyzerEngine`` defaults (``common/common.py:31-51``): EMAIL_ADDRESS,
   PHONE_NUMBER, CREDIT_CARD (Luhn), IP_ADDRESS, URL, IBAN_CODE (mod-97),
   DATE_TIME — reimplemented with our own documented patterns;
-- deterministic PERSON heuristics replacing spaCy NER (which is an
-  uninstallable, non-deterministic dependency): title/greeting regexes modeled
-  on the reference's ``pdf_redactor/analyzer.py:62-86`` plus a seeded
-  first-name gazetteer. These ARE the spec — golden fixtures pin them.
+- deterministic person heuristics replacing spaCy NER (which is an
+  uninstallable, non-deterministic dependency), emitted as the reference's
+  distinct person entity types (``entity_mapping/entity_config.py:20-23``):
+  PERSON_WITH_TITLE (title regexes modeled on ``pdf_redactor/analyzer.py:
+  78-81`` plus the role-word titles of the COMMON_TITLE matcher,
+  ``analyzer.py:226-268``), PERSON_AFTER_GREETING (``analyzer.py:83-86``),
+  and gazetteer PERSON. These ARE the spec — golden fixtures pin them.
+- person-span hygiene and repeated-name propagation from the reference's
+  strongest recall machinery: span trimming (label-prefix colon rule +
+  trailing punctuation, ``analyzer.py:186-198``), name normalization and
+  variants ("Last, First" swap, dot-stripping, ``analyzer.py:105-125``), and
+  case-insensitive word-bounded find-all of every known name variant
+  (``analyzer.py:128-136``) emitting REPEATED_NAME detections — so a name
+  detected once with a title also masks each later bare occurrence.
 
 Presidio internals (context enhancement, conflict removal) are external code
 we must not depend on; the constants used here (CONTEXT_BOOST, window sizes,
@@ -39,11 +49,16 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence
 
-from .spans import Detection
+from .entities import PERSON_TYPES, expand_entities
+from .spans import Detection, spans_overlap
 
 CONTEXT_BOOST = 0.35
 CONTEXT_WINDOW_BEFORE = 50
 CONTEXT_WINDOW_AFTER = 20
+
+# score of a propagated bare-name occurrence (our pinned spec; the reference
+# Matcher path carries no score for REPEATED_NAME)
+REPEATED_NAME_SCORE = 0.6
 
 
 @dataclass(frozen=True)
@@ -239,6 +254,9 @@ def _au_specs() -> List[RecognizerSpec]:
                 PatternSpec("phone_mobile_domestic", r"\b04\d{2}\s?\d{3}\s?\d{3}\b", 0.65),
                 PatternSpec("phone_landline_brackets", r"\(0[2-8]\)\s?\d{4}\s?\d{4}", 0.6),
                 PatternSpec("phone_landline_intl", r"\+61\s?[2-8]\s?\d{4}\s?\d{4}", 0.7),
+                # bracket-free domestic landline (02 9876 5432) — recall gap
+                # vs the reference's bank, added as our documented extension
+                PatternSpec("phone_landline_domestic", r"\b0[2-8]\s?\d{4}\s?\d{4}\b", 0.55),
                 PatternSpec("phone_tollfree", r"\b1[38]00\s?\d{3}\s?\d{3}\b", 0.6),
             ],
             ["phone", "telephone", "mobile", "contact", "call", "tel", "ph"],
@@ -390,29 +408,61 @@ def _builtin_specs() -> List[RecognizerSpec]:
             [
                 PatternSpec("date_iso", r"\b\d{4}-\d{2}-\d{2}\b", 0.6),
                 PatternSpec("date_slash", r"\b\d{1,2}/\d{1,2}/\d{2,4}\b", 0.5),
+                PatternSpec("date_dashed", r"\b\d{1,2}-\d{1,2}-\d{4}\b", 0.5),
                 PatternSpec("date_dmy_text", rf"\b\d{{1,2}}\s+{_MONTHS}\s+\d{{4}}\b", 0.6),
                 PatternSpec("date_mdy_text", rf"\b{_MONTHS}\s+\d{{1,2}},?\s+\d{{4}}\b", 0.6),
+                PatternSpec(
+                    "time_of_day",
+                    r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?[AaPp][Mm])?\b",
+                    0.4,
+                ),
             ],
             ["date", "born", "dob", "birth"],
         ),
-        # PERSON heuristics: title/greeting regexes modeled on the reference's
+        # Person heuristics, emitted as the reference's distinct entity types
+        # (entity_config.py:20-23). Title/greeting regexes modeled on
         # pdf_redactor/analyzer.py:78-86 (title_name_re / greeting_name_re),
-        # scoped to the name sequence, plus a gazetteer pattern.
+        # scoped to the captured name sequence.
         RecognizerSpec(
-            "PERSON",
+            "PERSON_WITH_TITLE",
             [
+                # scores sit ABOVE the 0.8 gazetteer pattern: a titled name
+                # that is also a gazetteer name must resolve to the typed
+                # entity (conflict rule 2 keeps the higher score per span)
                 PatternSpec(
                     "person_with_title",
                     r"(?:\b(?:Mr|Mrs|Ms|Dr|Prof)\.?\s+|\b(?:Miss|Professor|Sir|Madam|Ma'am)\s+)"
                     rf"({_NAME_SEQ})",
-                    0.7,
+                    0.85,
                 ),
+                # role-word titles from the reference's COMMON_TITLE matcher
+                # (analyzer.py:226-268: applicant/candidate/customer/patient/
+                # client/employee/student/recipient/borrower), adapted to our
+                # regex engine: the role word must be followed by a name
+                # sequence, which is the captured span.
+                PatternSpec(
+                    "person_after_role_word",
+                    r"\b(?:[Aa]pplicant|[Cc]andidate|[Cc]ustomer|[Pp]atient"
+                    r"|[Cc]lient|[Ee]mployee|[Ss]tudent|[Rr]ecipient|[Bb]orrower)\s+"
+                    rf"({_NAME_SEQ})",
+                    0.85,
+                ),
+            ],
+        ),
+        RecognizerSpec(
+            "PERSON_AFTER_GREETING",
+            [
                 PatternSpec(
                     "person_after_greeting",
                     r"\b(?:Hello|Hi|Hey|Dear|Good\s+(?:morning|afternoon|evening))[\s,:\-]+"
                     rf"({_NAME_SEQ})",
-                    0.65,
+                    0.82,
                 ),
+            ],
+        ),
+        RecognizerSpec(
+            "PERSON",
+            [
                 PatternSpec(
                     "person_gazetteer",
                     r"\b((?:"
@@ -469,6 +519,99 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
 _digit_search = re.compile(r"\d").search
 
 
+_PUNCT_TRIM = ".,;:"
+
+
+def trim_person_span(text: str, start: int, end: int) -> tuple:
+    """Person-span hygiene (reference ``pdf_redactor/analyzer.py:186-198``):
+    if only whitespace separates the span from a preceding ``label:`` colon,
+    re-anchor the start just past the colon (skipping whitespace), then strip
+    trailing ``.,;:``. Returns (start, end); end <= start means drop."""
+    prefix = text[:start].rstrip()
+    if prefix.endswith(":"):
+        start = len(prefix)  # char right after the colon
+        while start < end and text[start].isspace():
+            start += 1
+    while end > start and text[end - 1] in _PUNCT_TRIM:
+        end -= 1
+    return start, end
+
+
+def normalize_person_name(name: str) -> str:
+    """lowercased, dot-before-boundary-stripped, space-collapsed form
+    (reference ``analyzer.py:105-110``)."""
+    name = re.sub(r"\.(?=\b)", "", name.strip())
+    return re.sub(r"\s+", " ", name).lower()
+
+
+def name_variants(name: str) -> List[str]:
+    """Deterministic variant set of a detected person name (reference
+    ``analyzer.py:113-125``): normalized base, all-dots-stripped form, and
+    the "Last, First" -> "First Last" swap. Sorted longest-first so the
+    combined find-all prefers the longest variant at each position."""
+    variants = {normalize_person_name(name),
+                normalize_person_name(name.replace(".", ""))}
+    if "," in name:
+        last, _, first = name.partition(",")
+        last, first = last.strip(), first.strip()
+        if last and first:
+            variants.add(normalize_person_name(f"{first} {last}"))
+    else:
+        # reverse swap (our recall extension beyond analyzer.py:113-125): a
+        # name detected as "First [Mid] Last" also matches "Last, First [Mid]"
+        parts = normalize_person_name(name).split(" ")
+        if len(parts) >= 2:
+            variants.add(f"{parts[-1]}, {' '.join(parts[:-1])}")
+    variants.discard("")
+    return sorted(variants, key=lambda v: (-len(v), v))
+
+
+def propagate_repeated_names(
+    text: str, detections: List[Detection], min_score: float = 0.0
+) -> List[Detection]:
+    """REPEATED_NAME detections for every later/earlier bare occurrence of a
+    known person name or its variants (reference ``analyzer.py:128-136``:
+    case-insensitive ``(?<!\\w)name(?!\\w)`` find-all). One combined
+    alternation pass (longest variant first), leftmost scan; a match is
+    skipped when it overlaps an existing detection of score >=
+    REPEATED_NAME_SCORE or an earlier propagated span — weaker overlapping
+    detections (e.g. a 0.3 all-caps driver-license false positive on a bare
+    surname) do NOT block propagation; scrub-time selection resolves the
+    overlap in the repeated name's favor. Returns only the NEW detections."""
+    if REPEATED_NAME_SCORE < min_score:
+        return []
+    names = {
+        text[d.start : d.end]
+        for d in detections
+        if d.entity_type in PERSON_TYPES and d.entity_type != "REPEATED_NAME"
+    }
+    variants: List[str] = []
+    seen = set()
+    for nm in names:
+        for v in name_variants(nm):
+            if v not in seen:
+                seen.add(v)
+                variants.append(v)
+    if not variants:
+        return []
+    variants.sort(key=lambda v: (-len(v), v))
+    pat = re.compile(
+        r"(?i)(?<!\w)(?:" + "|".join(re.escape(v) for v in variants) + r")(?!\w)"
+    )
+    taken = [
+        (d.start, d.end) for d in detections if d.score >= REPEATED_NAME_SCORE
+    ]
+    extra: List[Detection] = []
+    for m in pat.finditer(text):
+        s, e = m.span()
+        if any(spans_overlap(s, e, ts, te) for ts, te in taken):
+            continue
+        extra.append(Detection("REPEATED_NAME", s, e, REPEATED_NAME_SCORE,
+                               "repeated_name"))
+        taken.append((s, e))
+    return extra
+
+
 def _context_hit(text_lower: str, start: int, end: int, context: List[str]) -> bool:
     if not context:
         return False
@@ -490,11 +633,19 @@ def analyze(
     call (``text_detector/chunker.py:44``) with the conflict-resolution and
     context-boost spec documented in the module docstring. Entity subsetting
     (reference ``--entities`` plumbing, ``text_detector/cli.py:59-64``) skips
-    whole recognizers before any regex work.
+    whole recognizers before any regex work; group names (``financial``,
+    ``personal``, ... — reference ``entity_config.py:77-125``) expand to
+    their member types first.
+
+    Person-class spans are trimmed per ``trim_person_span`` before conflict
+    resolution. Repeated-name propagation is NOT applied here — it is a
+    document-level pass (``chunker.analyze_long_text``), matching the
+    reference where the find-all machinery lives in the long-document
+    analyzer, not the per-cell path.
     """
     if not text:
         return []
-    ents = set(entities) if entities else None
+    ents = expand_entities(entities)
     text_lower = text.lower()
     has_digit: Optional[bool] = None
     raw: List[Detection] = []
@@ -517,6 +668,8 @@ def analyze(
                     s, e = m.span(1)
                 else:
                     s, e = m.span()
+                if spec.entity_type in PERSON_TYPES:
+                    s, e = trim_person_span(text, s, e)
                 if e <= s:
                     continue
                 if spec.validator is not None and not spec.validator(m.group(0)):

@@ -1,32 +1,52 @@
-"""Relationship-aware masking — the flagship byte-identical transform.
+"""Entity-ownership model and relationship-aware masking.
 
-Faithful re-expression of the reference's entity-ownership model and masking
-composition (``text_detector/relationships.py``):
+Behavioral contract re-derived from the reference's ownership semantics
+(``text_detector/relationships.py``, cited per rule below) — the flagship
+byte-identical transform — extended to the full person-type taxonomy
+(PERSON_WITH_TITLE / PERSON_AFTER_GREETING / REPEATED_NAME, reference
+``entity_mapping/entity_config.py:20-23``), which the reference's masker
+never sees because its text path only emits spaCy PERSON:
 
-- PERSON detections become numbered owners 1..N in first-appearance order
-  (``relationships.py:55-63``);
-- every non-PERSON entity is assigned to at most one owner by, in order:
-  (J1) nearest PERSON on the same text line (``:80-90``),
-  (J2) email local-part vs normalized person-name tokens, >= 3 chars,
-       substring containment (``:36-43,92-99``),
-  (J3) global nearest PERSON by |owner.start - entity.start| (``:45-48,101-102``);
-- masking (``:109-155``): PERSON -> ``PERSON_{i}``; owned entity ->
-  ``<TYPE_PERSON_{i}>``; unowned -> ``<TYPE>``; generic PHONE_NUMBER special
-  case replaces ``<PHONE_NUMBER>`` with ``<PHONE_NUMBER_{'*' x len(digits)}>``
-  (exact-string replace, so owned phones keep their owner label — ``:142-145``);
-- replacements applied right-to-left so earlier offsets stay valid (``:149-153``).
+- every person-type detection becomes a numbered *owner* ``1..N`` in
+  first-appearance order (``relationships.py:55-63``; our extension treats
+  all person types uniformly — a repeated bare name owns entities exactly
+  like its titled first occurrence);
+- each non-person entity is assigned to at most one owner by three rules in
+  priority order:
+  (1) nearest person on the entity's own text line, distance =
+      ``|owner.start - entity.start|`` (``:80-90``; line spans built from
+      ``splitlines(keepends)`` with a whole-text fallback, ``:24-33``);
+  (2) for EMAIL_ADDRESS only: the first owner whose name yields a token of
+      >= 3 chars contained in the email's normalized local part
+      (``:36-43,92-99``);
+  (3) the globally nearest owner by start-offset distance (``:45-48,101-102``);
+- mask composition (``:109-155``): person span -> ``PERSON_{i}``; owned
+  entity -> ``<TYPE_PERSON_{i}>``; unowned -> ``<TYPE>``; a *generic*
+  ``<PHONE_NUMBER>`` replacement (unowned only — owned labels don't contain
+  the exact token, ``:142-145``) becomes ``<PHONE_NUMBER_{'*' x n_digits}>``;
+- replacements are applied right-to-left (``:149-153``) so earlier offsets
+  stay valid; with overlapping spans this splicing order is semantics-bearing
+  and is reproduced exactly.
 
-These are per-document computations: in Spark they live inside one vectorized
-UDF call and never cross document boundaries (no join, no shuffle).
+Everything here is per-document: in Spark these functions run inside one
+Arrow-batched UDF call and never cross document boundaries (no join, no
+shuffle).
 """
 
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from dataclasses import dataclass
+from itertools import accumulate
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from .entities import PERSON_TYPES
 from .spans import Detection
+
+_TOKEN_SPLIT_RE = re.compile(r"[^A-Za-z0-9]+")
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9]+")
+_NON_DIGIT_RE = re.compile(r"\D")
 
 
 @dataclass
@@ -42,112 +62,132 @@ class Assignment:
     owner_id: Optional[int]
 
 
-def _split_lines_with_span(text: str) -> List[Tuple[int, int, str]]:
-    # reference relationships.py:24-33
-    lines = []
-    i = 0
-    for segment in text.splitlines(True):
-        lines.append((i, i + len(segment), segment))
-        i += len(segment)
-    return lines if lines else [(0, len(text), text)]
+def _line_starts_ends(text: str) -> Tuple[List[int], List[int]]:
+    """Parallel (starts, ends) arrays of the half-open line segments of
+    ``text`` (keepends split); a break-free text is one whole-text segment
+    (reference ``relationships.py:24-33``)."""
+    lengths = [len(seg) for seg in text.splitlines(True)]
+    if not lengths:
+        return [0], [len(text)]
+    ends = list(accumulate(lengths))
+    return [0] + ends[:-1], ends
 
 
-def _extract_person_tokens(name: str) -> List[str]:
-    # reference relationships.py:41-43
-    return [t for t in re.split(r"[^A-Za-z0-9]+", name) if t]
+def _owner_name_tokens(name: str) -> List[str]:
+    # alnum runs of the owner name (reference ``:41-43``)
+    return [tok for tok in _TOKEN_SPLIT_RE.split(name) if tok]
 
 
-def _contains_token(local_part: str, tokens: List[str]) -> bool:
-    # reference relationships.py:36-38
-    lp = re.sub(r"[^a-z0-9]+", "", local_part.lower())
-    return any(t for t in tokens if len(t) >= 3 and t.lower() in lp)
+def _email_matches_owner(local_part: str, tokens: Sequence[str]) -> bool:
+    # >=3-char name token contained in the lowercased/stripped local part
+    # (reference ``:36-38``)
+    squashed = _NON_ALNUM_RE.sub("", local_part.lower())
+    return any(len(tok) >= 3 and tok.lower() in squashed for tok in tokens)
 
 
-def _nearest_person_by_distance(owners: List[Owner], position: int) -> Optional[int]:
-    # reference relationships.py:45-48
-    if not owners:
-        return None
-    return min(owners, key=lambda o: abs(o.span[0] - position)).id
+def _closest_owner(owners: Sequence[Owner], position: int) -> Optional[int]:
+    # min-distance scan; the earliest owner wins ties because the scan is
+    # in id order and strict `<` (reference ``:45-48`` min() tie behavior)
+    best_id, best_dist = None, None
+    for o in owners:
+        dist = abs(o.span[0] - position)
+        if best_dist is None or dist < best_dist:
+            best_id, best_dist = o.id, dist
+    return best_id
 
 
 def assign_relationships(
     text: str, results: Sequence[Detection]
 ) -> Tuple[List[Owner], List[Assignment]]:
-    owners: List[Owner] = []
-    for r in results:
-        if r.entity_type == "PERSON":
-            owners.append(Owner(len(owners) + 1, (r.start, r.end), text[r.start : r.end]))
-
-    lines = _split_lines_with_span(text)
-    person_tokens: Dict[int, List[str]] = {
-        o.id: _extract_person_tokens(o.name) for o in owners
+    """Resolve owners and per-detection owner assignments (rules 1-3 above)."""
+    owners = [
+        Owner(k + 1, (d.start, d.end), text[d.start : d.end])
+        for k, d in enumerate(r for r in results if r.entity_type in PERSON_TYPES)
+    ]
+    tokens_of: Dict[int, List[str]] = {
+        o.id: _owner_name_tokens(o.name) for o in owners
     }
+    starts, ends = _line_starts_ends(text)
 
     assignments: List[Assignment] = []
-    for r in results:
-        if r.entity_type == "PERSON":
-            assignments.append(Assignment(r, None))
+    for det in results:
+        if det.entity_type in PERSON_TYPES:
+            assignments.append(Assignment(det, None))
             continue
 
-        owner_id: Optional[int] = None
-        for ls, lc, _ in lines:
-            if r.start >= ls and r.end <= lc:
-                same_line = [o for o in owners if o.span[0] >= ls and o.span[1] <= lc]
-                if same_line:
-                    owner_id = min(same_line, key=lambda o: abs(o.span[0] - r.start)).id
-                break
+        chosen: Optional[int] = None
 
-        if owner_id is None and r.entity_type == "EMAIL_ADDRESS":
-            value = text[r.start : r.end]
+        # rule 1 — same-line nearest person. bisect locates the unique line
+        # whose [start, end) contains det.start; the detection must also end
+        # within it (a break-spanning span matches no line).
+        li = bisect_right(starts, det.start) - 1
+        if 0 <= li < len(ends) and det.end <= ends[li]:
+            ls, le = starts[li], ends[li]
+            in_line = [o for o in owners if o.span[0] >= ls and o.span[1] <= le]
+            if in_line:
+                chosen = _closest_owner(in_line, det.start)
+
+        # rule 2 — email local-part vs owner-name tokens, first owner wins
+        if chosen is None and det.entity_type == "EMAIL_ADDRESS":
+            value = text[det.start : det.end]
             if "@" in value:
-                local_part = value.split("@", 1)[0]
-                for o in owners:
-                    if _contains_token(local_part, person_tokens[o.id]):
-                        owner_id = o.id
-                        break
+                local = value.split("@", 1)[0]
+                chosen = next(
+                    (o.id for o in owners
+                     if _email_matches_owner(local, tokens_of[o.id])),
+                    None,
+                )
 
-        if owner_id is None:
-            owner_id = _nearest_person_by_distance(owners, r.start)
+        # rule 3 — global nearest fallback
+        if chosen is None:
+            chosen = _closest_owner(owners, det.start)
 
-        assignments.append(Assignment(r, owner_id))
+        assignments.append(Assignment(det, chosen))
 
     return owners, assignments
 
 
+def _person_label_index(owners: Sequence[Owner]) -> Dict[Tuple[int, int], int]:
+    """span -> owner id, FIRST owner winning duplicate spans (matches the
+    reference's first-match linear scan at ``:127-133``)."""
+    index: Dict[Tuple[int, int], int] = {}
+    for o in owners:
+        index.setdefault(o.span, o.id)
+    return index
+
+
 def mask_with_relationships(text: str, results: Sequence[Detection]) -> str:
+    """Apply the relationship mask composition (module doc) to ``text``."""
     owners, assignments = assign_relationships(text, results)
-    person_labels: Dict[int, str] = {o.id: f"PERSON_{o.id}" for o in owners}
+    span_owner = _person_label_index(owners)
 
-    repl_spans: List[Tuple[int, int, str]] = []
+    pieces: List[Tuple[int, int, str]] = []
     for a in assignments:
-        r = a.result
-        ct = r.entity_type
-        original = text[r.start : r.end]
-
-        if ct == "PERSON":
-            owner_id = None
-            for o in owners:
-                if o.span == (r.start, r.end):
-                    owner_id = o.id
-                    break
-            repl_spans.append((r.start, r.end, person_labels.get(owner_id, "<PERSON>")))
+        det, span = a.result, (a.result.start, a.result.end)
+        if det.entity_type in PERSON_TYPES:
+            oid = span_owner.get(span)
+            label = f"PERSON_{oid}" if oid is not None else "<PERSON>"
+            pieces.append((span[0], span[1], label))
             continue
 
-        if a.owner_id is not None:
-            replacement = f"<{ct}_PERSON_{a.owner_id}>"
-        else:
-            replacement = f"<{ct}>"
-
-        if ct == "PHONE_NUMBER":
-            digits = re.sub(r"\D", "", original)
-            replacement = replacement.replace(
-                "<PHONE_NUMBER>", f"<PHONE_NUMBER_{'*' * len(digits)}>"
+        label = (
+            f"<{det.entity_type}_PERSON_{a.owner_id}>"
+            if a.owner_id is not None
+            else f"<{det.entity_type}>"
+        )
+        if det.entity_type == "PHONE_NUMBER":
+            n_digits = len(_NON_DIGIT_RE.sub("", text[span[0] : span[1]]))
+            # exact-token replace: only the generic unowned label matches,
+            # owned labels pass through untouched (reference ``:142-145``)
+            label = label.replace(
+                "<PHONE_NUMBER>", f"<PHONE_NUMBER_{'*' * n_digits}>"
             )
+        pieces.append((span[0], span[1], label))
 
-        repl_spans.append((r.start, r.end, replacement))
-
-    repl_spans.sort(key=lambda x: x[0], reverse=True)
-    masked = text
-    for s, e, rep in repl_spans:
-        masked = masked[:s] + rep + masked[e:]
-    return masked
+    # right-to-left splice (reference ``:149-153``): stable reverse sort on
+    # start, then sequential surgery — reproduces the reference's output even
+    # for overlapping spans.
+    out = text
+    for s, e, rep in sorted(pieces, key=lambda p: p[0], reverse=True):
+        out = out[:s] + rep + out[e:]
+    return out

@@ -19,10 +19,21 @@ Semantics (pinned):
   the composition order only matters for offset bookkeeping, which the
   post-scrub application sidesteps).
 
-The regex is evaluated identically by three engines — Python ``re`` (this
-oracle), Java regex (Spark ``regexp_count``/``regexp_replace``, JVM-side, no
-Python in the hot path), and RE2 (DuckDB differential oracle): plain ASCII
-word alternation with ``\\b`` and ``(?i)`` behaves the same in all three.
+The regex is evaluated by three engines — Python ``re`` (this oracle), Java
+regex (Spark ``regexp_count``/``regexp_replace``, JVM-side, no Python in the
+hot path), and RE2 (DuckDB differential oracle). Word-boundary semantics,
+measured in this environment and pinned as the spec:
+
+- Python's default ``\\b`` and Java's ``\\b`` are BOTH Unicode-aware
+  (verified: ``pissé`` hides the ``piss`` boundary in both — Java's ``\\b``
+  uses Unicode word chars even though its bare ``\\w`` is ASCII), so the
+  oracle and the Spark hot path agree exactly on arbitrary text. That
+  agreement is the authoritative spec.
+- RE2's ``\\b`` is ASCII-only and RE2 has no lookaround, so no shared regex
+  can make DuckDB match on non-ASCII adjacency: the DuckDB oracle counts a
+  hit when a lexicon word abuts an accented letter (``pissé`` → 1) where
+  Python/Java count 0. ``tests`` guard that the synthetic corpus contains no
+  such adjacency, keeping the differential exact where it runs.
 """
 
 from __future__ import annotations
@@ -73,6 +84,8 @@ TOXIC_MASK = "<TOXIC>"
 
 TOXICITY_REGEX = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
 
+# default (Unicode) \b — matches Java regex exactly; see module doc for the
+# measured RE2 divergence on non-ASCII adjacency.
 _tox_re = re.compile(TOXICITY_REGEX)
 
 

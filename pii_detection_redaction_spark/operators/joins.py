@@ -103,13 +103,14 @@ def bin_range_join(
     lo_col: str,
     hi_col: str,
     bin_size: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join point rows to interval rows on ``lo <= point < hi`` via bin
+    """Inner-join point rows to interval rows on ``lo <= point < hi`` via bin
     bucketing (equi-join on the bin id, exact predicate re-checked inside).
 
     Columns from both sides are preserved; intervals must be half-open and
-    may overlap (a point matches every covering interval).
+    may overlap (a point matches every covering interval). Inner-only by
+    design: the exact range predicate is applied as a post-join filter, which
+    would silently drop the null-extended rows of any outer mode.
     """
     p = points.withColumn(
         "__bin", F.floor(F.col(point_col) / F.lit(bin_size)).cast("long")
@@ -125,7 +126,7 @@ def bin_range_join(
             )
         ),
     )
-    joined = p.join(iv, "__bin", how).filter(
+    joined = p.join(iv, "__bin").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("__bin")

@@ -266,8 +266,14 @@ FROM a ORDER BY month
 ORACLE_SQL["events_asof_attribution"] = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v0 AS (
+  SELECT user_id, ts, event_id AS view_id, value,
+    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
 ), v AS (
-  SELECT user_id, ts, event_id AS view_id, value FROM events WHERE event_type = 'view'
+  -- max view_id per (user_id, ts): mirrors the Spark side's tiebreak so the
+  -- ASOF pick is deterministic even if the corpus ever grows duplicate ts
+  SELECT user_id, ts, view_id, value FROM v0 WHERE rn = 1
 )
 SELECT p.purchase_id, p.user_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

@@ -231,6 +231,11 @@ def run_pipeline(
             F.sum(F.col("keep").cast("long")).alias("docs_kept"),
             F.sum("n_entities_scrubbed").alias("entities_scrubbed"),
             F.sum((~F.col("extract_ok")).cast("long")).alias("extract_mismatch"),
+            # tox_masked = lexicon hits in the RAW text of kept docs — an
+            # upper bound on tokens actually replaced by <TOXIC>, since a hit
+            # inside a detected PII span is removed by the scrub before
+            # masking. Counting post-scrub would need a second regexp pass
+            # over every kept doc; the bound is documented instead.
             F.sum(F.when(F.col("keep"), F.col("tox_hits")).otherwise(F.lit(0)))
             .alias("tox_masked"),
         )

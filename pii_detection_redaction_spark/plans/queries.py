@@ -38,17 +38,10 @@ from ..operators import textstats as TS
 from ..operators.joins import asof_join, bin_range_join
 from ..operators.multimodal import extract_features
 
-# 19-entity severity dimension transcribed as behavior from the reference's
-# entity_mapping/entity_config.py:5-38 (AU_ENTITY_SEVERITY_MAP).
-SEVERITY_DIM = [
-    ("AU_TFN", "critical"), ("AU_MEDICARE", "critical"), ("AU_PASSPORT", "critical"),
-    ("AU_CENTRELINK_CRN", "critical"), ("AU_DRIVER_LICENSE", "high"),
-    ("AU_ABN", "high"), ("AU_ACN", "high"), ("AU_BANK_ACCOUNT", "high"),
-    ("AU_BSB", "high"), ("CREDIT_CARD", "high"), ("IBAN_CODE", "high"),
-    ("PERSON", "medium"), ("EMAIL_ADDRESS", "medium"), ("AU_PHONE_NUMBER", "medium"),
-    ("PHONE_NUMBER", "medium"), ("DATE_TIME", "medium"), ("IP_ADDRESS", "medium"),
-    ("URL", "medium"), ("AU_STATE", "low"), ("AU_POSTCODE", "low"),
-]
+# Severity dimension rows — single spec source (core.entities.SEVERITY_DIM,
+# transcribed from the reference's entity_config.py:5-38); the DuckDB oracle
+# VALUES list is generated from the same constant.
+from ..core.entities import SEVERITY_DIM  # noqa: E402
 
 # regexes shared verbatim between Spark (Java) and DuckDB (RE2) for the
 # SQL-checkable detection subset — no lookaround, ASCII classes only.
@@ -357,9 +350,12 @@ def q_events_asof_attribution(spark, sf_dir):
         F.col("event_id").alias("view_id"),
         F.col("value").alias("view_value"),
     )
+    # tiebreak: asof_join's contract requires one for determinism when
+    # (key, right_ts) duplicates exist; the oracle dedups views to the max
+    # view_id per (user_id, ts) so both engines pick the same row.
     out = asof_join(
         purchases, views, key="user_id", left_ts="ts", right_ts="view_ts",
-        value_cols=["view_id", "view_value"],
+        value_cols=["view_id", "view_value"], tiebreak="view_id",
     )
     return out.select(
         "purchase_id",

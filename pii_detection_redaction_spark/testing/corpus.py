@@ -10,7 +10,9 @@ salting path. Per-1000-row edge-case quotas (FIXTURES.md §1) are met by the
 ``i % 20`` archetype wheel:
 
   0 empty/whitespace · 1 too-short · 2 symbol-soup · 3 duplicate-lines ·
-  4 ellipsis-lines · 5 stopword-free English · 6 multi-person+owned entities ·
+  4 ellipsis-lines · 5 stopword-free English · 6 multi-person+owned entities
+  (incl. repeated bare names, "Last, First" swaps, role-word persons,
+  dd-mm-yyyy / time-of-day / domestic-landline formats) ·
   7 >5000-char doc with an entity planted across the 5000-char chunk boundary ·
   8 valid-checksum ABN · 9 invalid-checksum ABN · 10-19 plain docs (mixed
   language, optional planted PII; English arch-10 docs additionally carry 3
@@ -38,7 +40,7 @@ _TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 # bump on any generator change — cache keys (tests/_data, bench corpus) embed it
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 SURNAMES = (
     "Smith Johnson Williams Brown Jones Garcia Miller Davis Rodriguez "
@@ -177,6 +179,23 @@ def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
             f"Please send the contract to {_email_for(p1, rng)} by Friday.",
             body[2],
         ]
+        # repeated-name propagation material (C7-C11): a later bare lowercase
+        # occurrence, a "Last, First" swap, a role-word-introduced person, and
+        # the round-2 recall formats (dd-mm-yyyy, time-of-day, bracket-free
+        # domestic landline). Appended after all earlier draws.
+        p3 = _person(rng)
+        first2, last2 = p2.split()
+        lines.append(f"Later, {p1.lower()} confirmed receipt of the file.")
+        lines.append(f"{last2}, {first2} is the listed borrower of record.")
+        lines.append(
+            f"The applicant {p3} arrived at {rng.randint(1,12)}:"
+            f"{rng.randint(0,59):02d} pm on {rng.randint(1,28)}-"
+            f"{rng.randint(1,12)}-2025."
+        )
+        lines.append(
+            f"Call 0{rng.randint(2,8)} {rng.randint(1000,9999)} "
+            f"{rng.randint(1000,9999)} to confirm."
+        )
         return ("\n".join(lines), "en")
     if arch == 7:
         lines = _paragraphs(rng, "en", 60)

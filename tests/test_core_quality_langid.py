@@ -103,3 +103,61 @@ def test_host_skew():
     hosts = df.url.str.extract(r"https://([^/]+)/")[0]
     top2 = hosts.value_counts(normalize=True).head(2).sum()
     assert 0.30 <= top2 <= 0.55, top2
+
+
+def test_word_boundary_semantics_pinned_across_engines(spark):
+    """Pins the MEASURED \\b semantics per engine (core.toxicity module doc):
+    Python re (default, Unicode) == Java regex (Spark) — the authoritative
+    product-path agreement — while RE2 (DuckDB) is ASCII-\\b and counts a hit
+    on non-ASCII adjacency the other two suppress. The RE2 divergence is
+    frozen here so any engine behavior change is caught; the corpus guard
+    below keeps the differential oracle exact on the synthetic data."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.core.quality import text_metrics
+    from pii_detection_redaction_spark.core.toxicity import (
+        TOXICITY_REGEX,
+        toxicity_hits,
+    )
+    from pii_detection_redaction_spark.functions.quality import STOP_RE
+
+    # 'pissé'/'andé': one word under Unicode \b (no hit), split at the accent
+    # under ASCII \b (hit). Bare 'piss' fires everywhere.
+    text = "il a pissé partout mais le bastardo dit andé piss fin"
+    assert toxicity_hits(text) == 1
+    assert text_metrics(text)["stop_hits"] == 0
+
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            F.regexp_count("t", F.lit(TOXICITY_REGEX)).alias("tox"),
+            F.regexp_count("t", F.lit(STOP_RE)).alias("stop"),
+        )
+        .collect()[0]
+    )
+    assert (row["tox"], row["stop"]) == (1, 0)  # Java == Python oracle
+
+    duck = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{text}', '{TOXICITY_REGEX}')) AS tox,"
+        f" len(regexp_extract_all('{text}', '{STOP_RE}')) AS stop"
+    ).df()
+    # RE2's ASCII \b sees 'piss'+'é' and 'and'+'é' — known, documented.
+    assert (int(duck["tox"][0]), int(duck["stop"][0])) == (2, 1)
+
+
+def test_corpus_free_of_re2_boundary_divergence():
+    """Guard: no document in the synthetic corpus puts a lexicon/stopword
+    term adjacent to a non-ASCII word char, so the DuckDB (RE2, ASCII-\\b)
+    oracle counts equal the Python/Java (Unicode-\\b) counts everywhere the
+    differential runs."""
+    import re
+
+    from pii_detection_redaction_spark.core.quality import STOPWORD_REGEX
+    from pii_detection_redaction_spark.core.toxicity import TOXICITY_REGEX
+
+    for pattern in (TOXICITY_REGEX, STOPWORD_REGEX):
+        uni = re.compile(pattern)
+        ascii_ = re.compile(pattern, re.ASCII)
+        for text in pages_df(2000).text:
+            assert len(uni.findall(text)) == len(ascii_.findall(text))

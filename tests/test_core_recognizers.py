@@ -76,8 +76,8 @@ def test_email_url_ip_date():
 
 
 def test_person_patterns():
-    assert _by_type(analyze("Dear Mr. John Smith, welcome"), "PERSON")
-    d = _by_type(analyze("Hello Olivia Baker, hi"), "PERSON")
+    assert _by_type(analyze("Dear Mr. John Smith, welcome"), "PERSON_WITH_TITLE")
+    d = _by_type(analyze("Hello Olivia Baker, hi"), "PERSON_AFTER_GREETING")
     assert d and d[0].start == 6 and d[0].end == len("Hello Olivia Baker")
 
 
@@ -153,3 +153,117 @@ def test_precondition_gating_is_lossless():
         gated = [d.as_tuple() for d in analyze_long_text(t)]
         full = [d.as_tuple() for d in analyze_long_text(t, bank=ungated)]
         assert gated == full, t[:80]
+
+
+def test_typed_person_entities():
+    """Title/greeting/role-word persons are emitted as the reference's
+    distinct entity types (entity_config.py:20-23); the gazetteer path stays
+    PERSON."""
+    dets = analyze("Dr Jane Doe met Miss Mary Smith.")
+    assert {d.entity_type for d in dets if "PERSON" in d.entity_type} == {
+        "PERSON_WITH_TITLE"
+    }
+    dets = analyze("Dear Alice Wonder, your parcel shipped.")
+    assert _by_type(dets, "PERSON_AFTER_GREETING")
+    dets = analyze("The patient Henry Ford was discharged.")
+    assert [d.pattern_name for d in _by_type(dets, "PERSON_WITH_TITLE")] == [
+        "person_after_role_word"
+    ]
+    dets = analyze("Oliver Twist asked for more.")
+    assert _by_type(dets, "PERSON")
+
+
+def test_person_span_trimming():
+    """C11 (pdf_redactor/analyzer.py:186-198): trailing .,;: stripped and a
+    label-colon prefix re-anchors the span start."""
+    from pii_detection_redaction_spark.core.recognizers import trim_person_span
+
+    text = "Name:   Dr Jane Doe., rest"
+    dets = analyze(text)
+    spans = [(text[d.start : d.end]) for d in dets if d.entity_type == "PERSON_WITH_TITLE"]
+    assert spans == ["Jane Doe"]
+    # direct trim contract
+    assert trim_person_span("label: Bob.,;:", 7, 14) == (7, 10)
+    assert trim_person_span("x Bob", 2, 5) == (2, 5)
+
+
+def test_name_variants():
+    from pii_detection_redaction_spark.core.recognizers import name_variants
+
+    assert set(name_variants("Doe, Jane")) == {"jane doe", "doe, jane"}
+    v = name_variants("J. R. Hartley")
+    assert "j r hartley" in v  # all-dots-stripped form
+    # reverse-swap extension: plain First Last also yields the comma form
+    assert "doe, jane" in name_variants("Jane Doe")
+
+
+def test_repeated_name_propagation_and_scrub():
+    """A titled name's later bare occurrences (any case, comma-swapped) are
+    detected as REPEATED_NAME and masked with the SAME owner machinery —
+    golden literal pins the flagship leak-class fix."""
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.scrub import scrub_document
+
+    text = (
+        "Dr Jane Doe approved the claim.\n"
+        "Later jane doe confirmed, and Doe, Jane signed."
+    )
+    dets = analyze_long_text(text)
+    rep = [(text[d.start : d.end]) for d in dets if d.entity_type == "REPEATED_NAME"]
+    assert rep == ["jane doe", "Doe, Jane"]
+    assert scrub_document(text, dets) == (
+        "Dr PERSON_1 approved the claim.\n"
+        "Later PERSON_2 confirmed, and PERSON_3 signed."
+    )
+
+
+def test_repeated_name_propagation_crosses_chunks():
+    """Propagation is document-level: a name detected in chunk 1 masks a bare
+    occurrence thousands of chars later (the reference's find-all machinery,
+    analyzer.py:128-136, grafted onto the long-text path)."""
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+
+    filler = "plain filler words here. " * 300  # ~7500 chars > chunk size
+    text = f"Mr Walter Plinge arrived.\n{filler}\nwalter plinge left quietly."
+    dets = analyze_long_text(text)
+    rep = [d for d in dets if d.entity_type == "REPEATED_NAME"]
+    assert len(rep) == 1 and text[rep[0].start : rep[0].end] == "walter plinge"
+
+
+def test_repeated_name_not_blocked_by_weak_overlap():
+    """A low-score false positive (all-caps surname as driver-license 0.3)
+    must not block propagation; the scrubber then prefers the repeated name."""
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.scrub import scrub_document
+
+    text = "Miss Mary Quant spoke. MARY QUANT returned."
+    dets = analyze_long_text(text)
+    assert any(
+        d.entity_type == "REPEATED_NAME" and text[d.start : d.end] == "MARY QUANT"
+        for d in dets
+    )
+    assert scrub_document(text, dets) == "Miss PERSON_1 spoke. PERSON_2 returned."
+
+
+def test_entity_group_subsetting():
+    """Group names expand to member types (entity_config.py:77-125 UX)."""
+    text = (
+        "Dr Jane Doe pays with card 4242 4242 4242 4242, "
+        "BSB 062-000, email jane@x.example.com"
+    )
+    fin = analyze(text, entities=["financial"])
+    assert _types(fin) <= {"AU_ABN", "AU_ACN", "AU_BANK_ACCOUNT", "AU_BSB",
+                           "CREDIT_CARD", "IBAN_CODE"}
+    assert "CREDIT_CARD" in _types(fin) and "AU_BSB" in _types(fin)
+    pers = analyze(text, entities=["personal"])
+    assert "EMAIL_ADDRESS" in _types(pers)
+    assert not _types(pers) & {"CREDIT_CARD", "AU_BSB"}
+    # literal type names still work alongside groups
+    both = analyze(text, entities=["financial", "EMAIL_ADDRESS"])
+    assert "EMAIL_ADDRESS" in _types(both) and "CREDIT_CARD" in _types(both)
+
+
+def test_new_datetime_and_phone_formats():
+    dets = analyze("Meeting 14-02-2025 at 9:45 pm, call 02 9876 5432.")
+    names = {d.pattern_name for d in dets}
+    assert {"date_dashed", "time_of_day", "phone_landline_domestic"} <= names
