@@ -6,10 +6,15 @@ documents table; ``queries``/``oracle_sql`` expose the full operator catalog
 DuckDB differential check at sf0.01.
 
 Queries intentionally without an oracle entry (non-SQL-expressible — full
-regex bank with context boost, LM perplexity, LSH bucket recall):
+regex bank with context boost + conflict resolution, LM perplexity):
 ``pii_detections``, ``pii_entity_counts``, ``pii_scrub``, ``pii_scrub_pages``,
-``quality_pipeline``, ``embedding_lsh_topk``, ``embedding_ivf_topk``. Their value-level gate is the pytest suite, which
-pins them byte-identically against the pure-Python oracle library.
+``quality_pipeline``. All are non-vacuous (the detection queries run over the
+deterministic planted-PII pages corpus) and their value-level gate is the
+pytest suite, which pins them byte-identically against the pure-Python
+oracle library; ``pii_subset_counts`` additionally gates the bank's
+RE2-expressible subset with a full DuckDB value oracle, and the LSH/IVF ANN
+paths carry full arithmetic oracles (hyperplanes / centroid picks embedded
+as SQL literals).
 """
 
 from __future__ import annotations

@@ -336,6 +336,29 @@ FIRST_NAMES = (
 
 _NAME_SEQ = r"[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){0,3}"
 
+# Deterministic city gazetteer for LOCATION (reference's spaCy LOC/GPE is
+# replaced per SURVEY §2.8 C5 — this pinned list is our spec; AU capitals
+# first, then common world cities appearing in web text).
+CITY_NAMES = (
+    "Sydney Melbourne Brisbane Perth Adelaide Canberra Hobart Darwin "
+    "Auckland Wellington London Manchester Edinburgh Dublin Paris Berlin "
+    "Munich Madrid Barcelona Rome Milan Amsterdam Brussels Zurich Geneva "
+    "Vienna Stockholm Oslo Copenhagen Helsinki Lisbon Athens Warsaw Prague "
+    "Budapest Tokyo Osaka Seoul Beijing Shanghai Singapore Mumbai Delhi "
+    "Bangkok Jakarta Manila Toronto Vancouver Montreal Chicago Boston "
+    "Seattle Austin Denver Houston Dallas Atlanta Miami Phoenix"
+).split()
+
+_ORG_SUFFIX = (
+    r"(?:Pty\.?\s+Ltd\.?|Ltd\.?|Limited|Inc\.?|Incorporated|Corp\.?"
+    r"|Corporation|LLC|PLC|Group|Holdings|Partners|Bank|University)"
+)
+_STREET_SUFFIX = (
+    r"(?:Street|St|Road|Rd|Avenue|Ave|Boulevard|Blvd|Lane|Ln|Drive|Dr"
+    r"|Court|Ct|Place|Pl|Parade|Pde|Highway|Hwy|Crescent|Cres|Terrace|Tce"
+    r"|Way|Close|Circuit|Cct|Esplanade)"
+)
+
 
 def _builtin_specs() -> List[RecognizerSpec]:
     return [
@@ -460,6 +483,43 @@ def _builtin_specs() -> List[RecognizerSpec]:
                 ),
             ],
         ),
+        # Deterministic ORGANIZATION / address / LOCATION heuristics closing
+        # the reference's spaCy ORG/LOC/GPE taxonomy (entity_config.py:71-72,
+        # severity rows ORGANIZATION=medium, AU_ADDRESS=medium, LOCATION=low)
+        # without the non-deterministic model — OUR pinned spec.
+        RecognizerSpec(
+            "ORGANIZATION",
+            [
+                PatternSpec(
+                    "org_legal_suffix",
+                    # 1-4 capitalized name tokens followed by a legal/entity
+                    # suffix; suffix included in the span
+                    rf"\b((?:[A-Z][A-Za-z&'\-]+\s+){{1,4}}{_ORG_SUFFIX})(?=[^A-Za-z]|$)",
+                    0.55,
+                ),
+            ],
+        ),
+        RecognizerSpec(
+            "AU_ADDRESS",
+            [
+                PatternSpec(
+                    "street_address",
+                    rf"\b(\d{{1,5}}[A-Za-z]?\s+(?:[A-Z][a-z]+\s+){{1,3}}{_STREET_SUFFIX})(?=[^A-Za-z]|$)",
+                    0.6,
+                ),
+            ],
+            ["address", "located", "deliver", "ship to", "office"],
+        ),
+        RecognizerSpec(
+            "LOCATION",
+            [
+                PatternSpec(
+                    "city_gazetteer",
+                    r"\b(?:" + "|".join(sorted(CITY_NAMES, key=lambda s: (-len(s), s))) + r")\b",
+                    0.4,
+                ),
+            ],
+        ),
         RecognizerSpec(
             "PERSON",
             [
@@ -487,7 +547,7 @@ _PRECONDITIONS = {
     "AU_PHONE_NUMBER": r"\d", "AU_BANK_ACCOUNT": r"\d", "AU_POSTCODE": r"\d",
     "CREDIT_CARD": r"\d", "IP_ADDRESS": r"\d", "IBAN_CODE": r"\d",
     "DATE_TIME": r"\d", "EMAIL_ADDRESS": "@", "PHONE_NUMBER": "+",
-    "URL": "http",
+    "URL": "http", "AU_ADDRESS": r"\d",
 }
 
 
@@ -520,6 +580,8 @@ _digit_search = re.compile(r"\d").search
 
 
 _PUNCT_TRIM = ".,;:"
+# reference analyzer.py:186-193 trims PERSON and ORGANIZATION spans
+_TRIMMED_TYPES = PERSON_TYPES | {"ORGANIZATION"}
 
 
 def trim_person_span(text: str, start: int, end: int) -> tuple:
@@ -668,7 +730,7 @@ def analyze(
                     s, e = m.span(1)
                 else:
                     s, e = m.span()
-                if spec.entity_type in PERSON_TYPES:
+                if spec.entity_type in _TRIMMED_TYPES:
                     s, e = trim_person_span(text, s, e)
                 if e <= s:
                     continue

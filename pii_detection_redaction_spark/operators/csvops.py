@@ -42,9 +42,11 @@ def detect_cells(
     min_score: float = 0.0,
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Long cells + detections array per cell; empty/whitespace cells are
-    skipped before the UDF (reference redactor.py:34-35 — a Catalyst filter
-    here, so the UDF never sees them)."""
+    """Long cells + detections array per cell. Empty/whitespace cells are
+    skipped (reference redactor.py:34-35) by GATING the UDF input rather than
+    filtering rows — the UDF sees '' at near-zero cost and every row survives,
+    so the wide reassembly can rebuild full rows from this one frame without
+    joining back to the source."""
     ent = list(entities) if entities else None
 
     @pandas_udf(DETECTIONS_TYPE)
@@ -56,10 +58,11 @@ def detect_cells(
             ]
         )
 
-    nonempty = long_df.filter(
-        F.col(cell_col).isNotNull() & (F.trim(F.col(cell_col)) != "")
-    )
-    return nonempty.withColumn("detections", cell_detect_udf(F.col(cell_col)))
+    gated = F.when(
+        F.col(cell_col).isNotNull() & (F.trim(F.col(cell_col)) != ""),
+        F.col(cell_col),
+    ).otherwise(F.lit(""))
+    return long_df.withColumn("detections", cell_detect_udf(gated))
 
 
 def cell_detections_long(detected: DataFrame, id_col: str) -> DataFrame:
@@ -95,11 +98,14 @@ def redact_cells(
     def scrub_cell_udf(cells: pd.Series, dets: pd.Series) -> pd.Series:
         out = []
         for c, d in zip(cells, dets):
+            if c is None:  # null cell passes through untouched
+                out.append(None)
+                continue
             ds = _coerce_detections(d)
             if use_entity_labels:
-                out.append(replace_with_labels(c or "", ds))
+                out.append(replace_with_labels(c, ds))
             else:
-                out.append(mask_spans(c or "", ds, masking_char=redaction_char))
+                out.append(mask_spans(c, ds, masking_char=redaction_char))
         return pd.Series(out)
 
     return detected.withColumn(

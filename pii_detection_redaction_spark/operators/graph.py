@@ -1,19 +1,26 @@
-"""Iterative graph operators: connected components via min-label propagation.
+"""Iterative graph operators: connected components via min-label propagation
+with pointer jumping.
 
 Near-dup clusters need transitive closure (A~B, B~C → one keeper for
 {A,B,C}); with no GraphFrames jar available this is the classic DataFrame
-formulation: every vertex starts labeled with its own id, and each round
-takes the min label over itself and its neighbors. Converges in O(component
-diameter) rounds — near-dup clusters are dense (most members pair directly
-with the keeper), so diameters are tiny in practice.
+formulation, upgraded with a *shortcut* step: each round first takes the min
+label over a vertex's neighbors, then replaces every label by the label OF
+that label (pointer jumping / path doubling — the same contraction idea as
+the large-star/small-star algorithm of Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14). Rounds needed drop from O(diameter) to
+O(log diameter): a 64-vertex chain converges in 5 rounds, not 64 (pinned by
+``tests/test_operators.py::test_connected_components_round_count``).
 
-Scale shape per round: one shuffle for the neighbor-min aggregation and one
-for the label join, both keyed by vertex id. ``localCheckpoint`` truncates
-the lineage each round so the plan doesn't grow exponentially (the standard
-pitfall of iterative DataFrame algorithms).
+Scale shape per round: two shuffle joins + one aggregation, all keyed by
+vertex id. ``localCheckpoint`` truncates lineage each round (the standard
+pitfall of iterative DataFrame algorithms) and materializes the frame, which
+also makes the per-round convergence count a cheap scan of cached partitions
+rather than a plan re-execution.
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,6 +34,23 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``; component =
     min vertex id reachable. Raises if not converged within ``max_iter``."""
+    return _run_cc(edges, id_col_a, id_col_b, max_iter)[0]
+
+
+def connected_components_with_rounds(
+    edges: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 50,
+) -> Tuple[DataFrame, int]:
+    """Same as ``connected_components`` plus the number of rounds executed
+    (for round-count assertions / observability)."""
+    return _run_cc(edges, id_col_a, id_col_b, max_iter)
+
+
+def _run_cc(
+    edges: DataFrame, id_col_a: str, id_col_b: str, max_iter: int
+) -> Tuple[DataFrame, int]:
     sym = edges.select(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
     ).union(edges.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
@@ -36,25 +60,43 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
 
-    for _ in range(max_iter):
-        msgs = (
+    for rounds in range(1, max_iter + 1):
+        # 1. propagate: candidate label = min(own, min over neighbors)
+        nbr_min = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new = (
+        stepped = (
             labels.withColumnRenamed("label", "old")
-            .join(msgs, "id", "left")
+            .join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("old"), F.coalesce("nbr_min", F.col("old"))).alias(
+                    "mid"
+                ),
+                "old",
+            )
+        )
+        # 2. shortcut (pointer jumping): label <- label(label). Every label
+        # is itself a vertex id, so the lookup self-join always resolves;
+        # this is what contracts long paths exponentially.
+        lookup = stepped.select(
+            F.col("id").alias("mid"), F.col("mid").alias("mid_label")
+        )
+        new = (
+            stepped.join(lookup, "mid", "left")
+            .select(
+                "id",
+                F.least(F.col("mid"), F.coalesce("mid_label", F.col("mid"))).alias(
                     "label"
                 ),
                 "old",
             )
         ).localCheckpoint()
+
         changed = new.filter(F.col("label") != F.col("old")).limit(1).count()
         labels = new.select("id", "label")
         if changed == 0:
-            return labels.withColumnRenamed("label", "component")
+            return labels.withColumnRenamed("label", "component"), rounds
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

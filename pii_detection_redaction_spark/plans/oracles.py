@@ -501,6 +501,118 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _lit_list(vals) -> str:
+    """DuckDB double-list literal with round-trip-exact float repr (same
+    doubles Spark gets from F.lit(float(w)))."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _dot_lit(vec_expr: str, vals) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {len(vals) + 1}), "
+        f"j -> CAST({vec_expr}[j] AS DOUBLE) * ({_lit_list(vals)})[j]))"
+    )
+
+
+def _lsh_topk_sql() -> str:
+    """Oracle for embedding_lsh_topk: the bucket key is plain arithmetic —
+    sign bits of dot(embedding, hyperplane_i) with the SAME deterministic
+    seeded hyperplanes embedded as literals (operators.similarity
+    _hyperplanes(seed=42)); re-rank is the exact cosine inside the bucket."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, nbits=4)
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_lit('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH it AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket FROM it WHERE vec_id < 5
+), p AS (
+  SELECT q.query_id, e.vec_id,
+    {_DOT} / ({_INORM} * {_QNORM}) AS cosine_raw
+  FROM it e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cosine_raw,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, round(cosine_raw, 6) AS cosine, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+ORACLE_SQL["embedding_lsh_topk"] = _lsh_topk_sql()
+
+
+def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 6, k: int = 5) -> str:
+    """Oracle for embedding_ivf_topk: centroids are the n lowest-id vectors
+    (deterministic pick, similarity._centroids); items assign to their
+    max-cosine centroid with FIRST-index tie-break (array_position
+    semantics); queries probe the n_probe best centroids ranked cosine DESC
+    with index-DESC tie-break (matching Spark's reverse(array_sort(...)))."""
+    cdot = (
+        "list_sum(list_transform(range(1, 65), "
+        "j -> CAST(x.embedding[j] AS DOUBLE) * CAST(c.ce[j] AS DOUBLE)))"
+    )
+    cnx = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "j -> CAST(x.embedding[j] AS DOUBLE) * CAST(x.embedding[j] AS DOUBLE))))"
+    )
+    cnc = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "j -> CAST(c.ce[j] AS DOUBLE) * CAST(c.ce[j] AS DOUBLE))))"
+    )
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS ce,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS idx
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+), c AS (SELECT idx, ce FROM c0),
+sims AS (
+  SELECT x.vec_id, c.idx, {cdot} / ({cnx} * {cnc}) AS s
+  FROM embeddings x CROSS JOIN c
+), assign AS (
+  SELECT vec_id, idx AS centroid FROM (
+    SELECT vec_id, idx,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, idx AS centroid FROM (
+    SELECT vec_id, idx,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx DESC) AS rn
+    FROM sims WHERE vec_id < 5
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.centroid = p.centroid
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    {_DOT} / ({_INORM} * {_QNORM}) AS cosine_raw
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN (SELECT vec_id AS query_id, embedding AS qe FROM embeddings) q
+    ON q.query_id = cand.query_id
+), r AS (
+  SELECT query_id, vec_id, cosine_raw,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine_raw, 6) AS cosine, rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+ORACLE_SQL["embedding_ivf_topk"] = _ivf_topk_sql()
+
+
 def _severity_rollup_sql() -> str:
     values = ", ".join(f"('{e}', '{s}')" for e, s in SEVERITY_DIM)
     return f"""
@@ -525,6 +637,39 @@ GROUP BY severity ORDER BY severity
 
 
 ORACLE_SQL["severity_rollup"] = _severity_rollup_sql()
+
+
+def _pii_subset_counts_sql() -> str:
+    """Value oracle for the Python recognizer bank's RE2-expressible subset:
+    DuckDB re-counts matches with the BANK'S OWN regex strings (single spec
+    source — core.recognizers pattern literals) over the same pages parquet
+    the Spark query reads. Exact because, for these entity types on this
+    corpus, per-pattern match counts sum to the bank's deduped detection
+    count (patterns are span-disjoint and PII is planted in ASCII English
+    text, so Unicode-vs-ASCII \\b divergence cannot trigger); the general
+    conflict-resolution semantics stay pinned by pytest."""
+    from ..core.recognizers import default_bank
+    from .queries import PII_SQL_ENTITIES, oracle_pages_path
+
+    bank = {s.entity_type: s for s in default_bank()}
+    path = oracle_pages_path()  # guarantees the parquet exists for DuckDB
+    arms = []
+    for et in PII_SQL_ENTITIES:
+        total = " + ".join(
+            f"len(regexp_extract_all(text, '{_q(p.regex)}'))"
+            for p in bank[et].patterns
+        )
+        arms.append(f"SELECT url, '{et}' AS entity_type, {total} AS n FROM pages")
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+long AS ({union})
+SELECT url, entity_type, CAST(n AS BIGINT) AS n
+FROM long WHERE n > 0 ORDER BY url, entity_type
+"""
+
+
+ORACLE_SQL["pii_subset_counts"] = _pii_subset_counts_sql()
 
 
 def _mm_u16(src: str, i: int) -> str:

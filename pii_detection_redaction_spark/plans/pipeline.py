@@ -28,15 +28,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import quality as Q
-from ..functions.quality import (
-    add_quality_columns,
-    drop_reasons_column,
-    mask_toxicity_column,
-)
+from ..functions.quality import mask_toxicity_column
 from ..functions.udfs import (
     extract_text_expr,
-    make_detect_scrub_udf,
-    make_langid_ppl_udf,
+    make_quality_scrub_udf,
 )
 from ..sources.snapshots import SnapshotStore
 
@@ -67,19 +62,20 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Pure transformation: pages(url, warc_ts, html, text, lang) → enriched
     frame with extraction, langid, perplexity, quality, detections, scrub.
 
-    Physical shape (deliberate): exactly TWO Python eval nodes — fused
-    langid+perplexity and fused detect+scrub — with extraction and all
-    quality rules as codegen'd JVM expressions. Five separate UDF stages
-    measured ~2x slower end-to-end from per-stage Arrow round-trips.
+    Physical shape (deliberate): exactly ONE Python eval node — fused
+    langid+perplexity+detect+scrub — with extraction and all quality rules
+    as codegen'd JVM expressions. History: five separate UDF stages measured
+    ~2x slower than two (per-stage Arrow round-trips); round 2 fused two
+    into one by passing the JVM-computed ``rules_pass`` INTO the UDF so the
+    keep-gating happens Python-side — the text now crosses the Arrow
+    boundary once, and the JVM no longer materializes a gated third copy.
     Counter-intuitive but measured: hoisting langid to JVM ``regexp_count``
     columns (functions.langid_expr) was tried and is 2.5x SLOWER than the
-    fused pandas UDF at 16 cores (17-19s vs 7.3s per 100k docs, and the
-    7.3s includes perplexity) — Java regex case-insensitive alternations
+    fused pandas UDF at 16 cores — Java regex case-insensitive alternations
     lose badly to pandas' C ``str.count`` loop; the Arrow transfer is not
     the bottleneck at this row width.
     """
-    langid_ppl_udf = make_langid_ppl_udf()
-    detect_scrub_udf = make_detect_scrub_udf(
+    quality_scrub_udf = make_quality_scrub_udf(
         entities=cfg.entities,
         min_score=cfg.min_score,
         size=cfg.chunk_size,
@@ -103,26 +99,26 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     else:
         df = df.withColumn("extract_ok", F.lit(True))
 
-    df = df.withColumn("lid", langid_ppl_udf(F.col("text")))
-    df = (
-        df.withColumn("lang_pred", F.col("lid.lang"))
-        .withColumn("lang_conf", F.col("lid.conf"))
-        .withColumn("ppl", F.col("lid.ppl"))
-        .drop("lid")
-    )
-    df = add_quality_columns(df, "text", "lang_pred")
-    df = df.withColumn("drop_reasons", drop_reasons_column("lang_conf", "ppl"))
-    df = df.withColumn("keep", F.size("drop_reasons") == 0)
+    # Quality METRICS first (JVM, codegen'd, language-independent), then the
+    # one fused UDF which makes the language prediction, applies the rule
+    # thresholds (they depend on that prediction), and detects+scrubs the
+    # kept docs. See make_quality_scrub_udf for the split rationale.
+    from ..functions.quality import quality_metric_columns
+    from ..functions.udfs import QUALITY_METRIC_FIELDS
 
-    # Detection+scrub only on kept docs: when() short-circuit is not
-    # guaranteed for UDFs, so gate via the input — the UDF sees '' for
-    # dropped docs and returns ([], '') at near-zero cost.
-    df = df.withColumn(
-        "ds",
-        detect_scrub_udf(F.when(F.col("keep"), F.col("text")).otherwise(F.lit(""))),
-    )
+    metrics = quality_metric_columns(F.col("text"))
+    for name, col in metrics.items():
+        df = df.withColumn(name, col)
+    metric_struct = F.struct(*[F.col(f) for f in QUALITY_METRIC_FIELDS])
+
+    df = df.withColumn("qs", quality_scrub_udf(F.col("text"), metric_struct))
     df = (
-        df.withColumn("detections", F.col("ds.detections"))
+        df.withColumn("lang_pred", F.col("qs.lang"))
+        .withColumn("lang_conf", F.col("qs.conf"))
+        .withColumn("ppl", F.col("qs.ppl"))
+        .withColumn("drop_reasons", F.col("qs.drop_reasons"))
+        .withColumn("keep", F.size("qs.drop_reasons") == 0)
+        .withColumn("detections", F.col("qs.detections"))
         .withColumn(
             # toxicity-scrub composition (north_star): kept docs get residual
             # lexicon hits masked AFTER the PII scrub — JVM regexp_replace,
@@ -130,10 +126,10 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             # hit threshold never reach here (dropped by rule_toxicity).
             "scrubbed_text",
             F.when(
-                F.col("keep"), mask_toxicity_column(F.col("ds.scrubbed_text"))
+                F.col("keep"), mask_toxicity_column(F.col("qs.scrubbed_text"))
             ).otherwise(F.lit(None)),
         )
-        .drop("ds")
+        .drop("qs")
     )
     df = df.withColumn("n_entities_scrubbed", F.size("detections"))
     return df
@@ -207,15 +203,24 @@ def run_pipeline(
 
     raw = spark.read.parquet(pages_path)
     pages = with_bucket(raw, cfg)
-    # The heavy Arrow-UDF work must be spread over >= ~2 tasks/core. If the
-    # scan's natural split (files / row groups) is already fine-grained, the
-    # extra exchange is pure cost (measured ~7s for 50k docs: row
-    # serialization of html+text through the shuffle); only repartition when
-    # the input layout is coarser than the target parallelism.
+    # The heavy Arrow-UDF stage needs >= ~2 tasks/core or the run quantizes
+    # into partial waves (measured: a 9-partition scan on 8 cores = 2 waves
+    # with 7 cores idle in wave 2 — it silently cost ~25% of the round-1
+    # scaling efficiency, because Spark's file bin-packing produces as few
+    # as defaultParallelism+1 partitions for a many-small-files corpus).
+    # If the scan's natural split is already fine-grained, skip the exchange
+    # (measured ~7s for 50k docs: row serialization of html+text through the
+    # shuffle); repartition only when the scan is coarser than 2 tasks/core.
+    # Callers who can size the scan itself should prefer
+    # spark.sql.files.maxPartitionBytes ~= input_bytes / (4 * cores)
+    # (shuffle-free — what bench.py does).
+    # n_parts stays <= buckets-per-group (the repartition keys on "bucket",
+    # which cannot yield more non-empty partitions than distinct buckets);
+    # size num_buckets >= groups * 2 * cores for full parallelism.
     scan_parts = raw.rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
     n_parts = max(1, cfg.num_buckets // cfg.groups)
-    target = min(n_parts, 2 * spark.sparkContext.defaultParallelism)
-    need_repartition = scan_parts < max(2, target // 2)
+    need_repartition = scan_parts < min(n_parts, 2 * par)
 
     for gid in range(cfg.groups):
         if gid in done:

@@ -583,36 +583,74 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ===========================================================================
-# PII pipeline queries (non-SQL-expressible → rows-only driver check;
-# value-level correctness pinned by pytest against the pure-Python oracle)
+# PII pipeline queries. The driver's documents table contains no PII at all
+# (verified: zero email/ip/url/date-shaped substrings at sf0.01), so every
+# detection query runs over the deterministic 500-page planted-PII corpus
+# instead — the same single parquet file the DuckDB oracle reads via
+# read_parquet(), so the value-level differential runs on identical input.
+# Full-bank queries stay rows-only (context boost + conflict resolution are
+# not SQL-expressible; pytest pins them byte-identically); the subset-count
+# query below carries a full DuckDB value oracle.
 # ===========================================================================
+
+N_ORACLE_PAGES = 500
+
+# bank entity types whose pattern sets are RE2-safe and conflict-free on the
+# pages corpus — the SQL-checkable detection subset for pii_subset_counts
+PII_SQL_ENTITIES = ["EMAIL_ADDRESS", "IP_ADDRESS", "DATE_TIME"]
+
+
+def oracle_pages_path() -> str:
+    from ..testing.corpus import ensure_pages_parquet
+
+    return ensure_pages_parquet(N_ORACLE_PAGES)
+
+
+def _pages(spark: SparkSession) -> DataFrame:
+    df = spark.read.parquet(oracle_pages_path()).select("url", "text")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_pii_detections(spark, sf_dir):
-    d = _t_wide(spark, sf_dir, "documents")
+    d = _pages(spark)
     detect = make_detect_udf()
     return (
         d.withColumn("d", F.explode(detect(F.col("text"))))
         .select(
-            "doc_id",
+            "url",
             F.col("d.entity_type").alias("entity_type"),
             F.col("d.start").alias("start"),
             F.col("d.end").alias("end"),
             F.round(F.col("d.score"), 4).alias("score"),
             F.col("d.pattern_name").alias("pattern_name"),
         )
-        .orderBy("doc_id", "start", "end", "entity_type")
+        .orderBy("url", "start", "end", "entity_type")
     )
 
 
 def q_pii_entity_counts(spark, sf_dir):
-    d = _t_wide(spark, sf_dir, "documents")
+    d = _pages(spark)
     detect = make_detect_udf()
     return (
         d.select(F.explode(detect(F.col("text"))).alias("d"))
         .groupBy(F.col("d.entity_type").alias("entity_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("entity_type")
+    )
+
+
+def q_pii_subset_counts(spark, sf_dir):
+    """Per-page per-type detection counts from the PYTHON recognizer bank,
+    restricted to the RE2-expressible subset — the value-level DuckDB gate on
+    the bank itself (the oracle re-counts with the bank's own regex strings
+    over the same parquet). Zero-count groups are absent on both sides."""
+    d = _pages(spark)
+    detect = make_detect_udf(entities=PII_SQL_ENTITIES)
+    return (
+        d.select("url", F.explode(detect(F.col("text"))).alias("d"))
+        .groupBy("url", F.col("d.entity_type").alias("entity_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("url", "entity_type")
     )
 
 
@@ -633,13 +671,9 @@ def q_pii_scrub(spark, sf_dir):
 
 def q_pii_scrub_pages(spark, sf_dir):
     """Detection + relationship scrub over the synthetic PII-bearing pages
-    corpus (the driver's documents table contains no PII — this query
-    exercises the full recognizer bank on planted entities; values are pinned
+    corpus (full recognizer bank on planted entities; values are pinned
     byte-identically by pytest against the pure-Python oracle)."""
-    from ..testing.corpus import pages_df
-
-    pdf = pages_df(500)[["url", "text"]]
-    d = spark.createDataFrame(pdf)
+    d = _pages(spark)
     detect = make_detect_udf()
     scrub = make_scrub_udf()
     return (
@@ -713,6 +747,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "pii_detections": q_pii_detections,
     "pii_entity_counts": q_pii_entity_counts,
+    "pii_subset_counts": q_pii_subset_counts,
     "pii_scrub": q_pii_scrub,
     "pii_scrub_pages": q_pii_scrub_pages,
     "quality_pipeline": q_quality_pipeline,

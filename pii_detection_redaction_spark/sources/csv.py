@@ -48,24 +48,35 @@ def redact_csv(
     'summary': per-entity-type counts}."""
     value_cols = [c for c in df.columns if c != ROW_ID]
     long = unpivot_cells(df, ROW_ID, value_cols)
+    # detect_cells keeps every (row, col) pair alive (empty cells gated, not
+    # filtered), so the long frame alone carries everything reassembly needs.
     detected = detect_cells(long, entities=entities, min_score=min_score)
     detections = cell_detections_long(detected, ROW_ID)
     redacted_long = redact_cells(
         detected, use_entity_labels=use_entity_labels, redaction_char=redaction_char
     ).select(ROW_ID, "col_name", "redacted_cell")
 
-    # reassemble wide: join redacted cells back; untouched cells keep originals
-    wide = df
-    for c in value_cols:
-        repl = redacted_long.filter(F.col("col_name") == c).select(
-            ROW_ID, F.col("redacted_cell").alias(f"__red_{c}")
+    # Single-shuffle wide reassembly: one groupBy(row) builds a col->cell map
+    # per row, columns project out of the map. Exchange count is 1 regardless
+    # of column count (the former per-column join chain was N shuffles for an
+    # N-column CSV — plan-shape test pins the new shape).
+    wide = (
+        redacted_long.groupBy(ROW_ID)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("col_name", "redacted_cell"))
+            ).alias("__cells")
         )
-        wide = wide.join(repl, ROW_ID, "left").withColumn(
-            c, F.coalesce(F.col(f"__red_{c}"), F.col(c))
-        ).drop(f"__red_{c}")
+        .select(
+            *[
+                F.element_at(F.col("__cells"), F.lit(c)).alias(c)
+                for c in value_cols
+            ]
+        )
+    )
 
     return {
-        "redacted": wide.drop(ROW_ID),
+        "redacted": wide,
         "detections": detections,
         "summary": detection_summary(detections, ROW_ID),
     }

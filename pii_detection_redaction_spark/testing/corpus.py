@@ -40,7 +40,7 @@ _TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 # bump on any generator change — cache keys (tests/_data, bench corpus) embed it
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 SURNAMES = (
     "Smith Johnson Williams Brown Jones Garcia Miller Davis Rodriguez "
@@ -143,6 +143,9 @@ def _pii_snippets(rng: random.Random) -> List[str]:
         f"Mr. {name} visited on 2025-0{rng.randint(1,9)}-1{rng.randint(0,9)}.",
         f"Server logs show ip {rng.randint(10,250)}.{rng.randint(0,255)}"
         f".{rng.randint(0,255)}.{rng.randint(1,254)} accessed the portal.",
+        f"Invoices go to {rng.choice(SURNAMES)} Consulting Pty Ltd each month.",
+        f"Deliver to {rng.randint(1,250)} {rng.choice(SURNAMES)} Street, "
+        f"{rng.choice(('Sydney', 'Melbourne', 'Brisbane', 'Perth'))}.",
     ]
     return [rng.choice(opts)]
 
@@ -301,4 +304,20 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED, n_files: int = 1) -
         sl = table.slice(i * step, step)
         if sl.num_rows:
             pq.write_table(sl, os.path.join(path, f"part-{i:04d}.parquet"))
+    return path
+
+
+def ensure_pages_parquet(n: int = 500) -> str:
+    """Deterministic single-file pages parquet under the repo's _data/ cache,
+    written on first use (pandas/pyarrow only — no Spark needed). Both the
+    Spark catalog queries and the DuckDB oracle SQL (via read_parquet) read
+    THIS file, so the differential runs over byte-identical input."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data = os.path.join(repo, "_data")
+    os.makedirs(data, exist_ok=True)
+    path = os.path.join(data, f"pages_oracle_v{CORPUS_VERSION}_{n}.parquet")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n)
     return path

@@ -267,3 +267,24 @@ def test_new_datetime_and_phone_formats():
     dets = analyze("Meeting 14-02-2025 at 9:45 pm, call 02 9876 5432.")
     names = {d.pattern_name for d in dets}
     assert {"date_dashed", "time_of_day", "phone_landline_domestic"} <= names
+
+
+def test_safe_filename():
+    from pii_detection_redaction_spark.core.sanitize import safe_filename
+
+    assert safe_filename('a<b>c:d"e/f\\g|h?i*j.txt') == "a_b_c_d_e_f_g_h_i_j.txt"
+    assert safe_filename("plain-name_ok.parquet") == "plain-name_ok.parquet"
+
+
+def test_org_address_location_heuristics():
+    """Deterministic ORG/ADDRESS/LOCATION spec closing the spaCy taxonomy
+    (entity_config.py:71-72; severity rows exist for all three)."""
+    dets = analyze("Invoices from Acme Widgets Pty Ltd were sent.")
+    assert [
+        ("ORGANIZATION", "Acme Widgets Pty Ltd")
+    ] == [(d.entity_type, "Acme Widgets Pty Ltd") for d in _by_type(dets, "ORGANIZATION")]
+    t = "Office: 12 George Street, Sydney NSW 2000."
+    types = _types(analyze(t))
+    assert {"AU_ADDRESS", "LOCATION", "AU_STATE", "AU_POSTCODE"} <= types
+    assert "LOCATION" in _types(analyze("He moved to Melbourne last week."))
+    assert not _types(analyze("plain lowercase text with ltd inside"))

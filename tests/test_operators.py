@@ -116,8 +116,12 @@ def test_csv_cell_redaction(spark):
     long = unpivot_cells(df, "row_id", ["name", "email", "notes"])
     assert long.count() == 6
     detected = detect_cells(long)
-    # empty cell skipped before the UDF
-    assert detected.filter((F.col("row_id") == 2) & (F.col("col_name") == "name")).count() == 0
+    # empty cell: the ROW survives (single-shuffle reassembly needs it) but
+    # analysis is gated — no detections
+    empty_cell = detected.filter(
+        (F.col("row_id") == 2) & (F.col("col_name") == "name")
+    ).collect()
+    assert len(empty_cell) == 1 and empty_cell[0]["detections"] == []
     dets = cell_detections_long(detected, "row_id")
     types = {r["entity_type"] for r in dets.collect()}
     assert "EMAIL_ADDRESS" in types and "AU_TFN" in types
@@ -359,3 +363,20 @@ def test_bin_range_join_overlapping_intervals_random(spark):
     out = bin_range_join(p, iv, "x", "lo", "hi", bin_size=5.0)
     got = sorted((r["pid"], r["iid"]) for r in out.collect())
     assert got == expected and len(got) > 100
+
+
+def test_connected_components_round_count(spark):
+    """Pointer jumping contracts paths exponentially: a 64-vertex chain must
+    converge in O(log n) rounds (min-label alone needs ~63), and labels must
+    still be the component-min ids."""
+    from pii_detection_redaction_spark.operators.graph import (
+        connected_components_with_rounds,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_with_rounds(chain)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert rounds <= 8, rounds

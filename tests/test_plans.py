@@ -147,3 +147,26 @@ def test_langid_expr_bit_identical(spark, sf001_dir):
     }
     for _, r in pdf.iterrows():
         assert got[r.url] == detect_language(r.text), r.url
+
+
+def test_csv_reassembly_single_shuffle_any_width(spark, tmp_path):
+    """Wide reassembly is ONE Exchange (groupBy row -> map rebuild) no matter
+    how many columns the CSV has — the former per-column join chain was one
+    shuffle per column."""
+    import csv as _csv
+
+    from pii_detection_redaction_spark.sources.csv import read_csv, redact_csv
+
+    for n_cols in (3, 9):
+        path = str(tmp_path / f"wide_{n_cols}.csv")
+        header = [f"c{i}" for i in range(n_cols)]
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(header)
+            for r in range(4):
+                w.writerow([f"v{r}_{i}" for i in range(n_cols)])
+        out = redact_csv(read_csv(spark, path))["redacted"]
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") == 1, (n_cols, plan)
