@@ -480,6 +480,62 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 ORDER BY id_a
 """
 
+def _near_dup_components_sql() -> str:
+    """Near-dup clustering oracle: replays MinHash bands + exact Jaccard
+    verify relationally (same md5-portable fragments as minhash_bands /
+    jaccard_consecutive), then closes the verified edge set transitively
+    with a recursive CTE and labels each vertex with the min reachable id —
+    a full value gate on connected_components. Jaccard threshold compares
+    the raw double (int/int division — bit-identical across engines)."""
+    from .queries import NEAR_DUP_JACCARD
+
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORDS}') AS ws
+  FROM documents WHERE doc_id < 300
+), sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM docs
+), expl AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hashes AS (
+  SELECT doc_id, seed, md5_number_lower(CAST(seed AS VARCHAR) || chr(31) || s) AS h
+  FROM expl CROSS JOIN (SELECT unnest(range(16)) AS seed)
+), sig AS (
+  SELECT doc_id, seed, min(h) AS m FROM hashes GROUP BY doc_id, seed
+), band AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band_idx,
+    md5_number_lower(string_agg(CAST(m AS VARCHAR), chr(31) ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sset AS (
+  SELECT doc_id, list_distinct(shingles) AS ss FROM sh
+), ver AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sset a ON a.doc_id = id_a JOIN sset b ON b.doc_id = id_b
+  WHERE (CASE WHEN len(a.ss) = 0 AND len(b.ss) = 0 THEN 1.0
+              WHEN len(a.ss) = 0 OR len(b.ss) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.ss, b.ss))) END)
+        >= {NEAR_DUP_JACCARD}
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION SELECT id_b, id_a FROM ver
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["near_dup_components"] = _near_dup_components_sql()
+
 _DOT = "list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
 _INORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
 _QNORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"

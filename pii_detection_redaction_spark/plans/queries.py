@@ -498,6 +498,28 @@ def q_jaccard_consecutive(spark, sf_dir):
     return D.jaccard_verify_pairs(d, pairs, threshold=-1.0).orderBy("id_a")
 
 
+# near-dup clustering: verify threshold shared with the DuckDB oracle
+NEAR_DUP_JACCARD = 0.5
+
+
+def q_near_dup_components(spark, sf_dir):
+    """The full near-dup clustering pass as one query: MinHash-LSH band
+    candidates → exact 3-gram Jaccard verify → connected components
+    (operators.graph pointer-jumping min-label). The DuckDB oracle replays
+    candidates+verify relationally and closes transitively with a recursive
+    CTE — a value-level gate on the iterative graph algorithm itself."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cand = D.minhash_candidate_pairs(d)
+    ver = D.jaccard_verify_pairs(d, cand, threshold=NEAR_DUP_JACCARD)
+    comps = connected_components(ver.select("id_a", "id_b"))
+    return comps.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors 0-4 (exact ANN baseline)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -737,6 +759,7 @@ QUERIES = {
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
     "jaccard_consecutive": q_jaccard_consecutive,
+    "near_dup_components": q_near_dup_components,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
