@@ -60,14 +60,18 @@ def test_dedup_exact_is_semi_join(spark, sf001_dir):
 
 
 def test_pipeline_core_shuffle_free(spark, pages_small):
-    """extract→langid→ppl→quality→detect→scrub is one narrow pipeline: the
-    only Exchange allowed is none (repartition happens later, at the sink)."""
+    """extract→quality-metrics→fused(langid+ppl+rules+detect+scrub) is one
+    narrow pipeline: no Exchange, and exactly ONE Arrow-vectorized Python
+    stage (the round-2 fusion — text crosses the Arrow boundary once)."""
     pages = spark.read.parquet(pages_small)
     out = transform_pages(pages, PipelineConfig(num_buckets=8, groups=1))
     plan = _plan(out)
     assert "Exchange" not in plan
-    assert "ArrowEvalPython" in plan  # UDF stages are Arrow-vectorized
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("ArrowEvalPython") == 1, simple
 
 
 def test_asof_join_single_core_shuffle(spark, sf001_dir):
