@@ -68,7 +68,9 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "severity_rollup",
+    "near_dup_components",
     "pii_entity_counts",
+    "pii_subset_counts",
     "pii_scrub",
     "quality_pipeline",
 ]
