@@ -204,76 +204,6 @@ def make_perplexity_udf():
     return ppl_udf
 
 
-LANG_PPL_TYPE = T.StructType(
-    [
-        T.StructField("lang", T.StringType()),
-        T.StructField("conf", T.DoubleType()),
-        T.StructField("ppl", T.DoubleType()),
-    ]
-)
-
-
-def make_langid_ppl_udf():
-    """Fused text -> (lang, conf, ppl): one Arrow round-trip instead of two
-    chained eval nodes. Same functions as the separate UDFs — outputs are
-    bit-identical to the oracle either way."""
-    models = _lm.all_models()
-    fallback = models["en"]
-
-    @pandas_udf(LANG_PPL_TYPE)
-    def langid_ppl_udf(texts: pd.Series) -> pd.DataFrame:
-        lid = langid_batch(texts)
-        out = np.empty(len(texts), dtype=np.float64)
-        frame = pd.DataFrame(
-            {"t": texts.fillna("").to_numpy(), "l": lid["lang"].to_numpy()}
-        )
-        for lang, grp in frame.groupby("l", sort=False):
-            model = models.get(lang, fallback)
-            for pos, t in zip(grp.index.to_numpy(), grp["t"].to_numpy()):
-                out[pos] = model.perplexity(t)
-        lid["ppl"] = out
-        return lid
-
-    return langid_ppl_udf
-
-
-DETECT_SCRUB_TYPE = T.StructType(
-    [
-        T.StructField("detections", DETECTIONS_TYPE),
-        T.StructField("scrubbed_text", T.StringType()),
-    ]
-)
-
-
-def make_detect_scrub_udf(
-    entities: Optional[Sequence[str]] = None,
-    min_score: float = 0.0,
-    size: int = _chunker.DEFAULT_CHUNK_SIZE,
-    overlap: int = _chunker.DEFAULT_CHUNK_OVERLAP,
-    mode: str = "relationship",
-):
-    """Fused text -> (detections, scrubbed_text): the detection spans feed
-    the scrubber in-process, so the text crosses the Arrow boundary once."""
-    ent = list(entities) if entities else None
-
-    @pandas_udf(DETECT_SCRUB_TYPE)
-    def detect_scrub_udf(texts: pd.Series) -> pd.DataFrame:
-        dets_out, scrub_out = [], []
-        for t in texts:
-            if not t:
-                dets_out.append([])
-                scrub_out.append(t if t is not None else None)
-                continue
-            dets = _chunker.analyze_long_text(
-                t, size=size, overlap=overlap, min_score=min_score, entities=ent
-            )
-            dets_out.append([d.as_tuple() for d in dets])
-            scrub_out.append(_scrub.scrub_document(t, dets, mode=mode))
-        return pd.DataFrame({"detections": dets_out, "scrubbed_text": scrub_out})
-
-    return detect_scrub_udf
-
-
 QUALITY_SCRUB_TYPE = T.StructType(
     [
         T.StructField("lang", T.StringType()),

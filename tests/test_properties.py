@@ -126,3 +126,68 @@ def test_toxicity_mask_properties(text):
     # span count == mask-insert count (no pre-existing masks in generated text)
     if TOXIC_MASK not in text:
         assert masked.count(TOXIC_MASK) == len(toxicity_spans(text))
+
+
+_name_first = st.sampled_from(["Jane", "Walter", "Mary", "Olivia", "Henry"])
+_name_last = st.sampled_from(["Doe", "Plinge", "Quant", "Baker", "Ford"])
+_filler_word = st.sampled_from(
+    ["the", "report", "was", "filed", "on", "time", "and", "sent", "to", "all"]
+)
+_filler = st.lists(_filler_word, min_size=3, max_size=12).map(" ".join)
+
+
+@given(_name_first, _name_last, _filler, _filler)
+@settings(max_examples=40, deadline=None)
+def test_repeated_name_propagation_properties(first, last, f1, f2):
+    """Invariants of the repeated-name machinery: every propagated span is a
+    case-insensitive variant of a detected person name, never overlaps
+    another detection, and the scrubbed output contains no bare occurrence
+    of any detected name."""
+    import re
+
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.entities import PERSON_TYPES
+    from pii_detection_redaction_spark.core.recognizers import name_variants
+    from pii_detection_redaction_spark.core.scrub import scrub_document
+    from pii_detection_redaction_spark.core.spans import spans_overlap
+
+    name = f"{first} {last}"
+    text = (
+        f"Dr {name} arrived. {f1}. "
+        f"Later {name.lower()} spoke, then {last}, {first} signed. {f2}."
+    )
+    dets = analyze_long_text(text)
+    persons = [d for d in dets if d.entity_type in PERSON_TYPES]
+    assert persons, text
+    variants = set()
+    for d in persons:
+        if d.entity_type != "REPEATED_NAME":
+            variants.update(name_variants(text[d.start : d.end]))
+    for d in dets:
+        if d.entity_type != "REPEATED_NAME":
+            continue
+        # 1. every propagated span is a known variant (case-insensitive)
+        assert text[d.start : d.end].lower() in variants, text[d.start : d.end]
+        # 2. no overlap with any other detection
+        for e in dets:
+            if e is not d:
+                assert not spans_overlap(d.start, d.end, e.start, e.end)
+    # 3. the scrub leaves no bare occurrence of the full name
+    out = scrub_document(text, dets)
+    assert not re.search(re.escape(name), out, re.IGNORECASE), out
+
+
+@given(st.text(alphabet=string.ascii_letters + " .,:;", max_size=60),
+       st.integers(0, 60), st.integers(0, 60))
+@settings(max_examples=120, deadline=None)
+def test_trim_person_span_properties(text, a, b):
+    """trim_person_span never widens beyond the label-colon rule, always
+    lands inside the original text, and is idempotent."""
+    from pii_detection_redaction_spark.core.recognizers import trim_person_span
+
+    s, e = sorted((min(a, len(text)), min(b, len(text))))
+    ts, te = trim_person_span(text, s, e)
+    assert 0 <= ts <= len(text) and te <= e  # end only ever shrinks
+    if te > ts:
+        ts2, te2 = trim_person_span(text, ts, te)
+        assert (ts2, te2) == (ts, te)  # idempotent on its own output
