@@ -156,8 +156,16 @@ def test_corpus_free_of_re2_boundary_divergence():
     from pii_detection_redaction_spark.core.quality import STOPWORD_REGEX
     from pii_detection_redaction_spark.core.toxicity import TOXICITY_REGEX
 
-    for pattern in (TOXICITY_REGEX, STOPWORD_REGEX):
+    from pii_detection_redaction_spark.core.recognizers import default_bank
+    from pii_detection_redaction_spark.plans.queries import PII_SQL_ENTITIES
+
+    bank = {s.entity_type: s for s in default_bank()}
+    patterns = [TOXICITY_REGEX, STOPWORD_REGEX]
+    # the pii_subset_counts oracle re-counts with these bank regexes in RE2
+    patterns += [p.regex for et in PII_SQL_ENTITIES for p in bank[et].patterns]
+    texts = list(pages_df(2000).text)
+    for pattern in patterns:
         uni = re.compile(pattern)
         ascii_ = re.compile(pattern, re.ASCII)
-        for text in pages_df(2000).text:
-            assert len(uni.findall(text)) == len(ascii_.findall(text))
+        for text in texts:
+            assert len(uni.findall(text)) == len(ascii_.findall(text)), pattern
