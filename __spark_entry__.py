@@ -39,6 +39,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pii_detection_redaction_spark.plans.oracles import ORACLE_SQL
+    from pii_detection_redaction_spark.plans.oracles import all_oracles
 
-    return dict(ORACLE_SQL)
+    return all_oracles()

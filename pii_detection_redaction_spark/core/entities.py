@@ -146,10 +146,21 @@ def expand_entities(entities: Optional[Iterable[str]]) -> Optional[Set[str]]:
     """Expand a user entity request into a concrete type set: each element is
     either a group name (reference ``--entities financial`` style subsetting
     over AU_ENTITY_GROUPS) or a literal entity type. None stays None (= all).
+
+    ``PERSON`` expands to the whole person class (PERSON_WITH_TITLE /
+    PERSON_AFTER_GREETING / REPEATED_NAME included): before the round-2 type
+    split those patterns all emitted PERSON, and a user asking to scrub
+    "PERSON" means person names — silently narrowing that request to the
+    gazetteer pattern alone would be a recall regression (a titled
+    non-gazetteer name would sail through). Request a literal
+    ``PERSON_WITH_TITLE`` etc. for type-precise subsetting.
     """
     if entities is None:
         return None
     out: Set[str] = set()
     for name in entities:
-        out.update(ENTITY_GROUPS.get(name, (name,)))
+        if name == "PERSON":
+            out.update(PERSON_TYPES)
+        else:
+            out.update(ENTITY_GROUPS.get(name, (name,)))
     return out

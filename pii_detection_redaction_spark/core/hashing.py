@@ -61,8 +61,11 @@ def shingles(text: str, k: int = 3) -> List[str]:
 def minhash_signature(text: str, num_hashes: int = 16, k: int = 3) -> List[int]:
     """MinHash signature: ``sig[i] = min over shingles of hash64(i<SEP>sh)``.
 
-    Empty documents get the max hash in every slot (never collide with real
-    content).
+    Empty documents get the max hash in every slot — they never collide with
+    real content, but every empty doc collides with every OTHER empty doc
+    (all-sentinel signatures are identical). Near-dup consumers must filter
+    zero-content docs upstream if empty-empty clustering is unwanted
+    (plans.queries.q_near_dup_components does).
     """
     sh = shingles(text, k)
     if not sh:

@@ -588,12 +588,20 @@ def trim_person_span(text: str, start: int, end: int) -> tuple:
     """Person-span hygiene (reference ``pdf_redactor/analyzer.py:186-198``):
     if only whitespace separates the span from a preceding ``label:`` colon,
     re-anchor the start just past the colon (skipping whitespace), then strip
-    trailing ``.,;:``. Returns (start, end); end <= start means drop."""
-    prefix = text[:start].rstrip()
-    if prefix.endswith(":"):
-        start = len(prefix)  # char right after the colon
-        while start < end and text[start].isspace():
-            start += 1
+    trailing ``.,;:``. Returns (start, end); end <= start means drop.
+
+    Implemented as backward index scans — no ``text[:start]`` copy; this
+    runs per person/org match inside the Arrow UDF hot path. For regex-born
+    spans (start at a non-space char) the colon branch re-derives the same
+    start; it only moves spans whose callers pass a whitespace-leading
+    start, matching the reference's rstrip/rfind arithmetic exactly."""
+    i = start
+    while i > 0 and text[i - 1].isspace():
+        i -= 1
+    if i > 0 and text[i - 1] == ":":
+        while i < end and text[i].isspace():
+            i += 1
+        start = i
     while end > start and text[end - 1] in _PUNCT_TRIM:
         end -= 1
     return start, end

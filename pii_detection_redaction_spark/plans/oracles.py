@@ -492,7 +492,8 @@ def _near_dup_components_sql() -> str:
     return f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_WORDS}') AS ws
-  FROM documents WHERE doc_id < 300
+  FROM documents
+  WHERE doc_id < 300 AND len(regexp_extract_all(text, '{_NONSPACE}')) > 0
 ), sh AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM docs
 ), expl AS (
@@ -725,7 +726,14 @@ FROM long WHERE n > 0 ORDER BY url, entity_type
 """
 
 
-ORACLE_SQL["pii_subset_counts"] = _pii_subset_counts_sql()
+def all_oracles() -> dict:
+    """Full oracle map. ``pii_subset_counts`` is assembled here rather than
+    at module import: building it materializes the 500-page oracle parquet
+    (so DuckDB's read_parquet always finds it) and bakes in its absolute
+    path — a filesystem side effect importers of this module must not pay."""
+    d = dict(ORACLE_SQL)
+    d["pii_subset_counts"] = _pii_subset_counts_sql()
+    return d
 
 
 def _mm_u16(src: str, i: int) -> str:

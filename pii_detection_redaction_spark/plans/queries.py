@@ -510,7 +510,16 @@ def q_near_dup_components(spark, sf_dir):
     CTE — a value-level gate on the iterative graph algorithm itself."""
     from ..operators.graph import connected_components
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # exclude zero-content docs on BOTH engines: every empty doc shares the
+    # degenerate all-sentinel MinHash signature (hashing.minhash_signature of
+    # no shingles), so Spark would link them into one giant cluster while
+    # the oracle's unnest(shingles) silently drops them — \S-count is
+    # byte-identical across Java regex and RE2
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .filter(F.regexp_count("text", F.lit(r"\S")) > 0)
+    )
     cand = D.minhash_candidate_pairs(d)
     ver = D.jaccard_verify_pairs(d, cand, threshold=NEAR_DUP_JACCARD)
     comps = connected_components(ver.select("id_a", "id_b"))

@@ -288,3 +288,23 @@ def test_org_address_location_heuristics():
     assert {"AU_ADDRESS", "LOCATION", "AU_STATE", "AU_POSTCODE"} <= types
     assert "LOCATION" in _types(analyze("He moved to Melbourne last week."))
     assert not _types(analyze("plain lowercase text with ltd inside"))
+
+
+def test_person_alias_expands_to_person_class():
+    """entities=['PERSON'] must keep catching titled/greeted/repeated names
+    (pre-split those patterns were PERSON — narrowing the request to the
+    gazetteer alone would be a silent recall regression)."""
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.entities import (
+        PERSON_TYPES,
+        expand_entities,
+    )
+
+    assert expand_entities(["PERSON"]) == set(PERSON_TYPES)
+    text = "Dr Zanthippe Quorl approved it. Later zanthippe quorl left."
+    dets = analyze_long_text(text, entities=["PERSON"])
+    got = {d.entity_type for d in dets}
+    assert {"PERSON_WITH_TITLE", "REPEATED_NAME"} <= got
+    # precise typed subsetting still possible with literal type names
+    only_title = analyze_long_text(text, entities=["PERSON_WITH_TITLE"])
+    assert {d.entity_type for d in only_title} == {"PERSON_WITH_TITLE"}
