@@ -230,7 +230,9 @@ def _idlest_cpus(n: int, sample_s: float = 1.0) -> set:
     a = busy(); _t.sleep(sample_s); b = busy()
     load = {c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1]) for c in b}
     allowed = sorted(os.sched_getaffinity(0))
-    ranked = sorted(allowed, key=lambda c: (load.get(c, 1.0), c))
+    # tie-break toward HIGH cpu ids: kernel threads, irq handling, and
+    # system daemons statistically favor low-numbered CPUs
+    ranked = sorted(allowed, key=lambda c: (load.get(c, 1.0), -c))
     return set(ranked[:n])
 
 

@@ -169,3 +169,24 @@ def test_corpus_free_of_re2_boundary_divergence():
         ascii_ = re.compile(pattern, re.ASCII)
         for text in texts:
             assert len(uni.findall(text)) == len(ascii_.findall(text)), pattern
+
+
+def test_documents_table_free_of_langid_re2_divergence(sf001_dir):
+    """The langid_documents DuckDB oracle evaluates the stopword patterns in
+    RE2, whose ASCII \\b cannot match accented stopwords (für/être/más...:
+    measured 'das ist für alle...' counts 6 in Python/Java but 5 in RE2).
+    The differential stays exact because the driver's documents corpus
+    contains no accented-stopword occurrences — freeze that precondition so
+    a corpus change fails loudly here instead of flaking the oracle."""
+    import re
+
+    import pandas as pd
+
+    from pii_detection_redaction_spark.core.langid import STOPWORD_PATTERNS
+
+    texts = pd.read_parquet(f"{sf001_dir}/documents.parquet", columns=["text"])["text"]
+    for pattern in STOPWORD_PATTERNS.values():
+        uni = re.compile("(?i)" + pattern)
+        ascii_ = re.compile("(?i)" + pattern, re.ASCII)
+        for text in texts:
+            assert len(uni.findall(text)) == len(ascii_.findall(text))
