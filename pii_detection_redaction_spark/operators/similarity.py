@@ -21,14 +21,13 @@ Two paths, as a scale story:
 
 from __future__ import annotations
 
-import math
-import random
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SEED = 42
+from ..core.hashing import LSH_SEED as SEED
+from ..core.hashing import lsh_hyperplanes as _hyperplanes
 
 
 def _dot(a, b):
@@ -51,9 +50,20 @@ def _norm(a):
     )
 
 
+def _cosine_from(dot, na, nb):
+    """cosine from a precomputed dot and the two norms; NULL (not NaN) when
+    either vector is all-zeros — Spark orders NaN ABOVE every double and
+    treats NaN >= t as true, so an unguarded zero vector would rank #1 for
+    every query and flood near-dup output; NULL sorts last under desc and
+    fails every threshold filter (matching DuckDB, where NaN comparisons are
+    false)."""
+    return F.when((na > 0.0) & (nb > 0.0), dot / (na * nb))
+
+
 def cosine_sim_col(a, b):
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<float/double> columns, JVM-side;
+    NULL when either norm is zero (see _cosine_from)."""
+    return _cosine_from(_dot(a, b), _norm(a), _norm(b))
 
 
 def cosine_topk_bruteforce(
@@ -64,15 +74,26 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast).
+    Norms are computed once per ROW before the join (not once per pair —
+    bit-identical doubles, a third of the FLOPs on the O(n x q) hot path)."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
     )
     joined = items.select(
-        F.col(id_col), F.col(vec_col).alias("__ivec")
+        F.col(id_col),
+        F.col(vec_col).alias("__ivec"),
+        _norm(F.col(vec_col)).alias("__inorm"),
     ).crossJoin(F.broadcast(q))
     scored = joined.withColumn(
-        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+        "cosine",
+        _cosine_from(
+            _dot(F.col("__ivec"), F.col("__qvec")),
+            F.col("__inorm"),
+            F.col("__qnorm"),
+        ),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -82,11 +103,6 @@ def cosine_topk_bruteforce(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
-
-
-def _hyperplanes(dim: int, nbits: int, seed: int = SEED) -> List[List[float]]:
-    rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
 
 
 def lsh_bucket_col(vec_col, dim: int, nbits: int = 8, seed: int = SEED):
@@ -110,11 +126,15 @@ def cosine_near_dup_pairs(
     >= threshold. O(n²) self-join — the correctness baseline; use
     ``cosine_near_dup_lsh`` at scale. Threshold compares the 6dp-rounded
     cosine so the decision is engine-stable (matches the DuckDB oracle)."""
-    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                     _norm(F.col(vec_col)).alias("__na"))
+    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                     _norm(F.col(vec_col)).alias("__nb"))
+    cos = _cosine_from(_dot(F.col("__va"), F.col("__vb")),
+                       F.col("__na"), F.col("__nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_sim_col(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -133,17 +153,25 @@ def cosine_near_dup_lsh(
     bucket, no n² blowup), then verified with the exact cosine. Recall < 1 by
     construction (cross-bucket pairs are missed); raise recall by lowering
     nbits or unioning several seeds. This is the 100-TB path: per-bucket
-    candidate count shrinks ~2^nbits."""
+    candidate count shrinks ~2^nbits.
+
+    No dedup stage: every vector has exactly ONE bucket key, so the bucket
+    equi-join can emit each (id_a, id_b) at most once — a dropDuplicates
+    here would be a dead Exchange + HashAggregate over the whole output
+    (re-add it only for a future multi-seed union variant)."""
     wb = items.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
-    a = wb.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = wb.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = wb.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  _norm(F.col(vec_col)).alias("__na"))
+    b = wb.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  _norm(F.col(vec_col)).alias("__nb"))
+    cos = _cosine_from(_dot(F.col("__va"), F.col("__vb")),
+                       F.col("__na"), F.col("__nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_sim_col(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -231,17 +259,24 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: bucket join then exact re-rank within the bucket."""
+    """Approximate top-k: bucket join then exact re-rank within the bucket.
+    Norms precomputed per row, not per pair (see cosine_topk_bruteforce)."""
     ib = items.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
     qb = queries.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, nbits))
     q = qb.select(
-        F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
     )
-    cand = ib.select(F.col(id_col), "bucket", F.col(vec_col).alias("__ivec")).join(
-        F.broadcast(q), "bucket"
-    )
+    cand = ib.select(
+        F.col(id_col), "bucket", F.col(vec_col).alias("__ivec"),
+        _norm(F.col(vec_col)).alias("__inorm"),
+    ).join(F.broadcast(q), "bucket")
     scored = cand.withColumn(
-        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+        "cosine",
+        _cosine_from(
+            _dot(F.col("__ivec"), F.col("__qvec")),
+            F.col("__inorm"), F.col("__qnorm"),
+        ),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -575,10 +575,11 @@ def _lsh_topk_sql() -> str:
     """Oracle for embedding_lsh_topk: the bucket key is plain arithmetic —
     sign bits of dot(embedding, hyperplane_i) with the SAME deterministic
     seeded hyperplanes embedded as literals (operators.similarity
-    _hyperplanes(seed=42)); re-rank is the exact cosine inside the bucket."""
-    from ..operators.similarity import _hyperplanes
+    core.hashing.lsh_hyperplanes, seed 42); re-rank is the exact cosine
+    inside the bucket."""
+    from ..core.hashing import lsh_hyperplanes
 
-    planes = _hyperplanes(dim=64, nbits=4)
+    planes = lsh_hyperplanes(dim=64, nbits=4)
     bucket = " + ".join(
         f"(CASE WHEN {_dot_lit('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)

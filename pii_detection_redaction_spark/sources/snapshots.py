@@ -7,9 +7,11 @@ a manifest that makes them visible):
 
 - data lives under ``root/data/group=<gid>/`` — one directory per committed
   bucket-group (the commit unit);
-- a commit writes ``root/_snapshots/manifest-<N>.json`` via temp-file +
-  ``os.rename`` (atomic on POSIX) recording: snapshot id, parent id, the
-  bucket ids covered, data paths, and counter metrics;
+- a commit writes ``root/_snapshots/manifest-<N>.json`` via fsync'd temp
+  file + ``os.link`` (the POSIX compare-and-swap: publish fails loudly if a
+  concurrent committer already claimed the snapshot id, where rename would
+  silently overwrite) + directory fsync, recording: snapshot id, parent id,
+  the bucket ids covered, data paths, and counter metrics;
 - readers see exactly the union of data paths listed in manifests — an
   uncommitted/partially-written group directory is invisible;
 - resume = recompute the input's bucket-group partition, anti-filter the
@@ -18,8 +20,8 @@ a manifest that makes them visible):
   pipeline is idempotent (exactly-once per group).
 
 On a real cluster the same class works unchanged on any shared filesystem
-with atomic rename (HDFS, NFS); for S3-class stores swap the rename for a
-conditional PUT.
+with atomic link/rename (HDFS, NFS); for S3-class stores swap the link for
+a conditional PUT (If-None-Match).
 """
 
 from __future__ import annotations
@@ -91,5 +93,27 @@ class SnapshotStore:
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(snap.__dict__, f, indent=1)
-        os.rename(tmp, os.path.join(self.snap_dir, f"manifest-{sid:06d}.json"))
+            # durability before visibility: without the fsync a crash can
+            # make the publish durable while the contents are not, leaving a
+            # truncated manifest that poisons every later read/resume
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self.snap_dir, f"manifest-{sid:06d}.json")
+        try:
+            # conditional publish (the POSIX compare-and-swap): link() fails
+            # with EEXIST if another committer already published this
+            # snapshot id — rename() would silently overwrite their commit
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"snapshot {sid} already committed by a concurrent writer"
+            )
+        os.unlink(tmp)
+        # make the directory entry itself durable
+        dfd = os.open(self.snap_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return snap

@@ -380,3 +380,28 @@ def test_connected_components_round_count(spark):
     got = {r["id"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(64)}
     assert rounds <= 8, rounds
+
+
+def test_zero_vector_never_ranks_or_matches(spark):
+    """A zero-norm embedding yields NULL cosine (not NaN): Spark treats NaN
+    as greater than every double, so an unguarded zero vector would rank #1
+    for every query and flood near-dup output."""
+    from pii_detection_redaction_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk_bruteforce,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(df, threshold=0.5).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in pairs)
+    assert pairs  # (0,1) is a real near-dup
+
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk_bruteforce(df, q, k=2).collect()
+    ranked = [r["vec_id"] for r in top]
+    assert ranked[0] == 1 and (2 not in ranked or ranked.index(2) > 0)
+    # the zero vector's cosine is NULL wherever it appears
+    assert all(r["cosine"] is not None or r["vec_id"] == 2 for r in top)
