@@ -50,7 +50,8 @@ def main() -> None:
     df = read_csv(spark, args.input, delimiter=args.delimiter,
                   header=not args.no_header)
     out = redact_csv(df, use_entity_labels=args.labels,
-                     min_score=args.min_score, entities=args.entities)
+                     min_score=args.min_score, entities=args.entities,
+                     cache=True)  # three sinks share the detection pass
     write_csv(out["redacted"], os.path.join(args.output, "redacted"),
               delimiter=args.delimiter, header=not args.no_header)
     detections_to_json(out["detections"]).write.mode("overwrite").text(

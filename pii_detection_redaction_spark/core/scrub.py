@@ -20,10 +20,10 @@ overlap an already-accepted span. Fixtures pin this choice.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from .relationships import mask_with_relationships
-from .spans import Detection, spans_overlap
+from .spans import Detection
 
 MASK_CHARS_TO_MASK = 100  # presidio cap used by the reference (redactor.py:111)
 
@@ -86,11 +86,12 @@ def scrub_document(
     """
     if not results:
         return text
-    keep = select_nonoverlapping(results)
     if mode == "relationship":
-        return mask_with_relationships(text, keep)
+        return mask_with_relationships(text, select_nonoverlapping(results))
     if mode == "replace":
-        return _splice(text, [(d.start, d.end, f"<{d.entity_type}>") for d in keep])
+        # replace_with_labels / mask_spans select the non-overlapping set
+        # themselves — no second pass here
+        return replace_with_labels(text, results)
     if mode == "mask":
-        return mask_spans(text, keep, masking_char=masking_char)
+        return mask_spans(text, results, masking_char=masking_char)
     raise ValueError(f"unknown scrub mode: {mode}")

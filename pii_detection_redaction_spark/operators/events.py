@@ -20,6 +20,10 @@ TRANSITION_SCHEMA = "user_id long, from_type string, to_type string, n long"
 
 
 def _transitions_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Spec: transitions with a NULL endpoint on EITHER side are excluded —
+    # pandas groupby would drop null to_type keys silently anyway, so the
+    # drop is made explicit here and mirrored in the DuckDB oracle
+    # (oracles.py event_transitions WHERE ... event_type IS NOT NULL).
     pdf = pdf.sort_values(["ts", "event_id"])
     prev = pdf["event_type"].shift(1)
     pairs = pd.DataFrame(
@@ -28,7 +32,7 @@ def _transitions_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             "from_type": prev,
             "to_type": pdf["event_type"],
         }
-    ).dropna(subset=["from_type"])
+    ).dropna(subset=["from_type", "to_type"])
     out = (
         pairs.groupby(["user_id", "from_type", "to_type"], as_index=False)
         .size()

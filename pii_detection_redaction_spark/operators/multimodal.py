@@ -53,37 +53,56 @@ def decode_image(payload: bytes):  # pragma: no cover - by design
     )
 
 
-def fake_feature_kernel(payload: bytes, dim: int = 8) -> list:
-    """Deterministic stand-in for decode+embed: md5-derived unit-norm vector.
-    Stable across executors/runs — lets tests pin exact outputs."""
-    h = hashlib.md5(payload or b"").digest()
-    vals = [int.from_bytes(h[2 * i : 2 * i + 2], "little") / 65535.0 for i in range(dim)]
+# Fake-kernel spec constants — consumed by the kernel AND injected into the
+# DuckDB oracle SQL (plans/oracles.py _multimodal_sql); never fork them.
+FAKE_DIM_MAX = 8  # md5 yields 16 bytes = 8 u16 components
+U16_SCALE = 65535.0
+
+
+def _features_from_digest(h: bytes, dim: int) -> list:
+    vals = [
+        int.from_bytes(h[2 * i : 2 * i + 2], "little") / U16_SCALE
+        for i in range(dim)
+    ]
     norm = sum(v * v for v in vals) ** 0.5 or 1.0
     return [float(v / norm) for v in vals]
+
+
+def fake_feature_kernel(payload: bytes, dim: int = FAKE_DIM_MAX) -> list:
+    """Deterministic stand-in for decode+embed: md5-derived unit-norm vector.
+    Stable across executors/runs — lets tests pin exact outputs. dim is
+    capped at FAKE_DIM_MAX: md5 has exactly 8 u16 lanes, and silently
+    zero-padding beyond them would hand downstream cosine ops degenerate
+    vectors."""
+    if not 1 <= dim <= FAKE_DIM_MAX:
+        raise ValueError(f"dim must be in [1, {FAKE_DIM_MAX}], got {dim}")
+    return _features_from_digest(hashlib.md5(payload or b"").digest(), dim)
 
 
 def extract_features(
     df: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    dim: int = 8,
-    batch_size_hint: int = 256,
+    dim: int = FAKE_DIM_MAX,
 ) -> DataFrame:
     """mapInPandas feature extraction: iterates Arrow batches, never
     materializes the whole partition; output schema is fixed
-    (FEATURE_SCHEMA). Partitioning is inherited — payloads never shuffle."""
+    (FEATURE_SCHEMA). Partitioning is inherited — payloads never shuffle.
+    Each payload is hashed ONCE; the hex id and the feature vector both
+    derive from that digest."""
+    if not 1 <= dim <= FAKE_DIM_MAX:
+        raise ValueError(f"dim must be in [1, {FAKE_DIM_MAX}], got {dim}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
+            digests = [hashlib.md5(p or b"").digest() for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "payload_md5": [
-                        hashlib.md5(p or b"").hexdigest() for p in payloads
-                    ],
+                    "payload_md5": [d.hex() for d in digests],
                     "n_bytes": [len(p or b"") for p in payloads],
-                    "feature": [fake_feature_kernel(p, dim) for p in payloads],
+                    "feature": [_features_from_digest(d, dim) for d in digests],
                 }
             )
 

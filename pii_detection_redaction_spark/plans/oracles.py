@@ -214,7 +214,7 @@ WITH x AS (
 )
 SELECT prev_type AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n
-FROM x WHERE prev_type IS NOT NULL
+FROM x WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY from_type, to_type
 """
 
@@ -738,14 +738,21 @@ def all_oracles() -> dict:
 
 
 def _mm_u16(src: str, i: int) -> str:
-    return f"CAST(({src} >> {16 * i}) & 65535 AS DOUBLE) / 65535.0"
+    from ..operators.multimodal import U16_SCALE
+
+    return f"CAST(({src} >> {16 * i}) & 65535 AS DOUBLE) / {U16_SCALE}"
 
 
 def _multimodal_sql() -> str:
-    vals = [_mm_u16("hu", i) for i in range(4)] + [_mm_u16("hl", i) for i in range(4)]
-    norm = " + ".join(f"v{i} * v{i}" for i in range(8))
+    from ..operators.multimodal import FAKE_DIM_MAX as _D
+
+    vals = [_mm_u16("hu", i) for i in range(_D // 2)] + [
+        _mm_u16("hl", i) for i in range(_D // 2)
+    ]
+    norm = " + ".join(f"v{i} * v{i}" for i in range(_D))
     fcols = ", ".join(
-        f"round(CAST(CAST(v{i} / norm AS FLOAT) AS DOUBLE), 6) AS f{i}" for i in range(8)
+        f"round(CAST(CAST(v{i} / norm AS FLOAT) AS DOUBLE), 6) AS f{i}"
+        for i in range(_D)
     )
     vdefs = ", ".join(f"{v} AS v{i}" for i, v in enumerate(vals))
     return f"""

@@ -22,6 +22,23 @@ import pandas as pd
 from ..functions.udfs import make_detect_udf, make_langid_udf
 
 
+def _scrub_series(texts: pd.Series, post=None) -> pd.Series:
+    """Shared body of the scrub SQL functions: null/empty passthrough,
+    analyze → scrub, optional post-transform (toxicity mask). One place to
+    keep chunking/scrub defaults so the two registrations cannot diverge."""
+    from ..core import chunker as _chunker
+    from ..core import scrub as _scrub
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append(t)
+            continue
+        s = _scrub.scrub_document(t, _chunker.analyze_long_text(t))
+        out.append(post(s) if post is not None else s)
+    return pd.Series(out, dtype="object")
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register ``pii_detect``, ``pii_scrub``, ``pii_scrub_all`` (PII scrub +
     toxicity mask) and ``langid`` for SQL use."""
@@ -30,32 +47,13 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @pandas_udf("string")
     def pii_scrub(texts: pd.Series) -> pd.Series:
-        from ..core import chunker as _chunker
-        from ..core import scrub as _scrub
-
-        out = []
-        for t in texts:
-            if not t:
-                out.append(t)
-                continue
-            out.append(_scrub.scrub_document(t, _chunker.analyze_long_text(t)))
-        return pd.Series(out, dtype="object")
+        return _scrub_series(texts)
 
     @pandas_udf("string")
     def pii_scrub_all(texts: pd.Series) -> pd.Series:
-        from ..core import chunker as _chunker
-        from ..core import scrub as _scrub
         from ..core.toxicity import mask_toxicity
 
-        out = []
-        for t in texts:
-            if not t:
-                out.append(t)
-                continue
-            out.append(
-                mask_toxicity(_scrub.scrub_document(t, _chunker.analyze_long_text(t)))
-            )
-        return pd.Series(out, dtype="object")
+        return _scrub_series(texts, post=mask_toxicity)
 
     spark.udf.register("pii_scrub", pii_scrub)
     spark.udf.register("pii_scrub_all", pii_scrub_all)

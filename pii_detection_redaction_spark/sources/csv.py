@@ -43,14 +43,21 @@ def redact_csv(
     redaction_char: str = "*",
     min_score: float = 0.0,
     entities: Optional[Sequence[str]] = None,
+    cache: bool = False,
 ) -> Dict[str, DataFrame]:
     """Returns {'redacted': wide redacted frame, 'detections': long table,
-    'summary': per-entity-type counts}."""
+    'summary': per-entity-type counts}.
+
+    ``cache=True`` persists the per-cell detection frame: the three outputs
+    share its lineage, and a caller materializing all three (the CLI job)
+    would otherwise run the regex bank over every cell three times."""
     value_cols = [c for c in df.columns if c != ROW_ID]
     long = unpivot_cells(df, ROW_ID, value_cols)
     # detect_cells keeps every (row, col) pair alive (empty cells gated, not
     # filtered), so the long frame alone carries everything reassembly needs.
     detected = detect_cells(long, entities=entities, min_score=min_score)
+    if cache:
+        detected = detected.persist()
     detections = cell_detections_long(detected, ROW_ID)
     redacted_long = redact_cells(
         detected, use_entity_labels=use_entity_labels, redaction_char=redaction_char
@@ -68,10 +75,11 @@ def redact_csv(
             ).alias("__cells")
         )
         .select(
+            ROW_ID,  # kept so sinks can restore input row order (write_csv)
             *[
                 F.element_at(F.col("__cells"), F.lit(c)).alias(c)
                 for c in value_cols
-            ]
+            ],
         )
     )
 
@@ -82,7 +90,21 @@ def redact_csv(
     }
 
 
-def write_csv(df: DataFrame, path: str, delimiter: str = ",", header: bool = True) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    ordered: bool = True,
+) -> None:
+    """CSV sink. When the frame carries the internal ``__row_id`` it is
+    dropped before writing; ``ordered=True`` (default) first sorts on it so
+    the redacted output preserves input row order — essential for
+    header-less/positional CSVs where no column correlates rows otherwise
+    (the reference CLI writes rows in input order, redactor.py:124-126)."""
+    if ROW_ID in df.columns:
+        df = df.orderBy(ROW_ID) if ordered else df
+        df = df.drop(ROW_ID)
     df.write.mode("overwrite").csv(path, sep=delimiter, header=header)
 
 
