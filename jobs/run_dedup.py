@@ -30,6 +30,12 @@ def main() -> None:
                         " instead of exact dedup")
     p.add_argument("--threshold", type=float, default=0.8,
                    help="k-gram Jaccard threshold for --near")
+    p.add_argument("--num-hashes", type=int, default=16,
+                   help="MinHash signature length for --near")
+    p.add_argument("--band-size", type=int, default=4,
+                   help="LSH band width r for --near: candidate recall is"
+                        " P=1-(1-s^r)^(num_hashes/r) — lower r for lower"
+                        " thresholds, at higher join fan-out")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -43,7 +49,9 @@ def main() -> None:
     spark = build_session(app_name="pii-dedup-pass", master=args.master)
     if args.near:
         counters = near_dedup_pass(spark, args.input, args.output,
-                                   threshold=args.threshold)
+                                   threshold=args.threshold,
+                                   num_hashes=args.num_hashes,
+                                   band_size=args.band_size)
     else:
         counters = dedup_pass(spark, args.input, args.output)
     if args.report:

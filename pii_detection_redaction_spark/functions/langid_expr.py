@@ -33,10 +33,15 @@ def langid_columns(text_col: Column) -> Tuple[Column, Column]:
     """(lang_pred, lang_conf) columns; null text scores like ''."""
     text = F.coalesce(text_col, F.lit(""))
     cjk = F.regexp_count(text, F.lit(LID.CJK_PATTERN))
-    nonspace = F.regexp_count(text, F.lit(r"\S"))
+    # (?U) = Java UNICODE_CHARACTER_CLASS: without it Java's \S counts
+    # 　 (ideographic space, ubiquitous in CJK) and \xa0 (nbsp,
+    # ubiquitous in HTML text) as NON-space while Python's \S does not —
+    # measured to flip zh detection on mixed text. Likewise (?iu) below:
+    # bare (?i) in Java folds ASCII only, so 'ESTÁ' would not match 'está'.
+    nonspace = F.regexp_count(text, F.lit(r"(?U)\S"))
     s = {}
     for lang in LID._SCORED_LANGS:
-        sw = F.regexp_count(text, F.lit("(?i)" + LID.STOPWORD_PATTERNS[lang]))
+        sw = F.regexp_count(text, F.lit("(?iu)" + LID.STOPWORD_PATTERNS[lang]))
         pat = LID.CHARSET_PATTERNS[lang]
         ch = F.regexp_count(text, F.lit(pat)) if pat else F.lit(0)
         s[lang] = 2.0 * sw + 1.0 * ch

@@ -39,9 +39,12 @@ def dedup_pass(
     ``text_col`` (keeper = lexicographically smallest url), write the final
     table to ``dest``. Returns counters."""
     kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
+    # count BEFORE the write: the snapshot store accepts commits from a
+    # concurrently-resuming scrub job, so re-scanning it afterwards could
+    # inflate docs_in with docs the dedup never saw (phantom 'removals')
+    n_in = kept.count()
     deduped = dedup_exact(kept, id_col="url", text_col=text_col)
     deduped.write.mode("overwrite").parquet(dest)
-    n_in = kept.count()
     n_out = spark.read.parquet(dest).count()
     return {
         "docs_in": n_in,
@@ -64,14 +67,23 @@ def near_dedup_pass(
     candidates (band self-join, text never shuffles) → exact k-gram Jaccard
     verify (>= threshold) → connected components over the verified pair graph
     (A~B, B~C collapse to one cluster) → keep the smallest url per cluster.
+
+    Zero-content docs never enter the LSH stage: every shingle-less doc
+    shares the identical all-sentinel MinHash signature (core.hashing
+    precondition) — unguarded, N empty kept docs would become N(N-1)/2
+    verified 'pairs' (quadratic equal-key band skew) and all but one would
+    be deleted despite sharing no content. They pass through to the output
+    untouched.
     """
     kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
+    n_in = kept.count()  # before the write — see dedup_pass counter note
+    hashable = kept.filter(F.regexp_count(F.col(text_col), F.lit(r"\S")) > 0)
     cand = minhash_candidate_pairs(
-        kept, id_col="url", text_col=text_col,
+        hashable, id_col="url", text_col=text_col,
         num_hashes=num_hashes, band_size=band_size,
     )
     verified = jaccard_verify_pairs(
-        kept, cand, id_col="url", text_col=text_col, threshold=threshold
+        hashable, cand, id_col="url", text_col=text_col, threshold=threshold
     )
     comps = connected_components(verified.select("id_a", "id_b"))
     losers = comps.filter(F.col("id") != F.col("component")).select(
@@ -79,7 +91,6 @@ def near_dedup_pass(
     )
     final = kept.join(losers, "url", "left_anti")
     final.write.mode("overwrite").parquet(dest)
-    n_in = kept.count()
     n_out = spark.read.parquet(dest).count()
     return {"docs_in": n_in, "docs_out": n_out, "near_dups_removed": n_in - n_out}
 

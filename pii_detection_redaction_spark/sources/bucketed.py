@@ -17,11 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_cols: Sequence[str],
+    bucket_cols: str | Sequence[str],
     num_buckets: int = 16,
-    sort_cols: Sequence[str] | None = None,
+    sort_cols: str | Sequence[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    # normalize: a bare string is one column, not a sequence of chars —
+    # splatting 'url' would silently bucketBy(16, 'u', 'r', 'l')
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
