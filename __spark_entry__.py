@@ -5,16 +5,18 @@ documents table; ``queries``/``oracle_sql`` expose the full operator catalog
 (pii_detection_redaction_spark.plans.queries / .oracles) for the driver's
 DuckDB differential check at sf0.01.
 
-Queries intentionally without an oracle entry (non-SQL-expressible — full
-regex bank with context boost + conflict resolution, LM perplexity):
-``pii_detections``, ``pii_entity_counts``, ``pii_scrub``, ``pii_scrub_pages``,
-``quality_pipeline``. All are non-vacuous (the detection queries run over the
-deterministic planted-PII pages corpus) and their value-level gate is the
-pytest suite, which pins them byte-identically against the pure-Python
-oracle library; ``pii_subset_counts`` additionally gates the bank's
-RE2-expressible subset with a full DuckDB value oracle, and the LSH/IVF ANN
-paths carry full arithmetic oracles (hyperplanes / centroid picks embedded
-as SQL literals).
+Every catalog query carries a value-level oracle. SQL-expressible queries
+are re-derived independently in DuckDB SQL; the non-SQL-expressible five
+(full regex bank with context boost + conflict resolution, LM perplexity:
+``pii_detections``, ``pii_entity_counts``, ``pii_scrub``,
+``pii_scrub_pages``, ``quality_pipeline``) are value-gated via golden
+parquets computed by the pure-Python oracle library over the same
+deterministic inputs (``testing.goldens`` — zero Spark code) and read back
+with ``read_parquet``. ``pii_subset_counts`` additionally re-counts the
+bank's RE2-expressible subset with the bank's own regexes in SQL, and the
+LSH/IVF ANN paths carry full arithmetic oracles (hyperplanes / centroid
+picks embedded as SQL literals). The documents-table goldens assume the
+driver's sf0.01 differential scale (override: ``SPARK_GRAFT_ORACLE_SF_DIR``).
 """
 
 from __future__ import annotations

@@ -727,13 +727,59 @@ FROM long WHERE n > 0 ORDER BY url, entity_type
 """
 
 
+def _golden_oracles(sf_dir: str) -> dict:
+    """Value oracles for the non-SQL-expressible queries: the pure-Python
+    oracle's output is materialized as golden parquet (``testing.goldens``)
+    and DuckDB simply reads it back — independent of every Spark code path
+    by construction. ``pii_entity_counts`` is additionally re-aggregated in
+    SQL from the detections golden rather than stored, so the GROUP BY
+    itself is cross-checked. Documents-table goldens are computed from
+    ``{sf_dir}/documents.parquet`` — the driver contract runs the
+    differential at sf0.01 (``goldens.DEFAULT_ORACLE_SF_DIR``); the pytest
+    differential overrides via ``SPARK_GRAFT_ORACLE_SF_DIR``."""
+    from ..testing import goldens as G
+
+    det = G.golden_pii_detections()
+    scrub_pages = G.golden_pii_scrub_pages()
+    scrub_docs = G.golden_pii_scrub(sf_dir)
+    qp = G.golden_quality_pipeline(sf_dir)
+    return {
+        "pii_detections": f"""
+SELECT url, entity_type, CAST("start" AS INTEGER) AS "start",
+       CAST("end" AS INTEGER) AS "end", score, pattern_name
+FROM read_parquet('{det}') ORDER BY url, "start", "end", entity_type
+""",
+        "pii_entity_counts": f"""
+SELECT entity_type, count(*) AS n
+FROM read_parquet('{det}') GROUP BY entity_type ORDER BY entity_type
+""",
+        "pii_scrub_pages": f"""
+SELECT url, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
+FROM read_parquet('{scrub_pages}') ORDER BY url
+""",
+        "pii_scrub": f"""
+SELECT doc_id, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
+FROM read_parquet('{scrub_docs}') ORDER BY doc_id
+""",
+        "quality_pipeline": f"""
+SELECT doc_id, lang_pred, ppl, keep
+FROM read_parquet('{qp}') ORDER BY doc_id
+""",
+    }
+
+
 def all_oracles() -> dict:
-    """Full oracle map. ``pii_subset_counts`` is assembled here rather than
-    at module import: building it materializes the 500-page oracle parquet
-    (so DuckDB's read_parquet always finds it) and bakes in its absolute
-    path — a filesystem side effect importers of this module must not pay."""
+    """Full oracle map — every catalog query carries a value-level oracle.
+    ``pii_subset_counts`` and the golden-backed entries are assembled here
+    rather than at module import: building them materializes the oracle /
+    golden parquets (so DuckDB's read_parquet always finds them) and bakes
+    in absolute paths — a filesystem side effect importers of this module
+    must not pay."""
+    from ..testing.goldens import oracle_sf_dir
+
     d = dict(ORACLE_SQL)
     d["pii_subset_counts"] = _pii_subset_counts_sql()
+    d.update(_golden_oracles(oracle_sf_dir()))
     return d
 
 

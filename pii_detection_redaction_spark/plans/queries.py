@@ -10,10 +10,10 @@ Conventions (driver contract, __spark_entry__.py):
   two's-complement on both sides (core.hashing.hash64_signed ==
   ``u64_signed_sql``).
 
-Queries with no ``ORACLE_SQL`` entry are non-SQL-expressible (full regex
-bank with context boost, LM perplexity) and get the driver's rows-only check;
-their correctness gate is the pytest suite instead (byte-identical vs the
-pure-Python oracle).
+Non-SQL-expressible queries (full regex bank with context boost, LM
+perplexity) are value-gated through golden parquets instead: the pure-Python
+oracle materializes the expected result (``testing.goldens``) and the DuckDB
+oracle reads it back — every catalog entry carries a value-level oracle.
 """
 
 from __future__ import annotations
@@ -547,8 +547,9 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (centroid-list probing) — rows-only check;
-    recall vs brute force is asserted in pytest."""
+    """IVF approximate top-k (centroid-list probing) — full DuckDB value
+    oracle (deterministic centroid picks replayed as SQL); recall vs brute
+    force is additionally asserted in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -559,8 +560,9 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 100-TB path) — rows-only check;
-    recall vs brute force is asserted in pytest."""
+    """LSH-bucketed approximate top-k (the 100-TB path) — full DuckDB value
+    oracle (seeded hyperplanes embedded as SQL literals); recall vs brute
+    force is additionally asserted in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -619,12 +621,13 @@ def q_multimodal_features(spark, sf_dir):
 # detection query runs over the deterministic 500-page planted-PII corpus
 # instead — the same single parquet file the DuckDB oracle reads via
 # read_parquet(), so the value-level differential runs on identical input.
-# Full-bank queries stay rows-only (context boost + conflict resolution are
-# not SQL-expressible; pytest pins them byte-identically); the subset-count
-# query below carries a full DuckDB value oracle.
+# Full-bank queries (context boost + conflict resolution are not
+# SQL-expressible) are value-gated via pure-Python-oracle golden parquets
+# (testing.goldens -> plans.oracles read_parquet oracles); pii_subset_counts
+# additionally re-derives its counts in SQL from the bank's own regexes.
 # ===========================================================================
 
-N_ORACLE_PAGES = 500
+from ..testing.corpus import N_ORACLE_PAGES  # noqa: E402
 
 # bank entity types whose pattern sets are RE2-safe and conflict-free on the
 # pages corpus — the SQL-checkable detection subset for pii_subset_counts
@@ -702,8 +705,9 @@ def q_pii_scrub(spark, sf_dir):
 
 def q_pii_scrub_pages(spark, sf_dir):
     """Detection + relationship scrub over the synthetic PII-bearing pages
-    corpus (full recognizer bank on planted entities; values are pinned
-    byte-identically by pytest against the pure-Python oracle)."""
+    corpus (full recognizer bank on planted entities; value-gated against
+    the pure-Python oracle both by pytest and by the golden-parquet DuckDB
+    oracle)."""
     d = _pages(spark)
     detect = make_detect_udf()
     scrub = make_scrub_udf()

@@ -41,6 +41,9 @@ SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 # bump on any generator change — cache keys (tests/_data, bench corpus) embed it
 CORPUS_VERSION = 4
+# size of the fixed planted-PII oracle corpus the pii_* catalog queries and
+# their DuckDB/golden oracles share (plans.queries._pages reads exactly this)
+N_ORACLE_PAGES = 500
 
 SURNAMES = (
     "Smith Johnson Williams Brown Jones Garcia Miller Davis Rodriguez "

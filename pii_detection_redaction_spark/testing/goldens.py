@@ -1,0 +1,257 @@
+"""Golden-parquet materialization for the non-SQL-expressible catalog queries.
+
+Five catalog queries (``pii_detections``, ``pii_entity_counts``,
+``pii_scrub``, ``pii_scrub_pages``, ``quality_pipeline``) have semantics that
+cannot be re-derived in ANSI SQL: the full recognizer bank with context boost
+and conflict resolution, and LM perplexity. They still get value-level DuckDB
+oracles: the pure-Python oracle library — engine #2 of the one-spec /
+three-engines discipline, zero Spark code — computes the expected result over
+the SAME deterministic input the Spark query reads, the result is
+materialized once as a golden parquet under ``_data/``, and the DuckDB oracle
+becomes a trivial ``SELECT … FROM read_parquet(golden) ORDER BY …``
+(``plans.oracles``). This is the same move that gave ``pii_subset_counts``
+its value gate, extended to full-bank outputs.
+
+Cache invalidation: golden filenames embed (a) ``CORPUS_VERSION``, (b) a
+fingerprint of the full semantics core (md5 over the source text of every
+``core`` module — any spec change regenerates on first use), and (c) for
+documents-table goldens, an md5 of the source parquet bytes (driver testdata
+changes regenerate too). Writes are atomic (tmp + rename) so a concurrent
+pytest/driver race never reads a partial file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+from decimal import ROUND_HALF_UP, Decimal
+from math import isinf
+from typing import Callable, List, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .corpus import CORPUS_VERSION, N_ORACLE_PAGES, ensure_pages_parquet
+
+# sf dir whose documents table the documents-based goldens are computed from.
+# The driver contract runs the correctness differential at sf0.01; the local
+# pytest differential overrides this to its own sf dir (tests/test_entry_oracle).
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get(ORACLE_SF_DIR_ENV, DEFAULT_ORACLE_SF_DIR)
+
+
+def spark_round(x: float, nd: int) -> float:
+    """Bit-exact mirror of Spark's ``Round(double, nd)``: Java
+    ``BigDecimal.valueOf(x)`` parses ``Double.toString``'s shortest
+    round-trip decimal representation (== Python ``repr``) and
+    ``setScale(nd, HALF_UP)``. NaN/±Inf pass through (as in Spark)."""
+    if x != x or isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
+def spec_fingerprint() -> str:
+    """md5 over the source of every ``core`` module (the semantics spec).
+    Any change to recognizers / scrub / langid / LM / quality / toxicity /
+    chunker invalidates every golden automatically — no manual version."""
+    from ..core import (
+        chunker,
+        entities,
+        extract,
+        hashing,
+        langid,
+        langprofiles,
+        lm,
+        quality,
+        recognizers,
+        relationships,
+        sanitize,
+        scrub,
+        spans,
+        toxicity,
+    )
+
+    h = hashlib.md5()
+    for mod in (
+        chunker, entities, extract, hashing, langid, langprofiles, lm,
+        quality, recognizers, relationships, sanitize, scrub, spans, toxicity,
+    ):
+        h.update(inspect.getsource(mod).encode("utf-8"))
+    return h.hexdigest()[:10]
+
+
+def _data_dir() -> str:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    d = os.path.join(repo, "_data")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _materialize(name: str, key: str, build: Callable[[], pa.Table]) -> str:
+    path = os.path.join(
+        _data_dir(), f"golden_{name}_v{CORPUS_VERSION}_{key}.parquet"
+    )
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(build(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# pages-corpus goldens (input: the deterministic planted-PII pages parquet —
+# the same single file plans.queries._pages reads)
+# ---------------------------------------------------------------------------
+
+
+def _pages_rows() -> List[Tuple[str, str]]:
+    t = pq.read_table(
+        ensure_pages_parquet(N_ORACLE_PAGES), columns=["url", "text"]
+    )
+    return sorted(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+
+
+def _detect(text: str):
+    """Mirror of ``functions.udfs.make_detect_udf`` defaults: falsy text
+    yields no detections; otherwise the document-level chunked analyze."""
+    from ..core.chunker import analyze_long_text
+
+    return analyze_long_text(text) if text else []
+
+
+def golden_pii_detections() -> str:
+    """(url, entity_type, start, end, score@4dp, pattern_name), ordered by
+    (url, start, end, entity_type) — (url, start, end) is unique after
+    conflict-resolution rule 1, so the order is total."""
+
+    def build() -> pa.Table:
+        rows = []
+        for url, text in _pages_rows():
+            for d in _detect(text):
+                rows.append(
+                    (url, d.entity_type, d.start, d.end,
+                     spark_round(d.score, 4), d.pattern_name)
+                )
+        rows.sort(key=lambda r: (r[0], r[2], r[3], r[1]))
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "entity_type": pa.array([r[1] for r in rows], pa.string()),
+                "start": pa.array([r[2] for r in rows], pa.int32()),
+                "end": pa.array([r[3] for r in rows], pa.int32()),
+                "score": pa.array([r[4] for r in rows], pa.float64()),
+                "pattern_name": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+
+    return _materialize("pii_detections", spec_fingerprint(), build)
+
+
+def golden_pii_scrub_pages() -> str:
+    """(url, scrubbed_text, n_entities): full-bank detect + relationship
+    scrub over every page (no keep gate — mirrors ``q_pii_scrub_pages``)."""
+
+    def build() -> pa.Table:
+        from ..core.scrub import scrub_document
+
+        urls, scrubbed, n_ents = [], [], []
+        for url, text in _pages_rows():
+            dets = _detect(text)
+            urls.append(url)
+            scrubbed.append(scrub_document(text or "", dets))
+            n_ents.append(len(dets))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "scrubbed_text": pa.array(scrubbed, pa.string()),
+                "n_entities": pa.array(n_ents, pa.int32()),
+            }
+        )
+
+    return _materialize("pii_scrub_pages", spec_fingerprint(), build)
+
+
+# ---------------------------------------------------------------------------
+# documents-table goldens (input: {sf_dir}/documents.parquet — keyed on the
+# file's md5 so a regenerated testdata tree invalidates the cache)
+# ---------------------------------------------------------------------------
+
+
+def _documents_rows(sf_dir: str) -> List[Tuple[int, str]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _documents_key(sf_dir: str) -> str:
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "documents.parquet"), "rb") as f:
+        h.update(f.read())
+    return f"{spec_fingerprint()}_{h.hexdigest()[:8]}"
+
+
+def golden_pii_scrub(sf_dir: str) -> str:
+    """(doc_id, scrubbed_text, n_entities) over the documents table —
+    mirrors ``q_pii_scrub`` (detect + relationship scrub, every doc)."""
+
+    def build() -> pa.Table:
+        from ..core.scrub import scrub_document
+
+        ids, scrubbed, n_ents = [], [], []
+        for doc_id, text in _documents_rows(sf_dir):
+            dets = _detect(text)
+            ids.append(doc_id)
+            scrubbed.append(scrub_document(text or "", dets))
+            n_ents.append(len(dets))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "scrubbed_text": pa.array(scrubbed, pa.string()),
+                "n_entities": pa.array(n_ents, pa.int32()),
+            }
+        )
+
+    return _materialize("pii_scrub", _documents_key(sf_dir), build)
+
+
+def golden_quality_pipeline(sf_dir: str) -> str:
+    """(doc_id, lang_pred, ppl@4dp, keep) over the documents table —
+    mirrors ``q_quality_pipeline``: langid on the text, perplexity under the
+    predicted language's LM (en fallback), keep = all heuristic rules pass
+    AND lang_conf/perplexity gates hold (``core.quality.quality_decision``)."""
+
+    def build() -> pa.Table:
+        from ..core.langid import detect_language
+        from ..core.lm import perplexity
+        from ..core.quality import quality_decision
+
+        ids, langs, ppls, keeps = [], [], [], []
+        for doc_id, text in _documents_rows(sf_dir):
+            text = text or ""
+            lang, conf = detect_language(text)
+            ppl = perplexity(text, lang)
+            keep, _ = quality_decision(text, lang, conf, ppl)
+            ids.append(doc_id)
+            langs.append(lang)
+            ppls.append(spark_round(ppl, 4))
+            keeps.append(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_pred": pa.array(langs, pa.string()),
+                "ppl": pa.array(ppls, pa.float64()),
+                "keep": pa.array(keeps, pa.bool_()),
+            }
+        )
+
+    return _materialize("quality_pipeline", _documents_key(sf_dir), build)

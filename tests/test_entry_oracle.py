@@ -6,11 +6,19 @@ sf0.01. Exact equality (no tolerance) — the rounding discipline in the query
 catalog is what makes that possible.
 """
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
-import __spark_entry__ as entrymod
+# the documents-table goldens must be computed from the SAME sf dir the
+# Spark queries under test read (the driver uses sf0.01; locally sf0.001)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "PII_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -56,10 +64,10 @@ def test_query_matches_duckdb_oracle(name, spark, sf001_dir, ddb):
     pd.testing.assert_frame_equal(a, b, check_exact=True, obj=name)
 
 
-def test_rows_only_queries_run(spark, sf001_dir):
-    for name in sorted(set(QUERIES) - set(ORACLES)):
-        df = QUERIES[name](spark, sf001_dir)
-        assert df.count() >= 0, name
+def test_every_query_has_a_value_oracle():
+    """Catalog invariant since round 3: zero rows-only entries — the golden
+    parquet machinery closes the non-SQL-expressible gap."""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
 
 
 def test_entry_smoke(spark):
