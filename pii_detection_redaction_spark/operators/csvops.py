@@ -27,13 +27,18 @@ from ..functions.udfs import DETECTIONS_TYPE, _coerce_detections
 
 
 def unpivot_cells(
-    df: DataFrame, id_col: str, value_cols: Sequence[str]
+    df: DataFrame,
+    id_col: str,
+    value_cols: Sequence[str],
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Wide -> long (id, col_name, cell) via stack — one narrow projection,
-    no shuffle."""
+    """Wide -> long (id, [passthrough...], col_name, cell) via stack — one
+    narrow projection, no shuffle. ``passthrough_cols`` ride along unchanged
+    (e.g. the source-file column the ordered CSV sink sorts on)."""
     pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in value_cols)
     expr = f"stack({len(value_cols)}, {pairs}) as (col_name, cell)"
-    return df.select(F.col(id_col), F.expr(expr))
+    keep = [F.col(id_col)] + [F.col(c) for c in passthrough_cols]
+    return df.select(*keep, F.expr(expr))
 
 
 def detect_cells(

@@ -23,6 +23,7 @@ from ..operators.csvops import (
 )
 
 ROW_ID = "__row_id"
+ROW_FILE = "__row_file"
 
 
 def read_csv(
@@ -31,10 +32,22 @@ def read_csv(
     delimiter: str = ",",
     header: bool = True,
 ) -> DataFrame:
+    """CSV source with a row-order contract usable for multi-file inputs.
+
+    ``__row_id`` (monotonically_increasing_id) is the unique reassembly key;
+    ``__row_file`` (the ``_metadata.file_path`` hidden column) records each
+    row's source file. The ordered sink sorts on (file, id): a bare
+    ``__row_id`` sort would replay Spark's SCAN-PARTITION order — file
+    splits are bin-packed in size-descending order, so for a directory input
+    the biggest file would come first regardless of its name. Sorting by
+    file first pins the contract to (file path lexicographic, position
+    within file); within one file, ids rise with read order in every split,
+    and splits of one file keep offset order under the planner's stable
+    size sort (equal-size chunks), so the composite key is total."""
     df = spark.read.csv(path, sep=delimiter, header=header, inferSchema=False)
-    # stable row ids for reassembly (monotonically increasing per partition
-    # is fine: uniqueness is all reassembly needs)
-    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+    return df.withColumn(ROW_FILE, F.col("_metadata.file_path")).withColumn(
+        ROW_ID, F.monotonically_increasing_id()
+    )
 
 
 def redact_csv(
@@ -51,24 +64,27 @@ def redact_csv(
     ``cache=True`` persists the per-cell detection frame: the three outputs
     share its lineage, and a caller materializing all three (the CLI job)
     would otherwise run the regex bank over every cell three times."""
-    value_cols = [c for c in df.columns if c != ROW_ID]
-    long = unpivot_cells(df, ROW_ID, value_cols)
+    value_cols = [c for c in df.columns if c not in (ROW_ID, ROW_FILE)]
+    passthrough = [ROW_FILE] if ROW_FILE in df.columns else []
+    long = unpivot_cells(df, ROW_ID, value_cols, passthrough_cols=passthrough)
     # detect_cells keeps every (row, col) pair alive (empty cells gated, not
     # filtered), so the long frame alone carries everything reassembly needs.
     detected = detect_cells(long, entities=entities, min_score=min_score)
     if cache:
         detected = detected.persist()
     detections = cell_detections_long(detected, ROW_ID)
-    redacted_long = redact_cells(
-        detected, use_entity_labels=use_entity_labels, redaction_char=redaction_char
-    ).select(ROW_ID, "col_name", "redacted_cell")
 
     # Single-shuffle wide reassembly: one groupBy(row) builds a col->cell map
     # per row, columns project out of the map. Exchange count is 1 regardless
     # of column count (the former per-column join chain was N shuffles for an
-    # N-column CSV — plan-shape test pins the new shape).
+    # N-column CSV — plan-shape test pins the new shape). The source-file
+    # column joins the grouping key (it is constant per row id), so the
+    # ordered sink can sort (file, id) without a join back to the source.
+    redacted_long = redact_cells(
+        detected, use_entity_labels=use_entity_labels, redaction_char=redaction_char
+    ).select(ROW_ID, *passthrough, "col_name", "redacted_cell")
     wide = (
-        redacted_long.groupBy(ROW_ID)
+        redacted_long.groupBy(ROW_ID, *passthrough)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("col_name", "redacted_cell"))
@@ -76,6 +92,7 @@ def redact_csv(
         )
         .select(
             ROW_ID,  # kept so sinks can restore input row order (write_csv)
+            *passthrough,
             *[
                 F.element_at(F.col("__cells"), F.lit(c)).alias(c)
                 for c in value_cols
@@ -97,14 +114,17 @@ def write_csv(
     header: bool = True,
     ordered: bool = True,
 ) -> None:
-    """CSV sink. When the frame carries the internal ``__row_id`` it is
-    dropped before writing; ``ordered=True`` (default) first sorts on it so
-    the redacted output preserves input row order — essential for
-    header-less/positional CSVs where no column correlates rows otherwise
-    (the reference CLI writes rows in input order, redactor.py:124-126)."""
-    if ROW_ID in df.columns:
-        df = df.orderBy(ROW_ID) if ordered else df
-        df = df.drop(ROW_ID)
+    """CSV sink. The internal ``__row_id`` / ``__row_file`` columns are
+    dropped before writing; ``ordered=True`` (default) first sorts on
+    (source file, row id) so the redacted output preserves input row order —
+    per file, files in lexicographic path order — essential for header-less/
+    positional CSVs where no column correlates rows otherwise (the reference
+    CLI writes rows in input order, redactor.py:124-126)."""
+    internal = [c for c in (ROW_FILE, ROW_ID) if c in df.columns]
+    if internal:
+        if ordered:
+            df = df.orderBy(*internal)
+        df = df.drop(*internal)
     df.write.mode("overwrite").csv(path, sep=delimiter, header=header)
 
 

@@ -62,3 +62,38 @@ def test_csv_redaction_roundtrip(spark, tmp_path):
     assert written
     j = detections_to_json(out["detections"]).collect()
     assert all(r["json"].startswith("{") for r in j)
+
+
+def test_multifile_csv_preserves_input_order(spark, tmp_path):
+    """Directory input: the ordered sink reproduces input row order —
+    per file, files in lexicographic path order. File sizes are chosen
+    anti-correlated with name order so Spark's size-descending split packing
+    (the thing a bare monotonic-id sort would replay) would scramble it."""
+    src = tmp_path / "csvdir"
+    src.mkdir()
+    sizes = {"part-a.csv": 2, "part-b.csv": 40, "part-c.csv": 10}
+    seq = 0
+    expected = []
+    for fname, n in sorted(sizes.items()):
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seq", "email", "note"])
+            for _ in range(n):
+                w.writerow([f"s{seq:04d}", f"user{seq}@ex.com", f"note {seq}"])
+                expected.append(f"s{seq:04d}")
+                seq += 1
+
+    df = read_csv(spark, str(src))
+    out = redact_csv(df)
+    dst = str(tmp_path / "ordered_out")
+    write_csv(out["redacted"], dst)
+
+    got = []
+    for part in sorted(glob.glob(f"{dst}/part-*.csv")):
+        with open(part, newline="") as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["seq", "email", "note"]
+        got.extend(r[0] for r in rows[1:])
+    assert got == expected
+    # the pii columns were actually redacted on the way through
+    assert all("@ex.com" not in ",".join(r) for r in rows[1:])
