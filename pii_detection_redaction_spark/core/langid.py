@@ -5,14 +5,17 @@ fastText wheel is unavailable here, so this module defines a deterministic
 char/stopword evidence scorer with the same interface — it IS the pinned spec
 (fixtures freeze its outputs). Scoring:
 
-- CJK character fraction > ``CJK_THRESHOLD`` -> ``zh`` with conf = that
-  fraction (capped at 1.0);
-- otherwise per language L in (de, en, es, fr):
+- script overrides, checked in fixed order against the non-space char count:
+  kana fraction > ``KANA_THRESHOLD`` -> ``ja`` (Japanese text mixes Han with
+  kana, so kana outranks the Han check), Hangul fraction >
+  ``HANGUL_THRESHOLD`` -> ``ko``, Han (CJK) fraction > ``CJK_THRESHOLD`` ->
+  ``zh``; confidence = that fraction (capped at 1.0);
+- otherwise per language L in ``_SCORED_LANGS`` (de, en, es, fr, it, nl, pt):
   ``score_L = 2 * stopword_hits_L + charset_hits_L`` where stopword hits are
   word-bounded case-insensitive matches of ``langprofiles.STOPWORDS[L]`` and
   charset hits are occurrences of ``langprofiles.CHARSETS[L]`` characters;
-- prediction = argmax (ties broken in (de, en, es, fr) order), confidence =
-  ``top / (s_de + s_en + s_es + s_fr)``; all-zero evidence -> ("und", 0.0).
+- prediction = argmax (ties broken in ``_SCORED_LANGS`` order), confidence =
+  ``top / sum(scores)``; all-zero evidence -> ("und", 0.0).
 
 The exact same counts/arithmetic are computed vectorized (pandas ``str.count``)
 in ``..functions.udfs.langid_batch`` — both paths share ``score_from_counts``
@@ -27,9 +30,15 @@ from typing import Dict, List, Tuple
 from .langprofiles import CHARSETS, STOPWORDS
 
 CJK_THRESHOLD = 0.30
-_SCORED_LANGS = ("de", "en", "es", "fr")  # fixed evidence/tie-break order
+KANA_THRESHOLD = 0.15  # Japanese running text is ~30-60% kana
+HANGUL_THRESHOLD = 0.30
+# fixed evidence/tie-break order: the round-2 four first (their mutual
+# tie-breaks are frozen by fixtures), round-3 additions appended
+_SCORED_LANGS = ("de", "en", "es", "fr", "it", "nl", "pt")
 
 CJK_PATTERN = r"[一-鿿]"
+KANA_PATTERN = r"[ぁ-ゖァ-ヺー]"
+HANGUL_PATTERN = r"[가-힣]"
 STOPWORD_PATTERNS: Dict[str, str] = {
     lang: r"\b(?:" + "|".join(STOPWORDS[lang]) + r")\b" for lang in _SCORED_LANGS
 }
@@ -39,30 +48,48 @@ CHARSET_PATTERNS: Dict[str, str] = {
 }
 
 _cjk_re = re.compile(CJK_PATTERN)
+_kana_re = re.compile(KANA_PATTERN)
+_hangul_re = re.compile(HANGUL_PATTERN)
 _nonspace_re = re.compile(r"\S")
 _stop_res = {lang: re.compile(p, re.IGNORECASE) for lang, p in STOPWORD_PATTERNS.items()}
 _charset_res = {lang: re.compile(p) for lang, p in CHARSET_PATTERNS.items() if p}
 
+# (script-language, count-pattern, threshold) in decision order — shared by
+# the oracle below, the vectorized UDF, the JVM expression, and the SQL
+# oracle builder so all four engines apply identical precedence.
+SCRIPT_OVERRIDES = (
+    ("ja", KANA_PATTERN, KANA_THRESHOLD),
+    ("ko", HANGUL_PATTERN, HANGUL_THRESHOLD),
+    ("zh", CJK_PATTERN, CJK_THRESHOLD),
+)
+
 
 def score_from_counts(
-    cjk: int, nonspace: int, counts: Dict[str, Tuple[int, int]]
+    script_counts: Dict[str, int], nonspace: int, counts: Dict[str, Tuple[int, int]]
 ) -> Tuple[str, float]:
     """Shared decision function: counts -> (lang, confidence).
 
-    ``counts[lang] = (stopword_hits, charset_hits)``. Must stay arithmetic-
-    identical between the oracle and the vectorized UDF.
+    ``script_counts[lang] = char hits`` for the ja/ko/zh script overrides;
+    ``counts[lang] = (stopword_hits, charset_hits)`` for the scored Latin
+    languages. Must stay arithmetic-identical between the oracle and the
+    vectorized UDF (same left-to-right ``total`` accumulation order).
     """
-    if nonspace > 0 and cjk / nonspace > CJK_THRESHOLD:
-        return "zh", min(1.0, cjk / nonspace)
+    if nonspace > 0:
+        for lang, _pat, threshold in SCRIPT_OVERRIDES:
+            frac = script_counts[lang] / nonspace
+            if frac > threshold:
+                return lang, min(1.0, frac)
     scores: List[float] = []
     for lang in _SCORED_LANGS:
         sw, ch = counts[lang]
         scores.append(2.0 * sw + 1.0 * ch)
-    total = scores[0] + scores[1] + scores[2] + scores[3]
+    total = 0.0
+    for s in scores:
+        total = total + s
     if total <= 0.0:
         return "und", 0.0
     best_i = 0
-    for i in range(1, 4):
+    for i in range(1, len(scores)):
         if scores[i] > scores[best_i]:
             best_i = i
     return _SCORED_LANGS[best_i], scores[best_i] / total
@@ -72,11 +99,15 @@ def detect_language(text: str) -> Tuple[str, float]:
     """Oracle path: one text -> (lang, confidence)."""
     if not text:
         return "und", 0.0
-    cjk = len(_cjk_re.findall(text))
+    script_counts = {
+        "ja": len(_kana_re.findall(text)),
+        "ko": len(_hangul_re.findall(text)),
+        "zh": len(_cjk_re.findall(text)),
+    }
     nonspace = len(_nonspace_re.findall(text))
     counts = {}
     for lang in _SCORED_LANGS:
         sw = len(_stop_res[lang].findall(text))
         ch = len(_charset_res[lang].findall(text)) if lang in _charset_res else 0
         counts[lang] = (sw, ch)
-    return score_from_counts(cjk, nonspace, counts)
+    return score_from_counts(script_counts, nonspace, counts)

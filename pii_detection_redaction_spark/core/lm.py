@@ -39,14 +39,15 @@ def _seed_text(lang: str) -> str:
     stop = STOPWORDS.get(lang, [])
     content = CONTENT_WORDS[lang]
     words: List[str] = []
-    sep = "" if lang == "zh" else " "
+    char_based = lang in ("zh", "ja")
+    sep = "" if char_based else " "
     for _ in range(_SEED_WORDS):
         if stop and rng.random() < 0.4:
             words.append(rng.choice(stop))
         else:
             words.append(rng.choice(content))
         if rng.random() < 0.1:
-            words.append("." if lang != "zh" else "。")
+            words.append("。" if char_based else ".")
     return sep.join(words).lower()
 
 

@@ -9,8 +9,9 @@ defined so it is *expressible identically three ways*:
    whole-stage-codegen'd, no Python in the hot path,
 3. ANSI SQL for the DuckDB differential oracle (``__spark_entry__``).
 
-Word-based rules auto-pass for ``lang == 'zh'`` (whitespace tokenization is
-meaningless there); the zh analog of the min-length rule uses chars.
+Word-based rules auto-pass for char-based languages (``CHAR_BASED_LANGS`` =
+zh, ja — whitespace tokenization is meaningless there); their analog of the
+min-length rule uses chars.
 
 Final ``keep`` additionally requires language confidence and LM perplexity
 bounds (UDF-computed, pinned by fixtures; not part of the SQL-expressible
@@ -22,6 +23,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .langprofiles import CHAR_BASED_LANGS
 from .toxicity import MAX_TOXICITY_HITS, TOXICITY_REGEX
 
 # --- thresholds (frozen spec) ---------------------------------------------
@@ -94,7 +96,7 @@ def text_metrics(text: str) -> Dict[str, float]:
 def rule_flags(text: str, lang: str) -> Dict[str, bool]:
     """True = rule passes. ``lang`` is the document's (predicted) language."""
     m = text_metrics(text)
-    ws_lang = lang != "zh"
+    ws_lang = lang not in CHAR_BASED_LANGS
     return {
         "min_words": (m["n_words"] >= MIN_WORDS) if ws_lang else (m["n_chars"] >= MIN_WORDS),
         "max_words": m["n_words"] <= MAX_WORDS,

@@ -483,6 +483,39 @@ def _builtin_specs() -> List[RecognizerSpec]:
                 ),
             ],
         ),
+        # Bare titles / role words NOT followed by a name sequence — the
+        # reference's COMMON_TITLE single-token matcher (analyzer.py:226-250,
+        # token lists transcribed) emitted as its NAME_TITLE severity row
+        # (entity_config.py:35, severity low). When a name DOES follow, the
+        # PERSON_WITH_TITLE patterns above own the span (they capture the
+        # name; the negative lookahead here keeps the two types disjoint).
+        # Score 0.4 is our pinned spec (the Matcher path carries no score).
+        RecognizerSpec(
+            "NAME_TITLE",
+            [
+                PatternSpec(
+                    "bare_title_abbrev",
+                    # (?!\.) stops backtracking from dropping the dot of
+                    # "Mr." to sidestep the name lookahead ("Mr. Smith"
+                    # must NOT yield a bare "Mr" match)
+                    r"\b(?:Mrs|Mr|Ms|Mx|Dr|Prof)\b\.?(?!\.)"
+                    r"(?!\s+(?:[A-Z][a-z]|[A-Z]\.))",
+                    0.4,
+                ),
+                PatternSpec(
+                    "bare_title_word",
+                    r"\b(?:Miss|Professor|Sir|Madam|Ma'am)\b(?!\s+(?:[A-Z][a-z]|[A-Z]\.))",
+                    0.4,
+                ),
+                PatternSpec(
+                    "bare_role_word",
+                    r"\b(?:[Aa]pplicant|[Cc]andidate|[Cc]ustomer|[Pp]atient"
+                    r"|[Cc]lient|[Ee]mployee|[Ss]tudent|[Rr]ecipient|[Bb]orrower)\b"
+                    r"(?!\s+(?:[A-Z][a-z]|[A-Z]\.))",
+                    0.4,
+                ),
+            ],
+        ),
         # Deterministic ORGANIZATION / address / LOCATION heuristics closing
         # the reference's spaCy ORG/LOC/GPE taxonomy (entity_config.py:71-72,
         # severity rows ORGANIZATION=medium, AU_ADDRESS=medium, LOCATION=low)

@@ -30,9 +30,12 @@ from ..core import langid as LID
 
 
 def langid_columns(text_col: Column) -> Tuple[Column, Column]:
-    """(lang_pred, lang_conf) columns; null text scores like ''."""
+    """(lang_pred, lang_conf) columns; null text scores like ''.
+
+    Generated from the same language tables the oracle uses
+    (``_SCORED_LANGS``, ``SCRIPT_OVERRIDES``), so widening the language set
+    widens this expression automatically."""
     text = F.coalesce(text_col, F.lit(""))
-    cjk = F.regexp_count(text, F.lit(LID.CJK_PATTERN))
     # (?U) = Java UNICODE_CHARACTER_CLASS: without it Java's \S counts
     # 　 (ideographic space, ubiquitous in CJK) and \xa0 (nbsp,
     # ubiquitous in HTML text) as NON-space while Python's \S does not —
@@ -45,24 +48,33 @@ def langid_columns(text_col: Column) -> Tuple[Column, Column]:
         pat = LID.CHARSET_PATTERNS[lang]
         ch = F.regexp_count(text, F.lit(pat)) if pat else F.lit(0)
         s[lang] = 2.0 * sw + 1.0 * ch
-    total = s["de"] + s["en"] + s["es"] + s["fr"]
-    cjk_frac = cjk.cast("double") / nonspace
-    zh = (nonspace > 0) & (cjk_frac > LID.CJK_THRESHOLD)
-    # first-max tie-break in the fixed evidence order (== np.argmax)
-    lang = (
-        F.when(zh, F.lit("zh"))
-        .when(total <= 0.0, F.lit("und"))
-        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
-        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
-        .when(s["es"] >= s["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
-    conf = (
-        F.when(zh, F.least(F.lit(1.0), cjk_frac))
-        .when(total <= 0.0, F.lit(0.0))
-        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), s["de"] / total)
-        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), s["en"] / total)
-        .when(s["es"] >= s["fr"], s["es"] / total)
-        .otherwise(s["fr"] / total)
-    )
+    langs = list(LID._SCORED_LANGS)
+    total = s[langs[0]]
+    for lang in langs[1:]:
+        total = total + s[lang]
+
+    # script overrides (ja > ko > zh), then und, then first-max tie-break in
+    # the fixed evidence order (== np.argmax)
+    lang_when = None
+    conf_when = None
+
+    def _chain(w, cond, val):
+        return F.when(cond, val) if w is None else w.when(cond, val)
+
+    for lg, pat, threshold in LID.SCRIPT_OVERRIDES:
+        frac = F.regexp_count(text, F.lit(pat)).cast("double") / nonspace
+        cond = (nonspace > 0) & (frac > threshold)
+        lang_when = _chain(lang_when, cond, F.lit(lg))
+        conf_when = _chain(conf_when, cond, F.least(F.lit(1.0), frac))
+    lang_when = lang_when.when(total <= 0.0, F.lit("und"))
+    conf_when = conf_when.when(total <= 0.0, F.lit(0.0))
+    for i, lg in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = s[lg] >= s[other]
+            cond = c if cond is None else (cond & c)
+        lang_when = lang_when.when(cond, F.lit(lg))
+        conf_when = conf_when.when(cond, s[lg] / total)
+    lang = lang_when.otherwise(F.lit(langs[-1]))
+    conf = conf_when.otherwise(s[langs[-1]] / total)
     return lang, conf

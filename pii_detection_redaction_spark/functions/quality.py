@@ -67,7 +67,7 @@ def quality_metric_columns(text: Column) -> dict:
 
 
 def rule_flag_columns(m: dict, lang: Column) -> dict:
-    ws_lang = lang != "zh"
+    ws_lang = ~lang.isin(list(Q.CHAR_BASED_LANGS))
     return {
         "min_words": F.when(ws_lang, m["n_words"] >= Q.MIN_WORDS).otherwise(
             m["n_chars"] >= Q.MIN_WORDS

@@ -143,11 +143,10 @@ def make_scrub_udf(mode: str = "relationship", masking_char: str = "*"):
 
 def langid_batch(texts: pd.Series) -> pd.DataFrame:
     """Truly-vectorized language ID: pandas ``str.count`` per marker regex
-    (8 passes per batch, zero per-row Python), then the same
-    ``score_from_counts`` arithmetic as the oracle, vectorized in numpy.
-    Returns DataFrame(lang, conf)."""
+    (one pass per stopword/charset/script pattern, zero per-row Python),
+    then the same ``score_from_counts`` arithmetic as the oracle, vectorized
+    in numpy. Returns DataFrame(lang, conf)."""
     s = texts.fillna("")
-    cjk = s.str.count(_langid.CJK_PATTERN).to_numpy(dtype=np.int64)
     nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
     langs = _langid._SCORED_LANGS
     scores = []
@@ -156,20 +155,29 @@ def langid_batch(texts: pd.Series) -> pd.DataFrame:
         pat = _langid.CHARSET_PATTERNS[lang]
         ch = s.str.count(pat).to_numpy(np.int64) if pat else np.zeros(len(s), np.int64)
         scores.append(2.0 * sw + 1.0 * ch)
-    total = scores[0] + scores[1] + scores[2] + scores[3]
+    # left-to-right accumulation — same FP association order as the oracle
+    total = np.zeros(len(s), dtype=np.float64)
+    for sc in scores:
+        total = total + sc
     mat = np.stack(scores, axis=1)
     best_i = np.argmax(mat, axis=1)  # first max — same tie-break as oracle
     best = mat[np.arange(len(s)), best_i]
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        cjk_frac = np.where(nonspace > 0, cjk / np.maximum(nonspace, 1), 0.0)
         conf_scored = np.where(total > 0, best / np.where(total > 0, total, 1.0), 0.0)
-    is_zh = (nonspace > 0) & (cjk_frac > _langid.CJK_THRESHOLD)
-    lang_arr = np.array(langs, dtype=object)[best_i]
-    lang_arr = np.where(total > 0, lang_arr, "und")
-    conf = np.where(total > 0, conf_scored, 0.0)
-    lang_out = np.where(is_zh, "zh", lang_arr)
-    conf_out = np.where(is_zh, np.minimum(1.0, cjk_frac), conf)
+    lang_out = np.array(langs, dtype=object)[best_i]
+    lang_out = np.where(total > 0, lang_out, "und")
+    conf_out = np.where(total > 0, conf_scored, 0.0)
+    # script overrides (ja > ko > zh precedence): applied in reverse so the
+    # decision-order winner lands last — same result as the oracle's early
+    # returns, and frac/min arithmetic matches it bit-for-bit
+    ns_safe = np.maximum(nonspace, 1)
+    for lang, pat, threshold in reversed(_langid.SCRIPT_OVERRIDES):
+        hits = s.str.count(pat).to_numpy(np.int64)
+        frac = hits / ns_safe
+        cond = (nonspace > 0) & (frac > threshold)
+        lang_out = np.where(cond, lang, lang_out)
+        conf_out = np.where(cond, np.minimum(1.0, frac), conf_out)
     return pd.DataFrame({"lang": lang_out, "conf": conf_out})
 
 
@@ -265,7 +273,7 @@ def make_quality_scrub_udf(
                 ppl[pos] = model.perplexity(t)
 
         # rule flags — exact numpy mirror of core.quality.rule_flags
-        ws = lang != "zh"
+        ws = ~np.isin(lang, list(_q.CHAR_BASED_LANGS))
         n_words = m["n_words"].to_numpy()
         n_chars = m["n_chars"].to_numpy()
         mwl = m["mean_word_len"].to_numpy()

@@ -44,6 +44,8 @@ def _q(s: str) -> str:
 
 _WORDS = r"\S+"
 _NONSPACE = r"\S"
+# SQL IN-list of the char-based languages (word rules switch to char analogs)
+_CHAR_LANGS_SQL = "(" + ", ".join(f"'{l}'" for l in Q.CHAR_BASED_LANGS) + ")"
 _SYMBOLS = "[#…{}<>\\\\^~|]"  # same char class as functions.quality.SYMBOL_RE
 _STOPS = r"(?i)\b(?:" + "|".join(Q.GOPHER_STOPWORDS) + r")\b"
 
@@ -73,9 +75,9 @@ WITH m AS (
   FROM m
 ), fl AS (
   SELECT *,
-    CASE WHEN lang <> 'zh' THEN n_words >= {Q.MIN_WORDS} ELSE n_chars >= {Q.MIN_WORDS} END AS rule_min_words,
+    CASE WHEN lang NOT IN {_CHAR_LANGS_SQL} THEN n_words >= {Q.MIN_WORDS} ELSE n_chars >= {Q.MIN_WORDS} END AS rule_min_words,
     n_words <= {Q.MAX_WORDS} AS rule_max_words,
-    CASE WHEN lang <> 'zh'
+    CASE WHEN lang NOT IN {_CHAR_LANGS_SQL}
          THEN mean_word_len >= {Q.MIN_MEAN_WORD_LEN} AND mean_word_len <= {Q.MAX_MEAN_WORD_LEN}
          ELSE TRUE END AS rule_mean_word_len,
     symbol_ratio <= {Q.MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
@@ -352,44 +354,61 @@ FROM documents ORDER BY doc_id
 
 
 def _langid_sql() -> str:
-    sw = {l: _q("(?i)" + LID.STOPWORD_PATTERNS[l]) for l in ("de", "en", "es", "fr")}
-    ch = {l: _q(LID.CHARSET_PATTERNS[l]) for l in ("de", "es", "fr")}
-    total = "(s_de + s_en + s_es + s_fr)"
-    zh_cond = f"nonspace > 0 AND CAST(cjk AS DOUBLE) / nonspace > {LID.CJK_THRESHOLD}"
+    """Generated from the same language tables as the Python/UDF/JVM paths
+    (``_SCORED_LANGS``, ``SCRIPT_OVERRIDES``): per-language stopword/charset
+    counts, left-to-right total, script-fraction overrides (ja > ko > zh),
+    und on zero evidence, first-max tie-break in evidence order."""
+    langs = list(LID._SCORED_LANGS)
+    count_cols = [f"len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace"]
+    for lg, pat, _thr in LID.SCRIPT_OVERRIDES:
+        count_cols.append(
+            f"len(regexp_extract_all(text, '{_q(pat)}')) AS sc_{lg}"
+        )
+    score_cols = []
+    for lg in langs:
+        sw = _q("(?i)" + LID.STOPWORD_PATTERNS[lg])
+        count_cols.append(f"len(regexp_extract_all(text, '{sw}')) AS sw_{lg}")
+        ch_pat = LID.CHARSET_PATTERNS[lg]
+        if ch_pat:
+            count_cols.append(
+                f"len(regexp_extract_all(text, '{_q(ch_pat)}')) AS ch_{lg}"
+            )
+            score_cols.append(f"2.0 * sw_{lg} + 1.0 * ch_{lg} AS s_{lg}")
+        else:
+            score_cols.append(f"2.0 * sw_{lg} + 0.0 AS s_{lg}")
+    total = "(" + " + ".join(f"s_{lg}" for lg in langs) + ")"
+
+    lang_arms, conf_arms = [], []
+    for lg, _pat, thr in LID.SCRIPT_OVERRIDES:
+        cond = f"nonspace > 0 AND CAST(sc_{lg} AS DOUBLE) / nonspace > {thr}"
+        lang_arms.append(f"WHEN {cond} THEN '{lg}'")
+        conf_arms.append(
+            f"WHEN {cond} THEN least(1.0, CAST(sc_{lg} AS DOUBLE) / nonspace)"
+        )
+    lang_arms.append(f"WHEN {total} <= 0.0 THEN 'und'")
+    conf_arms.append(f"WHEN {total} <= 0.0 THEN 0.0")
+    for i, lg in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1 :])
+        lang_arms.append(f"WHEN {cond} THEN '{lg}'")
+        conf_arms.append(f"WHEN {cond} THEN s_{lg} / {total}")
+    lang_arms.append(f"ELSE '{langs[-1]}'")
+    conf_arms.append(f"ELSE s_{langs[-1]} / {total}")
+
+    sc_list = ", ".join(["nonspace"] + [f"sc_{lg}" for lg, _p, _t in LID.SCRIPT_OVERRIDES])
+    nl = "\n       "
     return f"""
 WITH c AS (
   SELECT doc_id,
-    len(regexp_extract_all(text, '{_q(LID.CJK_PATTERN)}')) AS cjk,
-    len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace,
-    len(regexp_extract_all(text, '{sw['de']}')) AS sw_de,
-    len(regexp_extract_all(text, '{sw['en']}')) AS sw_en,
-    len(regexp_extract_all(text, '{sw['es']}')) AS sw_es,
-    len(regexp_extract_all(text, '{sw['fr']}')) AS sw_fr,
-    len(regexp_extract_all(text, '{ch['de']}')) AS ch_de,
-    len(regexp_extract_all(text, '{ch['es']}')) AS ch_es,
-    len(regexp_extract_all(text, '{ch['fr']}')) AS ch_fr
+    {(',' + chr(10) + '    ').join(count_cols)}
   FROM documents
 ), s AS (
-  SELECT doc_id, cjk, nonspace,
-    2.0 * sw_de + 1.0 * ch_de AS s_de,
-    2.0 * sw_en + 0.0 AS s_en,
-    2.0 * sw_es + 1.0 * ch_es AS s_es,
-    2.0 * sw_fr + 1.0 * ch_fr AS s_fr
+  SELECT doc_id, {sc_list},
+    {(',' + chr(10) + '    ').join(score_cols)}
   FROM c
 )
 SELECT doc_id,
-  CASE WHEN {zh_cond} THEN 'zh'
-       WHEN {total} <= 0.0 THEN 'und'
-       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-       WHEN s_es >= s_fr THEN 'es'
-       ELSE 'fr' END AS lang_pred,
-  round(CASE WHEN {zh_cond} THEN least(1.0, CAST(cjk AS DOUBLE) / nonspace)
-       WHEN {total} <= 0.0 THEN 0.0
-       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN s_de / {total}
-       WHEN s_en >= s_es AND s_en >= s_fr THEN s_en / {total}
-       WHEN s_es >= s_fr THEN s_es / {total}
-       ELSE s_fr / {total} END, 6) AS lang_conf
+  CASE {nl.join(lang_arms)} END AS lang_pred,
+  round(CASE {nl.join(conf_arms)} END, 6) AS lang_conf
 FROM s ORDER BY doc_id
 """
 

@@ -11,8 +11,9 @@ salting path. Per-1000-row edge-case quotas (FIXTURES.md §1) are met by the
 
   0 empty/whitespace · 1 too-short · 2 symbol-soup · 3 duplicate-lines ·
   4 ellipsis-lines · 5 stopword-free English · 6 multi-person+owned entities
-  (incl. repeated bare names, "Last, First" swaps, role-word persons,
-  dd-mm-yyyy / time-of-day / domestic-landline formats) ·
+  (incl. repeated bare names, "Last, First" swaps, role-word persons, bare
+  NAME_TITLE titles/role words, dd-mm-yyyy / time-of-day / domestic-landline
+  formats) ·
   7 >5000-char doc with an entity planted across the 5000-char chunk boundary ·
   8 valid-checksum ABN · 9 invalid-checksum ABN · 10-19 plain docs (mixed
   language, optional planted PII; English arch-10 docs additionally carry 3
@@ -40,7 +41,7 @@ _TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 # bump on any generator change — cache keys (tests/_data, bench corpus) embed it
-CORPUS_VERSION = 4
+CORPUS_VERSION = 7
 # size of the fixed planted-PII oracle corpus the pii_* catalog queries and
 # their DuckDB/golden oracles share (plans.queries._pages reads exactly this)
 N_ORACLE_PAGES = 500
@@ -81,7 +82,7 @@ def _sentence(rng: random.Random, lang: str, n_words: int, stop_frac: float = 0.
             words.append(rng.choice(stop))
         else:
             words.append(rng.choice(content))
-    if lang == "zh":
+    if lang in ("zh", "ja"):  # char-based: no word separators
         return "".join(words) + "。"
     sent = " ".join(words)
     return sent[0].upper() + sent[1:] + "."
@@ -202,6 +203,9 @@ def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
             f"Call 0{rng.randint(2,8)} {rng.randint(1000,9999)} "
             f"{rng.randint(1000,9999)} to confirm."
         )
+        # bare titles / role words with no following name -> NAME_TITLE
+        # (title+name occurrences above stay PERSON_WITH_TITLE)
+        lines.append("Each applicant and patient must sign the form; thanks, Sir.")
         return ("\n".join(lines), "en")
     if arch == 7:
         lines = _paragraphs(rng, "en", 60)
@@ -219,12 +223,14 @@ def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
         lines.insert(2, f"Registered ABN {_invalid_abn(rng)} for invoicing.")
         return ("\n".join(lines), "en")
 
-    # plain docs 10-19: language mix en-heavy
+    # plain docs 10-19: language mix en-heavy; non-en slots split evenly
+    # across the widened language set (corpus v5: + it/nl/pt/ja/ko)
     r = rng.random()
     if r < 0.5:
         lang = "en"
     else:
-        lang = ("de", "fr", "es", "zh")[int((r - 0.5) / 0.125) % 4]
+        others = ("de", "fr", "es", "zh", "it", "nl", "pt", "ja", "ko")
+        lang = others[min(int((r - 0.5) / (0.5 / len(others))), len(others) - 1)]
     n_lines = rng.randint(3, 18)
     lines = _paragraphs(rng, lang, n_lines)
     if lang == "en" and rng.random() < 0.5:

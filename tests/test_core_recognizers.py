@@ -173,6 +173,32 @@ def test_typed_person_entities():
     assert _by_type(dets, "PERSON")
 
 
+def test_name_title_bare_titles_and_role_words():
+    """NAME_TITLE (reference entity_config.py:35, COMMON_TITLE matcher
+    analyzer.py:226-250): bare titles/role words with no following name are
+    their own low-severity type; title+name stays PERSON_WITH_TITLE."""
+    text = "Each applicant and patient must sign; thanks, Sir."
+    got = {(d.entity_type, text[d.start:d.end]) for d in analyze(text)}
+    assert {("NAME_TITLE", "applicant"), ("NAME_TITLE", "patient"),
+            ("NAME_TITLE", "Sir")} <= got
+    # a following name suppresses the bare match — the typed person owns it
+    text = "Mr. Smith met the applicant Jane Doe."
+    dets = analyze(text)
+    assert not [d for d in dets if d.entity_type == "NAME_TITLE"]
+    assert {text[d.start:d.end]
+            for d in dets if d.entity_type == "PERSON_WITH_TITLE"} == {
+        "Smith", "Jane Doe"}
+    # dotted bare title: backtracking must not shed the dot to evade the
+    # name lookahead, and a genuine bare "Dr." matches with its dot
+    text2 = "Ask the Dr. about dosage."
+    spans = [(text2[d.start:d.end], d.pattern_name)
+             for d in analyze(text2) if d.entity_type == "NAME_TITLE"]
+    assert spans == [("Dr.", "bare_title_abbrev")]
+    # plurals and lowercase title words are NOT titles
+    assert not [d for d in analyze("Our customers are happy, said the professor.")
+                if d.entity_type == "NAME_TITLE"]
+
+
 def test_person_span_trimming():
     """C11 (pdf_redactor/analyzer.py:186-198): trailing .,;: stripped and a
     label-colon prefix re-anchors the span start."""

@@ -208,7 +208,10 @@ def test_near_dedup_pass_transitive_chain(spark, tmp_path):
     from pii_detection_redaction_spark.testing.corpus import pages_df, render_html
 
     df = pages_df(120)
-    donor = df[(df.index % 20) == 13].iloc[0]
+    # an ENGLISH plain doc: the chain verifies word-3-gram Jaccard >= 0.7
+    # per edit, which needs whitespace-tokenized text (a zh/ja donor's lines
+    # are single "words", so one edit would crater the shingle overlap)
+    donor = df[((df.index % 20) == 13) & (df.lang == "en")].iloc[0]
     base_lines = donor["text"].split("\n")
     variants = []
     for i in range(3):
