@@ -347,6 +347,27 @@ def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> d
     }
 
 
+def run_near_dedup(pipeline_out_root: str) -> dict:
+    """End-to-end near-dup removal (MinHash-LSH candidates → Jaccard verify
+    → connected components → anti-join) over the scaling run's committed
+    100k-doc output — the full second-pass job a training-data pipeline runs
+    after scrub, with the CC round count as convergence evidence."""
+    from pii_detection_redaction_spark.plans.dedup_pass import near_dedup_pass
+    from pii_detection_redaction_spark.plans.session import build_session
+
+    spark = build_session(
+        app_name="bench-near-dedup", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    dest = os.path.join(REPO, "_data", "bench_near_dedup_out")
+    try:
+        t0 = time.perf_counter()
+        counters = near_dedup_pass(spark, pipeline_out_root, dest)
+        secs = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+    return {"seconds": secs, **counters}
+
+
 def main() -> None:
     if "--pipeline-worker" in sys.argv:
         i = sys.argv.index("--pipeline-worker")
@@ -422,6 +443,12 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "efficiency_raw_wallclock": round(eff_raw, 3),
         }
+        # second-pass dedup job over the committed hi-leg output (runs after
+        # the scaling measurements so it cannot perturb them)
+        nd = run_near_dedup(out + "_hi")
+        result["near_dedup"] = nd
+        total += nd["seconds"]
+        print(f"  near_dedup: {nd}", file=sys.stderr)
 
     result["value"] = round(total, 3)
     print(json.dumps(result))

@@ -25,7 +25,7 @@ from ..operators.dedup import (
     jaccard_verify_pairs,
     minhash_candidate_pairs,
 )
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components_with_rounds
 from .pipeline import read_output
 
 
@@ -85,14 +85,21 @@ def near_dedup_pass(
     verified = jaccard_verify_pairs(
         hashable, cand, id_col="url", text_col=text_col, threshold=threshold
     )
-    comps = connected_components(verified.select("id_a", "id_b"))
+    comps, cc_rounds = connected_components_with_rounds(
+        verified.select("id_a", "id_b")
+    )
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("url")
     )
     final = kept.join(losers, "url", "left_anti")
     final.write.mode("overwrite").parquet(dest)
     n_out = spark.read.parquet(dest).count()
-    return {"docs_in": n_in, "docs_out": n_out, "near_dups_removed": n_in - n_out}
+    return {
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "near_dups_removed": n_in - n_out,
+        "cc_rounds": cc_rounds,
+    }
 
 
 def duplicate_report(

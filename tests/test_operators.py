@@ -405,3 +405,63 @@ def test_zero_vector_never_ranks_or_matches(spark):
     assert ranked[0] == 1 and (2 not in ranked or ranked.index(2) > 0)
     # the zero vector's cosine is NULL wherever it appears
     assert all(r["cosine"] is not None or r["vec_id"] == 2 for r in top)
+
+
+def test_lsh_band_join_aqe_skew_split(spark):
+    """Boilerplate-duplicate clusters are the canonical LSH hot key: every
+    clone shares every band, so one (band_idx, band_hash) key holds the
+    whole cluster and the band self-join's shuffle partition for it grows
+    quadratically. Evidence for the 100-TB path: with AQE skew-join
+    thresholds scaled down to test-corpus sizes, Spark splits the skewed
+    partition (SortMergeJoin(skew=true) in the final adaptive plan) and the
+    candidate set is still exactly complete — skew handling is a pure
+    physical re-plan, never a semantics change."""
+    import pandas as pd
+
+    from pii_detection_redaction_spark.operators.dedup import minhash_candidate_pairs
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    boiler = (
+        "Subscribe to our newsletter today. All rights reserved worldwide. "
+        "Cookie policy applies here.\n" * 5
+    )
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(pages_df(400).text)]
+    n_clones = 25  # ~6% of the corpus is one identical boilerplate doc
+    rows += [{"doc_id": 10_000 + j, "text": boiler} for j in range(n_clones)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+    keys = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB"),
+        ("spark.sql.adaptive.forceOptimizeSkewedJoin", "true"),
+    ]
+    saved = {}
+    for k, v in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        cand = minhash_candidate_pairs(sdf)
+        got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+        expected = {
+            (10_000 + a, 10_000 + b)
+            for a in range(n_clones)
+            for b in range(a + 1, n_clones)
+        }
+        assert expected <= got  # all 300 clone pairs survive the split
+        plan = cand._sc._jvm.PythonSQLUtils.explainString(
+            cand._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
