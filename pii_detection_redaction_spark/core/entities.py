@@ -52,8 +52,33 @@ ENTITY_SEVERITY: Dict[str, str] = {
 
 DEFAULT_SEVERITY = "medium"  # entity_config.py:128-129 get() default
 
+# severity -> highlight RGB for downstream report/overlay consumers
+# (reference entity_config.py:41-47, AU_ENTITY_COLOR_MAP, verbatim)
+SEVERITY_COLORS: Dict[str, Tuple[float, float, float]] = {
+    "critical": (0.90, 0.00, 0.00),
+    "high": (0.85, 0.10, 0.10),
+    "medium": (1.00, 0.55, 0.00),
+    "low": (0.10, 0.40, 0.85),
+    "_default": (0.00, 0.00, 0.00),
+}
+
+
+def color_of(entity_type: str) -> Tuple[float, float, float]:
+    """Severity color for an entity type (entity_config.py color lookup):
+    severity_of() then the color map, defaulting to ``_default``."""
+    return SEVERITY_COLORS.get(
+        ENTITY_SEVERITY.get(entity_type, DEFAULT_SEVERITY), SEVERITY_COLORS["_default"]
+    )
+
+
 # (entity_type, severity) rows for the broadcast dim table / SQL VALUES list
 SEVERITY_DIM: List[Tuple[str, str]] = sorted(ENTITY_SEVERITY.items())
+
+# (entity_type, severity, r, g, b) — the dim with its display color joined
+# in, for report consumers that colorize by severity (C17 analog)
+SEVERITY_DIM_WITH_COLORS: List[Tuple[str, str, float, float, float]] = [
+    (e, s, *SEVERITY_COLORS[s]) for e, s in SEVERITY_DIM
+]
 
 # reference entity_config.py:50-74 (ALL_AU_ENTITY_TYPES), verbatim order
 ALL_AU_ENTITY_TYPES: List[str] = [

@@ -334,3 +334,22 @@ def test_person_alias_expands_to_person_class():
     # precise typed subsetting still possible with literal type names
     only_title = analyze_long_text(text, entities=["PERSON_WITH_TITLE"])
     assert {d.entity_type for d in only_title} == {"PERSON_WITH_TITLE"}
+
+
+def test_severity_color_dim_parity():
+    """C17 (reference entity_config.py:41-47): every severity level carries
+    its display color; every dim row resolves to a non-default color and
+    unknown types fall back to the severity default (medium/orange)."""
+    from pii_detection_redaction_spark.core.entities import (
+        SEVERITY_COLORS,
+        SEVERITY_DIM_WITH_COLORS,
+        color_of,
+    )
+
+    assert SEVERITY_COLORS["critical"] == (0.90, 0.00, 0.00)
+    assert SEVERITY_COLORS["low"] == (0.10, 0.40, 0.85)
+    assert len(SEVERITY_DIM_WITH_COLORS) == 29
+    for _etype, sev, r, g, b in SEVERITY_DIM_WITH_COLORS:
+        assert (r, g, b) == SEVERITY_COLORS[sev]
+    assert color_of("AU_TFN") == SEVERITY_COLORS["critical"]
+    assert color_of("NO_SUCH_TYPE") == SEVERITY_COLORS["medium"]

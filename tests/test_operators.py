@@ -465,3 +465,26 @@ def test_lsh_band_join_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_near_dup_lsh_multi_seed_recall(spark, sf001_dir):
+    """OR-amplification (n_seeds knob): unioning independent hyperplane
+    seeds strictly raises near-dup recall on this corpus (measured
+    20/37/50 of 66 exact pairs at seeds=1/2/3, nbits=2) while precision
+    stays 1.0 — every candidate is exact-cosine verified."""
+    e = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(e, threshold=0.40).collect()
+    }
+    recalls = []
+    for n_seeds in (1, 2, 3):
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in SIM.cosine_near_dup_lsh(
+                e, threshold=0.40, dim=64, nbits=2, n_seeds=n_seeds
+            ).collect()
+        }
+        assert approx <= exact  # precision 1.0 under every seed count
+        recalls.append(len(approx & exact))
+    assert recalls[0] < recalls[1] < recalls[2], recalls
