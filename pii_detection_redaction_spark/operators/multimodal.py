@@ -121,3 +121,39 @@ def frame_sample_plan(
     return df.withColumn(
         "frame_idx", F.explode(F.when(n_frames > 0, idx).otherwise(F.array()))
     )
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    raise DecodeUnavailable(
+        "image resize requires PIL — not installed; resize_plan computes the "
+        "target geometry JVM-side and this kernel is the one swap point"
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    max_w: int = 512,
+    max_h: int = 512,
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Aspect-preserving fit-resize geometry, entirely JVM-side from the
+    metadata struct (payload bytes untouched — at 100 TB the plan columns
+    are computed during the scan and only sampled frames ever reach the
+    stubbed ``resize_image`` kernel):
+
+    scale = min(1, max_w/width, max_h/height)  (never upscale)
+    target = max(1, round(dim * scale))        (half-up, 1px floor)
+
+    NULL/non-positive source dims yield NULL targets (honest lineage, no
+    fabricated geometry)."""
+    w = F.col(f"{meta_col}.width").cast("double")
+    h = F.col(f"{meta_col}.height").cast("double")
+    ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    scale = F.least(F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h)
+    tw = F.greatest(F.round(w * scale).cast("int"), F.lit(1))
+    th = F.greatest(F.round(h * scale).cast("int"), F.lit(1))
+    return (
+        df.withColumn("resize_scale", F.when(ok, F.round(scale, 6)))
+        .withColumn("target_w", F.when(ok, tw))
+        .withColumn("target_h", F.when(ok, th))
+    )

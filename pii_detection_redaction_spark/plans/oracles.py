@@ -839,3 +839,29 @@ FROM n ORDER BY media_id
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_sql()
+
+# frame sampling × resize geometry: same metadata arithmetic, same fit
+# formula (scale = min(1, 512/w, 512/h); target = max(1, round(dim*scale)))
+# — double division/multiplication in the same order as the Spark columns,
+# and round() agrees with Spark's HALF_UP for positive values.
+ORACLE_SQL["multimodal_frames"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(100 + doc_id % 1900 AS INTEGER) AS w,
+    CAST(100 + doc_id % 980 AS INTEGER) AS h,
+    CAST(doc_id % 91 AS INTEGER) AS nf
+  FROM documents WHERE doc_id < 300
+), f AS (
+  SELECT media_id, w, h, CAST(unnest(range(0, nf, 30)) AS INTEGER) AS frame_idx
+  FROM m WHERE nf > 0
+), s AS (
+  SELECT media_id, frame_idx,
+    least(1.0, 512.0 / CAST(w AS DOUBLE), 512.0 / CAST(h AS DOUBLE)) AS sc,
+    CAST(w AS DOUBLE) AS wd, CAST(h AS DOUBLE) AS hd
+  FROM f
+)
+SELECT media_id, frame_idx, round(sc, 6) AS resize_scale,
+  CAST(greatest(round(wd * sc), 1) AS INTEGER) AS target_w,
+  CAST(greatest(round(hd * sc), 1) AS INTEGER) AS target_h
+FROM s ORDER BY media_id, frame_idx
+"""

@@ -603,6 +603,39 @@ def q_severity_rollup(spark, sf_dir):
 # ===========================================================================
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling × resize geometry over synthetic metadata
+    derived deterministically from doc_id (the documents table carries no
+    media, so the metadata arithmetic IS part of the checked query): every
+    30th frame index explodes from n_frames, and each sampled frame gets the
+    aspect-preserving fit-into-512² target dims — all JVM-side
+    (operators.multimodal.frame_sample_plan / resize_plan)."""
+    from ..operators.multimodal import frame_sample_plan, resize_plan
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.struct(
+                F.lit("video").alias("media_type"),
+                (100 + F.col("doc_id") % 1900).cast("int").alias("width"),
+                (100 + F.col("doc_id") % 980).cast("int").alias("height"),
+                (F.col("doc_id") % 91).cast("int").alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ).alias("meta"),
+        )
+    )
+    out = resize_plan(frame_sample_plan(d, every_n=30))
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "resize_scale",
+        "target_w",
+        "target_h",
+    ).orderBy("media_id", "frame_idx")
+
+
 def q_multimodal_features(spark, sf_dir):
     d = (
         _t(spark, sf_dir, "documents")
@@ -781,6 +814,7 @@ QUERIES = {
     "acctbal_range_join": q_acctbal_range_join,
     "severity_rollup": q_severity_rollup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "pii_detections": q_pii_detections,
     "pii_entity_counts": q_pii_entity_counts,
     "pii_subset_counts": q_pii_subset_counts,

@@ -488,3 +488,32 @@ def test_near_dup_lsh_multi_seed_recall(spark, sf001_dir):
         assert approx <= exact  # precision 1.0 under every seed count
         recalls.append(len(approx & exact))
     assert recalls[0] < recalls[1] < recalls[2], recalls
+
+
+def test_resize_plan_geometry(spark):
+    """Aspect-fit resize geometry: never upscale, half-up rounding, 1px
+    floor, NULL targets for missing/non-positive source dims."""
+    from pii_detection_redaction_spark.operators.multimodal import resize_plan
+
+    rows = [
+        (1, 1024, 512),   # downscale 0.5 exactly
+        (2, 200, 100),    # fits already -> scale 1.0
+        (3, 10000, 10),   # extreme aspect: height floors at 1? (512/10000)
+        (4, None, 300),   # missing width
+        (5, 0, 300),      # degenerate
+    ]
+    df = spark.createDataFrame(rows, "media_id long, w int, h int").select(
+        "media_id",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"), F.col("h").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    got = {r["media_id"]: r.asDict() for r in resize_plan(df).collect()}
+    assert (got[1]["target_w"], got[1]["target_h"]) == (512, 256)
+    assert (got[2]["target_w"], got[2]["target_h"], got[2]["resize_scale"]) == (200, 100, 1.0)
+    assert got[3]["target_w"] == 512 and got[3]["target_h"] == 1
+    for mid in (4, 5):
+        assert got[mid]["target_w"] is None and got[mid]["resize_scale"] is None
