@@ -15,7 +15,9 @@ salting path. Per-1000-row edge-case quotas (FIXTURES.md §1) are met by the
   NAME_TITLE titles/role words, dd-mm-yyyy / time-of-day / domestic-landline
   formats) ·
   7 >5000-char doc with an entity planted across the 5000-char chunk boundary ·
-  8 valid-checksum ABN · 9 invalid-checksum ABN · 10-19 plain docs (mixed
+  8 valid-checksum ABN · 9 invalid-checksum ABN · 11 near-dup family member
+  (three docs per 60-index block share a base text, one marker token apart —
+  near-dedup material) · 10-19 otherwise plain docs (mixed
   language, optional planted PII; English arch-10 docs additionally carry 3
   planted toxicity-lexicon hits → dropped, and other English plain docs have
   a 25% chance of 1 residual hit → kept and masked).
@@ -41,7 +43,7 @@ _TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 # bump on any generator change — cache keys (tests/_data, bench corpus) embed it
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 # size of the fixed planted-PII oracle corpus the pii_* catalog queries and
 # their DuckDB/golden oracles share (plans.queries._pages reads exactly this)
 N_ORACLE_PAGES = 500
@@ -223,8 +225,22 @@ def _doc_text(i: int, rng: random.Random) -> Tuple[str, str]:
         lines.insert(2, f"Registered ABN {_invalid_abn(rng)} for invoicing.")
         return ("\n".join(lines), "en")
 
-    # plain docs 10-19: language mix en-heavy; non-en slots split evenly
-    # across the widened language set (corpus v5: + it/nl/pt/ja/ko)
+    if arch == 11:
+        # near-dup families (corpus v8): members (60f+11, 60f+31, 60f+51) of
+        # each 60-index block share one base document drawn from a
+        # family-seeded rng, each differing only by its own trailing marker
+        # token — boilerplate-style near-dups (3-gram Jaccard ≈ 0.95 between
+        # members, never byte-identical) that the near-dedup pass must
+        # collapse to one keeper per family. English, quality-passing, no
+        # PII/toxicity plants, so the family is kept intact until dedup.
+        family, member = i // 60, (i % 60) // 20
+        frng = random.Random(SEED * 7919 + family)
+        lines = _paragraphs(frng, "en", 8)
+        lines.append(f"Mirror copy ref{family}x{member}.")
+        return ("\n".join(lines), "en")
+
+    # plain docs 10-19 (minus 11): language mix en-heavy; non-en slots split
+    # evenly across the widened language set (corpus v5: + it/nl/pt/ja/ko)
     r = rng.random()
     if r < 0.5:
         lang = "en"

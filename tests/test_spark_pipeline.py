@@ -353,3 +353,26 @@ def test_salted_host_metrics_equals_unsalted(spark, pipeline_out, pages_small):
         .collect()
     }
     assert salted == plain and len(salted) >= 10
+
+
+def test_corpus_near_dup_families(spark, pages_small):
+    """Corpus v8 plants 3-member near-dup families at arch 11 (members are
+    one marker token apart): exact dedup must leave them (never
+    byte-identical) while the LSH candidate + Jaccard-verify path forms the
+    full clique — the material the benched near-dedup pass collapses."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.operators.dedup import (
+        exact_duplicates,
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
+    df = spark.read.parquet(pages_small).select("url", "text")
+    fam = df.filter(F.col("url").rlike("page-(11|31|51)$"))
+    assert fam.count() == 3
+    assert exact_duplicates(fam, id_col="url", text_col="text").count() == 0
+    cand = minhash_candidate_pairs(fam, id_col="url", text_col="text")
+    ver = jaccard_verify_pairs(fam, cand, id_col="url", text_col="text",
+                               threshold=0.8)
+    assert ver.count() == 3  # full 3-clique of verified near-dup pairs
