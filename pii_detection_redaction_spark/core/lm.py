@@ -25,7 +25,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .langprofiles import CONTENT_WORDS, LANGS, STOPWORDS
+from .langprofiles import CHAR_BASED_LANGS, CONTENT_WORDS, LANGS, STOPWORDS
 
 SEED = 42
 BACKOFF = 0.4
@@ -39,7 +39,7 @@ def _seed_text(lang: str) -> str:
     stop = STOPWORDS.get(lang, [])
     content = CONTENT_WORDS[lang]
     words: List[str] = []
-    char_based = lang in ("zh", "ja")
+    char_based = lang in CHAR_BASED_LANGS
     sep = "" if char_based else " "
     for _ in range(_SEED_WORDS):
         if stop and rng.random() < 0.4:

@@ -334,7 +334,13 @@ FIRST_NAMES = (
     "leo henry mia grace sophie harper lucas liam emma ava ethan"
 ).split()
 
-_NAME_SEQ = r"[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){0,3}"
+# name sequence: optional leading initials ("J. Smith" — the reference's
+# Matcher allows initials in the given-name position, analyzer.py:279-284),
+# then 1 + up to 3 capitalized tokens / initials
+_NAME_SEQ = (
+    r"(?:[A-Z]\.\s+){0,2}"
+    r"[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){0,3}"
+)
 
 # Deterministic city gazetteer for LOCATION (reference's spaCy LOC/GPE is
 # replaced per SURVEY §2.8 C5 — this pinned list is our spec; AU capitals
@@ -454,7 +460,10 @@ def _builtin_specs() -> List[RecognizerSpec]:
                 # entity (conflict rule 2 keeps the higher score per span)
                 PatternSpec(
                     "person_with_title",
-                    r"(?:\b(?:Mr|Mrs|Ms|Dr|Prof)\.?\s+|\b(?:Miss|Professor|Sir|Madam|Ma'am)\s+)"
+                    # Mx included: the reference's COMMON_TITLE list has it,
+                    # and without it here the NAME_TITLE bare-title lookahead
+                    # would suppress the title while nothing owned the name
+                    r"(?:\b(?:Mrs|Mr|Ms|Mx|Dr|Prof)\.?\s+|\b(?:Miss|Professor|Sir|Madam|Ma'am)\s+)"
                     rf"({_NAME_SEQ})",
                     0.85,
                 ),

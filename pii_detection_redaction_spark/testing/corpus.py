@@ -32,7 +32,7 @@ from typing import List, Tuple
 
 import pandas as pd
 
-from ..core.langprofiles import CONTENT_WORDS, STOPWORDS
+from ..core.langprofiles import CHAR_BASED_LANGS, CONTENT_WORDS, STOPWORDS
 from ..core.recognizers import FIRST_NAMES, is_valid_abn, luhn_ok
 from ..core.toxicity import TOXICITY_LEXICON
 
@@ -84,7 +84,7 @@ def _sentence(rng: random.Random, lang: str, n_words: int, stop_frac: float = 0.
             words.append(rng.choice(stop))
         else:
             words.append(rng.choice(content))
-    if lang in ("zh", "ja"):  # char-based: no word separators
+    if lang in CHAR_BASED_LANGS:  # no word separators
         return "".join(words) + "。"
     sent = " ".join(words)
     return sent[0].upper() + sent[1:] + "."

@@ -42,7 +42,15 @@ DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def oracle_sf_dir() -> str:
-    return os.environ.get(ORACLE_SF_DIR_ENV, DEFAULT_ORACLE_SF_DIR)
+    """The sf dir whose documents table backs the documents-based goldens.
+    Falls back through ``PII_TEST_SF_DIR`` (the documented local-differential
+    override) so a harness that redirects the pytest differential to another
+    scale stays self-consistent without setting two env vars; the driver
+    contract default remains sf0.01."""
+    return os.environ.get(
+        ORACLE_SF_DIR_ENV,
+        os.environ.get("PII_TEST_SF_DIR", DEFAULT_ORACLE_SF_DIR),
+    )
 
 
 def spark_round(x: float, nd: int) -> float:

@@ -89,11 +89,13 @@ def test_multifile_csv_preserves_input_order(spark, tmp_path):
     write_csv(out["redacted"], dst)
 
     got = []
+    all_rows = []
     for part in sorted(glob.glob(f"{dst}/part-*.csv")):
         with open(part, newline="") as f:
             rows = list(csv.reader(f))
         assert rows[0] == ["seq", "email", "note"]
         got.extend(r[0] for r in rows[1:])
+        all_rows.extend(rows[1:])
     assert got == expected
-    # the pii columns were actually redacted on the way through
-    assert all("@ex.com" not in ",".join(r) for r in rows[1:])
+    # every pii cell across EVERY part file was actually redacted
+    assert all("@ex.com" not in ",".join(r) for r in all_rows)
