@@ -39,6 +39,10 @@ MIN_LANG_CONF = 0.30
 # Junk (symbol soup / non-language) scores ~1e7 under every LM; clean text
 # tops out ~515 (zh char-level LM is the loosest). 1000 splits with 2x margin.
 MAX_PERPLEXITY = 1000.0
+# Corpus-level boilerplate: a (space-trimmed, non-empty) line appearing in at
+# least this many distinct documents is boilerplate (CC-Net-style nav/footer
+# stripping, one granularity below document dedup).
+BOILERPLATE_MIN_DOCS = 5
 
 # Gopher's canonical 8-word English stopword presence list.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -128,3 +132,34 @@ def quality_decision(
     if ppl > MAX_PERPLEXITY:
         reasons.append("perplexity")
     return (not reasons), reasons
+
+
+# --- corpus-level boilerplate lines (CC-Net-style) -------------------------
+# Spec shared with operators.dedup.strip_boilerplate_lines (Spark) and the
+# line_dedup_pages DuckDB oracle. Line key = line with ASCII spaces trimmed
+# from both ends (== Spark/DuckDB `trim`, deliberately NOT Python .strip()'s
+# all-whitespace set); empty keys never count as boilerplate.
+
+
+def boilerplate_line_set(docs, min_docs: int = BOILERPLATE_MIN_DOCS) -> set:
+    """Trimmed lines appearing in >= min_docs DISTINCT documents."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for text in docs:
+        keys = {ln.strip(" ") for ln in text.split("\n")}
+        keys.discard("")
+        c.update(keys)
+    return {k for k, n in c.items() if n >= min_docs}
+
+
+def strip_boilerplate(text: str, hot: set) -> Tuple[str, int]:
+    """(cleaned_text, n_lines_removed): drop lines whose trimmed form is in
+    ``hot``, preserving all other lines (including blanks) in order."""
+    kept, removed = [], 0
+    for ln in text.split("\n"):
+        if ln.strip(" ") in hot:
+            removed += 1
+        else:
+            kept.append(ln)
+    return "\n".join(kept), removed

@@ -247,3 +247,94 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (CC-Net-style boilerplate stripping)
+# ---------------------------------------------------------------------------
+# One granularity below document dedup: a (space-trimmed, non-empty) line
+# appearing in >= min_docs DISTINCT documents is boilerplate (nav menus,
+# cookie banners, footers — the reference has no analog; spec lives in
+# core.quality.{BOILERPLATE_MIN_DOCS, boilerplate_line_set,
+# strip_boilerplate}).
+#
+# Scale design:
+# - counting branch: posexplode -> project ONLY (trimmed line, id) ->
+#   countDistinct per line. Text leaves the scan once as individual lines;
+#   map-side partial (line, id)-distinct collapses within-doc repeats before
+#   the shuffle, and the shuffle key (the line) is the natural corpus line
+#   distribution — hot keys collapse to partial counts, no skew pile-up.
+# - the hot set is bounded by construction: every member occurs in
+#   >= min_docs docs, so |hot| <= total_lines / min_docs, and in practice a
+#   web corpus has a few thousand boilerplate lines — broadcast it.
+# - "join" strategy (default, general): line-level broadcast LEFT join marks
+#   is_hot with an O(1) hash probe per line, then one groupBy(id) shuffle
+#   reassembles the text. Robust for any hot-set size (AQE falls back to a
+#   shuffle join if the hot side outgrows the broadcast threshold); cost is
+#   one full-text shuffle.
+# - "array" strategy (shuffle-free fast path): collapse the hot set to a
+#   single array row, crossJoin(broadcast) it onto the ORIGINAL docs, and
+#   filter split(text) with a higher-order function — the document text
+#   never shuffles at all. Probe is O(|hot|) per line (Spark array_contains
+#   is a scan), so use it when the hot set is small (typical); equality of
+#   the two strategies is pytest-pinned.
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    strategy: str = "join",
+) -> DataFrame:
+    """(id, text_clean, n_lines_removed): drop corpus-boilerplate lines from
+    every document, preserving the remaining lines (including blanks) in
+    input order. ``n_lines_removed`` is 0-preserving: every input document
+    yields exactly one output row, even when all its lines are removed."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    key = F.trim(F.col("line"))
+    hot = (
+        lines.where(key != "")
+        .select(key.alias("k"), F.col(id_col))
+        .groupBy("k")
+        .agg(F.countDistinct(id_col).alias("doc_count"))
+        .where(F.col("doc_count") >= min_docs)
+        .select("k")
+    )
+
+    if strategy == "array":
+        hot_arr = hot.agg(F.collect_list("k").alias("hot_lines"))
+        parts = F.split(F.col(text_col), "\n")
+        kept = F.filter(
+            parts, lambda x: ~F.coalesce(
+                F.array_contains("hot_lines", F.trim(x)), F.lit(False)
+            )
+        )
+        return df.crossJoin(F.broadcast(hot_arr)).select(
+            F.col(id_col),
+            F.array_join(kept, "\n").alias("text_clean"),
+            (F.size(parts) - F.size(kept)).cast("long").alias("n_lines_removed"),
+        )
+
+    marked = lines.join(F.broadcast(hot), key == F.col("k"), "left").select(
+        id_col, "pos", "line", F.col("k").isNotNull().alias("is_hot")
+    )
+    sl = F.array_sort(F.collect_list(F.struct("pos", "line", "is_hot")))
+    return (
+        marked.groupBy(id_col)
+        .agg(sl.alias("sl"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.filter("sl", lambda x: ~x["is_hot"]), lambda x: x["line"]
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.size(F.filter("sl", lambda x: x["is_hot"])).cast("long").alias(
+                "n_lines_removed"
+            ),
+        )
+    )

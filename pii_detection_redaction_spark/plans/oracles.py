@@ -746,6 +746,42 @@ FROM long WHERE n > 0 ORDER BY url, entity_type
 """
 
 
+def _line_dedup_pages_sql() -> str:
+    """Full-SQL re-derivation of corpus-level boilerplate-line removal over
+    the same pages parquet the Spark query reads: unnest lines with position,
+    hot set = trimmed non-empty lines in >= BOILERPLATE_MIN_DOCS distinct
+    pages, reassemble each page's kept lines in order (string_agg skips the
+    NULLed-out hot lines; blank lines are kept — identical to
+    operators.dedup.strip_boilerplate_lines and core.quality.
+    strip_boilerplate; trim is ASCII-space-only in all three engines)."""
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+lines AS (
+  SELECT url,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM pages
+),
+hot AS (
+  SELECT trim(line) AS k
+  FROM lines
+  WHERE trim(line) <> ''
+  GROUP BY 1
+  HAVING count(DISTINCT url) >= {Q.BOILERPLATE_MIN_DOCS}
+)
+SELECT l.url,
+       coalesce(string_agg(CASE WHEN h.k IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text_clean,
+       CAST(count(h.k) AS BIGINT) AS n_lines_removed
+FROM lines l LEFT JOIN hot h ON trim(l.line) = h.k
+GROUP BY l.url
+ORDER BY l.url
+"""
+
+
 def _golden_oracles(sf_dir: str) -> dict:
     """Value oracles for the non-SQL-expressible queries: the pure-Python
     oracle's output is materialized as golden parquet (``testing.goldens``)
@@ -798,6 +834,7 @@ def all_oracles() -> dict:
 
     d = dict(ORACLE_SQL)
     d["pii_subset_counts"] = _pii_subset_counts_sql()
+    d["line_dedup_pages"] = _line_dedup_pages_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

@@ -755,6 +755,20 @@ def q_pii_scrub_pages(spark, sf_dir):
     )
 
 
+def q_line_dedup_pages(spark, sf_dir):
+    """CC-Net-style corpus-level boilerplate-line removal over the pages
+    corpus: lines (space-trimmed) shared by >= BOILERPLATE_MIN_DOCS distinct
+    pages are stripped from every page (operators.dedup.
+    strip_boilerplate_lines; full-SQL DuckDB oracle re-derives the hot set
+    and the reassembled text over the same parquet). Non-vacuous: the corpus
+    plants repeated disclaimer/complaint lines across pages."""
+    d = _pages(spark)
+    out = D.strip_boilerplate_lines(
+        d, id_col="url", text_col="text", min_docs=Q.BOILERPLATE_MIN_DOCS
+    )
+    return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -820,5 +834,6 @@ QUERIES = {
     "pii_subset_counts": q_pii_subset_counts,
     "pii_scrub": q_pii_scrub,
     "pii_scrub_pages": q_pii_scrub_pages,
+    "line_dedup_pages": q_line_dedup_pages,
     "quality_pipeline": q_quality_pipeline,
 }

@@ -1,0 +1,75 @@
+"""Corpus-level line dedup (boilerplate stripping) — three-engine agreement
+(pure-Python spec / Spark join strategy / Spark array strategy), edge
+semantics, plan shape, and non-vacuity on the pages corpus."""
+
+import pandas as pd
+import pytest
+
+from pii_detection_redaction_spark.core.quality import (
+    BOILERPLATE_MIN_DOCS,
+    boilerplate_line_set,
+    strip_boilerplate,
+)
+from pii_detection_redaction_spark.operators.dedup import strip_boilerplate_lines
+
+FOOTER = "c 2024 Example Pty Ltd - all rights reserved"
+DOCS = [
+    # footer appears in 3 distinct docs -> boilerplate at min_docs=3
+    (0, f"alpha body one\n{FOOTER}\nmore text"),
+    (1, f"  {FOOTER}  \nbeta body"),  # leading/trailing spaces still match
+    (2, f"gamma body\n\n{FOOTER}"),  # blank line must be KEPT
+    (3, FOOTER),  # all lines removed -> row stays, text_clean == ""
+    (4, f"{FOOTER}\n{FOOTER}\ndelta"),  # in-doc repeat counts ONCE per doc
+    (5, "unique text only\nsecond line"),
+    (6, "tab\ttrailing \t"),  # tab is NOT trimmed: never merges with others
+]
+
+
+def _oracle_frame(min_docs):
+    hot = boilerplate_line_set([t for _, t in DOCS], min_docs)
+    rows = []
+    for i, t in DOCS:
+        clean, removed = strip_boilerplate(t, hot)
+        rows.append((i, clean, removed))
+    return pd.DataFrame(rows, columns=["doc_id", "text_clean", "n_lines_removed"])
+
+
+def test_python_spec_semantics():
+    hot = boilerplate_line_set([t for _, t in DOCS], 3)
+    assert hot == {FOOTER}  # distinct-doc counting: doc 4's repeat is one vote
+    exp = _oracle_frame(3)
+    assert exp.n_lines_removed.tolist() == [1, 1, 1, 1, 2, 0, 0]
+    assert exp.text_clean[3] == ""  # fully-boilerplate doc survives, empty
+    assert exp.text_clean[2] == "gamma body\n"  # blank line preserved
+    # raising the threshold above the doc count deactivates the hot set
+    assert boilerplate_line_set([t for _, t in DOCS], 10) == set()
+
+
+@pytest.mark.parametrize("strategy", ["join", "array"])
+def test_spark_matches_python_spec(spark, strategy):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = (
+        strip_boilerplate_lines(df, min_docs=3, strategy=strategy)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = _oracle_frame(3)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_join_strategy_broadcasts_hot_set(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = strip_boilerplate_lines(df, min_docs=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # hot-set probe is map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_nonvacuous_on_pages_corpus(pages_small):
+    """The planted corpus repeats disclaimer/complaint lines across pages, so
+    the operator removes real lines at the default threshold (guards against
+    the vacuous-oracle failure mode)."""
+    pdf = pd.read_parquet(pages_small, columns=["text"])
+    hot = boilerplate_line_set(pdf["text"], BOILERPLATE_MIN_DOCS)
+    assert len(hot) >= 1
+    removed = sum(strip_boilerplate(t, hot)[1] for t in pdf["text"])
+    assert removed >= 10
