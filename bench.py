@@ -66,6 +66,8 @@ HEADLINE = [
     "langid_documents",
     "minhash_bands",
     "simhash",
+    "line_dedup_pages",
+    "host_rollup",
     "embedding_topk",
     "severity_rollup",
     "near_dup_components",

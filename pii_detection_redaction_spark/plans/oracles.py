@@ -782,6 +782,32 @@ ORDER BY l.url
 """
 
 
+def _host_rollup_sql() -> str:
+    """Host extraction (same regex literal), blocklist NOT IN, per-host
+    rollup with avg derived from the two sums in the same order as Spark."""
+    from ..operators.web import HOST_REGEX
+    from .queries import BLOCKED_HOSTS, oracle_pages_path
+
+    path = oracle_pages_path()
+    blocked = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+h AS (
+  SELECT regexp_extract(url, '{_q(HOST_REGEX)}', 1) AS host,
+         length(text) AS n
+  FROM pages
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 2) AS avg_chars
+FROM h
+WHERE host NOT IN ({blocked})
+GROUP BY host
+ORDER BY host
+"""
+
+
 def _golden_oracles(sf_dir: str) -> dict:
     """Value oracles for the non-SQL-expressible queries: the pure-Python
     oracle's output is materialized as golden parquet (``testing.goldens``)
@@ -835,6 +861,7 @@ def all_oracles() -> dict:
     d = dict(ORACLE_SQL)
     d["pii_subset_counts"] = _pii_subset_counts_sql()
     d["line_dedup_pages"] = _line_dedup_pages_sql()
+    d["host_rollup"] = _host_rollup_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

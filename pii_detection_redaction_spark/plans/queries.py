@@ -33,6 +33,7 @@ from ..functions.udfs import (
     make_scrub_udf,
 )
 from ..operators import dedup as D
+from ..operators import web as W
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
 from ..operators.joins import asof_join, bin_range_join
@@ -769,6 +770,24 @@ def q_line_dedup_pages(spark, sf_dir):
     return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
 
 
+# host blocklist for the catalog query — literal policy list (a real UT1-
+# scale blocklist is a table; operators.web.filter_blocked_hosts takes one);
+# both hosts exist in the pages corpus so the filter is non-vacuous
+BLOCKED_HOSTS = ("site08.example.co", "site12.example.com")
+
+
+def q_host_rollup(spark, sf_dir):
+    """Per-host page/byte rollup over the pages corpus after dropping
+    blocklisted hosts (operators.web): host extraction is one JVM
+    regexp_extract, the blocklist is a broadcast left-anti join, and the
+    rollup shuffles only (host, count, sum) partials — Zipf-head hosts
+    collapse map-side."""
+    d = _pages(spark)
+    blocked = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], ["host"])
+    kept = W.filter_blocked_hosts(d, blocked)
+    return W.host_rollup(kept.drop("host")).orderBy("host")
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -835,5 +854,6 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "pii_scrub_pages": q_pii_scrub_pages,
     "line_dedup_pages": q_line_dedup_pages,
+    "host_rollup": q_host_rollup,
     "quality_pipeline": q_quality_pipeline,
 }
