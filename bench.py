@@ -68,6 +68,7 @@ HEADLINE = [
     "simhash",
     "line_dedup_pages",
     "host_rollup",
+    "doc_repetition_metrics",
     "embedding_topk",
     "severity_rollup",
     "near_dup_components",

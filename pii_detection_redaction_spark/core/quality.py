@@ -134,6 +134,46 @@ def quality_decision(
     return (not reasons), reasons
 
 
+# --- Gopher repetition metrics (extended; NOT part of the frozen keep/drop
+# spec — reported as per-doc metrics so downstream pipelines can gate on
+# them without changing this engine's pinned decision) ----------------------
+# Definitions (this repo's frozen spec; Gopher §A1.1 leaves ties/denominators
+# ambiguous, so we pin them):
+# - dup_line_char_frac: chars in line occurrences BEYOND the first
+#   (sum (count-1)*len over distinct trimmed non-empty lines) / total chars
+#   of all trimmed non-empty line occurrences; 0 when no lines.
+# - top_{bigram,trigram}_char_frac: take the MOST FREQUENT word n-gram
+#   (count ties broken by larger char mass, so the stat is deterministic);
+#   fraction = count * (sum of word lengths in the gram) / total word chars
+#   ("\S+" words). Frequency-first matters: a long singleton gram must not
+#   outrank a short gram repeated many times.
+
+
+def repetition_metrics(text: str) -> Dict[str, float]:
+    from collections import Counter
+
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    tot_line_chars = sum(len(ln) for ln in lines)
+    lc = Counter(lines)
+    extra = sum((c - 1) * len(ln) for ln, c in lc.items())
+    words = _word_re.findall(text)
+    wchars = sum(len(w) for w in words)
+    out = {
+        "dup_line_char_frac": (extra / tot_line_chars) if tot_line_chars else 0.0
+    }
+    for n, name in ((2, "top_bigram_char_frac"), (3, "top_trigram_char_frac")):
+        grams: Counter = Counter(
+            tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        best = max(
+            ((c, c * sum(len(w) for w in g)) for g, c in grams.items()),
+            default=(0, 0),
+        )[1]
+        out[name] = (best / wchars) if wchars else 0.0
+    return out
+
+
 # --- corpus-level boilerplate lines (CC-Net-style) -------------------------
 # Spec shared with operators.dedup.strip_boilerplate_lines (Spark) and the
 # line_dedup_pages DuckDB oracle. Line key = line with ASCII spaces trimmed

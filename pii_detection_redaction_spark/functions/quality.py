@@ -99,6 +99,86 @@ def add_quality_columns(df: DataFrame, text_col: str, lang_col: str) -> DataFram
     return df.withColumn("rules_pass", passed)
 
 
+# --- Gopher repetition metrics (core.quality.repetition_metrics spec) ------
+# All pure JVM higher-order expressions — no shuffle, no Python:
+# - duplicate-line chars: sort the line array, then a line occurrence is
+#   "beyond the first" iff it equals its sorted predecessor (F.get is
+#   0-based and null-safe, so index -1 is NULL under ANSI, not an error);
+# - top-n-gram chars: fold (F.aggregate) over the SORTED gram array with
+#   (prev, run, best) struct state — equal grams are adjacent after the
+#   sort, so the running run-length reaches each gram's full count and
+#   best = max over grams of count * gram_chars. O(G log G) per doc vs the
+#   O(G^2) per-element recount a naive filter would cost.
+
+
+def _ngram_array(words: Column, n: int) -> Column:
+    """Space-joined word n-grams; words contain no spaces ("\\S+"), so the
+    join is reversible and gram char length = length - (n-1)."""
+    size = F.size(words)
+    arr = F.slice(words, 1, size - (n - 1))
+    for i in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(words, i + 1, size - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return arr
+
+
+def _top_gram_chars(grams: Column, n: int) -> Column:
+    """count*chars of the most frequent gram (frequency first, char mass as
+    tiebreak — core.quality spec): the fold tracks the best (run, chars)
+    pair lexicographically as runs grow through the sorted array."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        chars = (F.length(x) - F.lit(n - 1)) * run
+        better = (run > acc["best_run"]) | (
+            (run == acc["best_run"]) & (chars > acc["best"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, chars).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge, lambda acc: acc["best"])
+
+
+def repetition_metric_columns(text: Column) -> dict:
+    lines = _nonempty_lines(text)
+    s = F.array_sort(lines)
+    extra = F.aggregate(
+        F.transform(
+            s,
+            lambda x, i: F.when(x == F.get(s, i - 1), F.length(x)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    tot_line_chars = F.aggregate(lines, F.lit(0), lambda a, b: a + F.length(b))
+    words = F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))
+    wchars = F.aggregate(words, F.lit(0), lambda a, b: a + F.length(b))
+    out = {
+        "dup_line_char_frac": F.when(
+            tot_line_chars > 0, extra / tot_line_chars
+        ).otherwise(F.lit(0.0))
+    }
+    for n, name in ((2, "top_bigram_char_frac"), (3, "top_trigram_char_frac")):
+        best = F.when(F.size(words) >= n, _top_gram_chars(_ngram_array(words, n), n)).otherwise(F.lit(0))
+        out[name] = F.when(wchars > 0, best / wchars).otherwise(F.lit(0.0))
+    return out
+
+
 def mask_toxicity_column(text: Column) -> Column:
     """JVM-side toxicity masking (same regex/label as the oracle's
     ``core.toxicity.mask_toxicity``); applied to kept docs after PII scrub."""

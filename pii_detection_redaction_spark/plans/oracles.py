@@ -808,6 +808,70 @@ ORDER BY host
 """
 
 
+def _doc_repetition_metrics_sql() -> str:
+    """Independent SQL re-derivation of the Gopher repetition metrics: line
+    occurrence counts via GROUP BY (vs Spark's sorted-neighbor scan), word
+    n-grams via window lead() (vs Spark's slice+zip_with fold) — different
+    algorithms, same pinned spec (core.quality.repetition_metrics)."""
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+lines AS (
+  SELECT url, trim(unnest(string_split(text, chr(10)))) AS line FROM pages
+),
+lc AS (
+  SELECT url, line, count(*) AS c, length(line) AS len
+  FROM lines WHERE line <> '' GROUP BY url, line
+),
+ld AS (
+  SELECT url, sum((c - 1) * len) AS extra, sum(c * len) AS tot
+  FROM lc GROUP BY url
+),
+w AS (
+  SELECT url,
+         unnest(regexp_extract_all(text, '{_WORDS}')) AS wd,
+         generate_subscripts(regexp_extract_all(text, '{_WORDS}'), 1) AS pos
+  FROM pages
+),
+wt AS (SELECT url, sum(length(wd)) AS wchars FROM w GROUP BY url),
+seq AS (
+  SELECT url, wd AS w1,
+         lead(wd) OVER (PARTITION BY url ORDER BY pos) AS w2,
+         lead(wd, 2) OVER (PARTITION BY url ORDER BY pos) AS w3
+  FROM w
+),
+bg AS (
+  SELECT url, max(c * glen) AS best2 FROM (
+    SELECT url, c, glen, max(c) OVER (PARTITION BY url) AS mc FROM (
+      SELECT url, count(*) AS c, length(w1) + length(w2) AS glen
+      FROM seq WHERE w2 IS NOT NULL GROUP BY url, w1, w2
+    )
+  ) WHERE c = mc GROUP BY url
+),
+tg AS (
+  SELECT url, max(c * glen) AS best3 FROM (
+    SELECT url, c, glen, max(c) OVER (PARTITION BY url) AS mc FROM (
+      SELECT url, count(*) AS c,
+             length(w1) + length(w2) + length(w3) AS glen
+      FROM seq WHERE w3 IS NOT NULL GROUP BY url, w1, w2, w3
+    )
+  ) WHERE c = mc GROUP BY url
+)
+SELECT p.url,
+  round(coalesce(CAST(ld.extra AS DOUBLE) / ld.tot, 0), 6) AS dup_line_char_frac,
+  round(coalesce(CAST(bg.best2 AS DOUBLE) / wt.wchars, 0), 6) AS top_bigram_char_frac,
+  round(coalesce(CAST(tg.best3 AS DOUBLE) / wt.wchars, 0), 6) AS top_trigram_char_frac
+FROM pages p
+LEFT JOIN ld USING (url)
+LEFT JOIN wt USING (url)
+LEFT JOIN bg USING (url)
+LEFT JOIN tg USING (url)
+ORDER BY p.url
+"""
+
+
 def _golden_oracles(sf_dir: str) -> dict:
     """Value oracles for the non-SQL-expressible queries: the pure-Python
     oracle's output is materialized as golden parquet (``testing.goldens``)
@@ -862,6 +926,7 @@ def all_oracles() -> dict:
     d["pii_subset_counts"] = _pii_subset_counts_sql()
     d["line_dedup_pages"] = _line_dedup_pages_sql()
     d["host_rollup"] = _host_rollup_sql()
+    d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

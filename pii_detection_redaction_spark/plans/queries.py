@@ -25,7 +25,14 @@ from ..core import langid as LID
 from ..core import quality as Q
 from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 from ..core.langprofiles import STOPWORDS
-from ..functions.quality import NONSPACE_RE, STOP_RE, SYMBOL_RE, WORD_RE, add_quality_columns
+from ..functions.quality import (
+    NONSPACE_RE,
+    STOP_RE,
+    SYMBOL_RE,
+    WORD_RE,
+    add_quality_columns,
+    repetition_metric_columns,
+)
 from ..functions.udfs import (
     make_detect_udf,
     make_langid_udf,
@@ -770,6 +777,19 @@ def q_line_dedup_pages(spark, sf_dir):
     return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
 
 
+def q_doc_repetition_metrics(spark, sf_dir):
+    """Gopher repetition metrics per page (dup-line char fraction, top
+    bi/tri-gram char fraction) — pure JVM higher-order expressions
+    (functions.quality.repetition_metric_columns), spec pinned in
+    core.quality.repetition_metrics; extended metrics, deliberately NOT
+    wired into the frozen keep/drop decision."""
+    d = _pages(spark)
+    cols = repetition_metric_columns(F.col("text"))
+    return d.select(
+        "url", *[F.round(v, 6).alias(k) for k, v in cols.items()]
+    ).orderBy("url")
+
+
 # host blocklist for the catalog query — literal policy list (a real UT1-
 # scale blocklist is a table; operators.web.filter_blocked_hosts takes one);
 # both hosts exist in the pages corpus so the filter is non-vacuous
@@ -855,5 +875,6 @@ QUERIES = {
     "pii_scrub_pages": q_pii_scrub_pages,
     "line_dedup_pages": q_line_dedup_pages,
     "host_rollup": q_host_rollup,
+    "doc_repetition_metrics": q_doc_repetition_metrics,
     "quality_pipeline": q_quality_pipeline,
 }
