@@ -69,6 +69,7 @@ HEADLINE = [
     "line_dedup_pages",
     "host_rollup",
     "doc_repetition_metrics",
+    "doc_compression",
     "embedding_topk",
     "severity_rollup",
     "near_dup_components",

@@ -134,6 +134,27 @@ def quality_decision(
     return (not reasons), reasons
 
 
+# --- compression ratio (extended metric) -----------------------------------
+# deflate-compressed size / raw UTF-8 size at a pinned zlib level. Very low
+# ratios flag templated/repetitive text that n-gram rules miss; very high
+# ratios flag high-entropy non-language (base64 blobs, minified js). Not
+# ANSI-SQL-expressible — value-gated through the golden-parquet route, which
+# also pins the zlib build: the golden is produced by this same function in
+# this environment, so engine/oracle can never disagree on codec output.
+
+ZLIB_LEVEL = 6
+
+
+def compression_ratio(text: str) -> float:
+    """len(zlib.compress(utf8, 6)) / len(utf8); 0.0 for empty text."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return 0.0
+    return len(zlib.compress(raw, ZLIB_LEVEL)) / len(raw)
+
+
 # --- Gopher repetition metrics (extended; NOT part of the frozen keep/drop
 # spec — reported as per-doc metrics so downstream pipelines can gate on
 # them without changing this engine's pinned decision) ----------------------

@@ -54,6 +54,39 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).select(id_col, F.col("lid.lang").alias("lang_pred"), F.col("lid.conf").alias("lang_conf"))
 
 
+def compression_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bytes, compression_ratio): deflate ratio per doc
+    (core.quality.compression_ratio spec, zlib level pinned there).
+
+    Only the compressed byte COUNT crosses the Arrow boundary (one int64 per
+    doc); n_bytes is JVM octet_length and the division happens JVM-side, so
+    the UDF payload is minimal and the compression work is embarrassingly
+    parallel row-local CPU — exactly what executors scale linearly on."""
+    import zlib
+
+    from ..core.quality import ZLIB_LEVEL
+
+    @pandas_udf(T.LongType())
+    def zlen_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(raw, ZLIB_LEVEL)) if raw else 0)
+        return pd.Series(out)
+
+    n_bytes = F.octet_length(F.col(text_col))
+    zl = zlen_udf(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_bytes.cast("long").alias("n_bytes"),
+        F.when(n_bytes > 0, zl.cast("double") / n_bytes)
+        .otherwise(F.lit(0.0))
+        .alias("compression_ratio"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3) -> DataFrame:
     """(id, content_md5, fingerprint): md5 of the text plus the min-shingle-

@@ -888,7 +888,12 @@ def _golden_oracles(sf_dir: str) -> dict:
     scrub_pages = G.golden_pii_scrub_pages()
     scrub_docs = G.golden_pii_scrub(sf_dir)
     qp = G.golden_quality_pipeline(sf_dir)
+    comp = G.golden_doc_compression(sf_dir)
     return {
+        "doc_compression": f"""
+SELECT doc_id, n_bytes, compression_ratio
+FROM read_parquet('{comp}') ORDER BY doc_id
+""",
         "pii_detections": f"""
 SELECT url, entity_type, CAST("start" AS INTEGER) AS "start",
        CAST("end" AS INTEGER) AS "end", score, pattern_name

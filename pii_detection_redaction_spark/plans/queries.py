@@ -777,6 +777,20 @@ def q_line_dedup_pages(spark, sf_dir):
     return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
 
 
+def q_doc_compression(spark, sf_dir):
+    """Deflate compression ratio per document (operators.textstats.
+    compression_stats; spec core.quality.compression_ratio). Low = templated
+    text, high = non-language entropy. Not SQL-expressible (codec) —
+    value-gated via the golden-parquet oracle route."""
+    d = _t_wide(spark, sf_dir, "documents")
+    out = TS.compression_stats(d)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round("compression_ratio", 6).alias("compression_ratio"),
+    ).orderBy("doc_id")
+
+
 def q_doc_repetition_metrics(spark, sf_dir):
     """Gopher repetition metrics per page (dup-line char fraction, top
     bi/tri-gram char fraction) — pure JVM higher-order expressions
@@ -876,5 +890,6 @@ QUERIES = {
     "line_dedup_pages": q_line_dedup_pages,
     "host_rollup": q_host_rollup,
     "doc_repetition_metrics": q_doc_repetition_metrics,
+    "doc_compression": q_doc_compression,
     "quality_pipeline": q_quality_pipeline,
 }

@@ -1,9 +1,10 @@
 """Golden-parquet materialization for the non-SQL-expressible catalog queries.
 
-Five catalog queries (``pii_detections``, ``pii_entity_counts``,
-``pii_scrub``, ``pii_scrub_pages``, ``quality_pipeline``) have semantics that
-cannot be re-derived in ANSI SQL: the full recognizer bank with context boost
-and conflict resolution, and LM perplexity. They still get value-level DuckDB
+Six catalog queries (``pii_detections``, ``pii_entity_counts``,
+``pii_scrub``, ``pii_scrub_pages``, ``quality_pipeline``,
+``doc_compression``) have semantics that cannot be re-derived in ANSI SQL:
+the full recognizer bank with context boost and conflict resolution, LM
+perplexity, and deflate compression. They still get value-level DuckDB
 oracles: the pure-Python oracle library — engine #2 of the one-spec /
 three-engines discipline, zero Spark code — computes the expected result over
 the SAME deterministic input the Spark query reads, the result is
@@ -230,6 +231,31 @@ def golden_pii_scrub(sf_dir: str) -> str:
         )
 
     return _materialize("pii_scrub", _documents_key(sf_dir), build)
+
+
+def golden_doc_compression(sf_dir: str) -> str:
+    """(doc_id, n_bytes, compression_ratio@6dp) over the documents table —
+    mirrors ``q_doc_compression`` (core.quality.compression_ratio; the
+    golden also pins the environment's zlib build output)."""
+
+    def build() -> pa.Table:
+        from ..core.quality import compression_ratio
+
+        ids, n_bytes, ratios = [], [], []
+        for doc_id, text in _documents_rows(sf_dir):
+            text = text or ""
+            ids.append(doc_id)
+            n_bytes.append(len(text.encode("utf-8")))
+            ratios.append(spark_round(compression_ratio(text), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "compression_ratio": pa.array(ratios, pa.float64()),
+            }
+        )
+
+    return _materialize("doc_compression", _documents_key(sf_dir), build)
 
 
 def golden_quality_pipeline(sf_dir: str) -> str:

@@ -517,3 +517,24 @@ def test_resize_plan_geometry(spark):
     assert got[3]["target_w"] == 512 and got[3]["target_h"] == 1
     for mid in (4, 5):
         assert got[mid]["target_w"] is None and got[mid]["resize_scale"] is None
+
+
+def test_compression_stats_matches_spec(spark):
+    """Spark compression_stats == core.quality.compression_ratio per doc,
+    and the signal separates repetitive from high-entropy text."""
+    import pytest as _pytest
+
+    from pii_detection_redaction_spark.core.quality import compression_ratio
+    from pii_detection_redaction_spark.operators.textstats import compression_stats
+
+    import hashlib as _hl
+
+    texts = ["abc " * 200, "the quick brown fox jumps over the lazy dog", "", "x",
+             "".join(_hl.md5(str(i).encode()).hexdigest() for i in range(50))]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in compression_stats(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i].n_bytes == len(t.encode("utf-8"))
+        assert got[i].compression_ratio == _pytest.approx(compression_ratio(t))
+    assert got[0].compression_ratio < 0.1  # repetitive compresses hard
+    assert got[4].compression_ratio > 0.4  # high-entropy hex barely compresses
