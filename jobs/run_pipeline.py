@@ -36,6 +36,9 @@ def main() -> None:
                    choices=["relationship", "replace", "mask"])
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--entities", nargs="*", default=None)
+    p.add_argument("--strip-boilerplate", action="store_true",
+                   help="CC-Net-style corpus-level boilerplate-line removal "
+                        "before the quality rules (extra corpus pass)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -55,6 +58,7 @@ def main() -> None:
         scrub_mode=args.scrub_mode,
         min_score=args.min_score,
         entities=args.entities,
+        strip_boilerplate=args.strip_boilerplate,
     )
     counters = run_pipeline(
         spark, args.input, args.output, cfg, resume=not args.no_resume

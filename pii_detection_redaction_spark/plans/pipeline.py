@@ -15,7 +15,11 @@ Scale design:
   ``groupBy(host, salt)`` then final ``groupBy(host)`` — a Zipf host holding
   40% of rows is split across SALT_BUCKETS reducers first;
 - counters use ``df.observe`` (no extra pass over the data);
-- checkpoint-resume: bucket groups are the commit unit (sources.snapshots).
+- checkpoint-resume: bucket groups are the commit unit (sources.snapshots);
+- optional CC-Net-style boilerplate stage (``strip_boilerplate``): one
+  JVM-only corpus pass builds the cross-group hot-line set, broadcast into
+  every group; the strip itself is a row-local higher-order filter in the
+  same stage as extraction (document text never shuffles for it).
 """
 
 from __future__ import annotations
@@ -49,6 +53,11 @@ class PipelineConfig:
     scrub_mode: str = "relationship"
     extract_from_html: bool = True
     salt_buckets: int = SALT_BUCKETS
+    # CC-Net-style corpus-level boilerplate-line stripping BEFORE the quality
+    # rules (off by default: the frozen keep/drop spec + pinned counters are
+    # defined on unstripped text; enabling changes what the rules see).
+    strip_boilerplate: bool = False
+    boilerplate_min_docs: int = Q.BOILERPLATE_MIN_DOCS
     extra: Dict = field(default_factory=dict)
 
 
@@ -56,6 +65,37 @@ def with_bucket(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.num_buckets)).cast("int")
     ).withColumn("grp", (F.col("bucket") % cfg.groups).cast("int"))
+
+
+def _extracted_text(df: DataFrame, cfg: PipelineConfig):
+    """The canonical text column expression for a raw pages frame — the same
+    extraction transform_pages applies (JVM, byte-identical invariant)."""
+    if cfg.extract_from_html and "html" in df.columns:
+        return extract_text_expr(F.col("html"))
+    return F.col("text")
+
+
+def boilerplate_hot_lines(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Corpus-level hot-line set over the EXTRACTED text of the whole input
+    (cross-group by construction — boilerplate is a corpus property, so this
+    is a separate lightweight pass before the bucket-group loop: JVM-only
+    scan + one narrow (line, url) shuffle; CC-Net pays the same second pass).
+    Single-row frame with the hot lines collected into an array, built for
+    ``F.broadcast`` + higher-order filter (the array strategy of
+    operators.dedup.strip_boilerplate_lines: document text never shuffles)."""
+    lines = df.select(
+        F.col("url"),
+        F.explode(F.split(_extracted_text(df, cfg), "\n")).alias("line"),
+    )
+    key = F.trim(F.col("line"))
+    hot = (
+        lines.where(key != "")
+        .select(key.alias("k"), "url")
+        .groupBy("k")
+        .agg(F.countDistinct("url").alias("doc_count"))
+        .where(F.col("doc_count") >= cfg.boilerplate_min_docs)
+    )
+    return hot.agg(F.collect_list("k").alias("hot_lines"))
 
 
 def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -99,6 +139,25 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     else:
         df = df.withColumn("extract_ok", F.lit(True))
 
+    if "hot_lines" in df.columns:
+        # corpus-level boilerplate strip (array-broadcast strategy): drop
+        # lines whose trimmed form is in the broadcast hot set, BEFORE the
+        # quality rules — still row-local JVM work in the same stage.
+        parts = F.split(F.col("text"), "\n")
+        kept = F.filter(
+            parts,
+            lambda x: ~F.coalesce(
+                F.array_contains("hot_lines", F.trim(x)), F.lit(False)
+            ),
+        )
+        df = (
+            df.withColumn("boiler_removed", (F.size(parts) - F.size(kept)).cast("long"))
+            .withColumn("text", F.array_join(kept, "\n"))
+            .drop("hot_lines")
+        )
+    else:
+        df = df.withColumn("boiler_removed", F.lit(0).cast("long"))
+
     # Quality METRICS first (JVM, codegen'd, language-independent), then the
     # one fused UDF which makes the language prediction, applies the rule
     # thresholds (they depend on that prediction), and detects+scrubs the
@@ -139,6 +198,7 @@ OUTPUT_COLUMNS = [
     "url",
     "warc_ts",
     "bucket",
+    "boiler_removed",
     "lang",
     "lang_pred",
     "lang_conf",
@@ -222,6 +282,13 @@ def run_pipeline(
     n_parts = max(1, cfg.num_buckets // cfg.groups)
     need_repartition = scan_parts < min(n_parts, 2 * par)
 
+    # corpus-level hot-line set: ONE pass over the whole input (not per
+    # group), reused by every group via broadcast. localCheckpoint pins the
+    # result so the groups don't recompute the scan+agg lineage.
+    hot_arr = None
+    if cfg.strip_boilerplate:
+        hot_arr = boilerplate_hot_lines(raw, cfg).localCheckpoint()
+
     for gid in range(cfg.groups):
         if gid in done:
             continue
@@ -229,6 +296,8 @@ def run_pipeline(
         part = pages.filter(F.col("grp") == gid)
         if need_repartition:
             part = part.repartition(n_parts, "bucket")
+        if hot_arr is not None:
+            part = part.crossJoin(F.broadcast(hot_arr))
         out = transform_pages(part, cfg).select(*OUTPUT_COLUMNS)
         out = out.observe(
             obs,
@@ -243,6 +312,7 @@ def run_pipeline(
             # over every kept doc; the bound is documented instead.
             F.sum(F.when(F.col("keep"), F.col("tox_hits")).otherwise(F.lit(0)))
             .alias("tox_masked"),
+            F.sum("boiler_removed").alias("lines_removed"),
         )
         gpath = store.group_path(gid)
         # already partitioned by bucket upstream → one file per bucket task;
