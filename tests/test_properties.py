@@ -191,3 +191,70 @@ def test_trim_person_span_properties(text, a, b):
     if te > ts:
         ts2, te2 = trim_person_span(text, ts, te)
         assert (ts2, te2) == (ts, te)  # idempotent on its own output
+
+
+# --- corpus-level boilerplate stripping (core.quality spec) ---------------
+
+_line = st.sampled_from(
+    ["copyright footer", "nav menu", "  spaced  ", "unique %d", "", "x y z",
+     "cookie banner accept", "\tkeep tab"]
+)
+_doc = st.lists(_line, min_size=0, max_size=6).map(lambda ls: "\n".join(ls))
+_corpus = st.lists(_doc, min_size=0, max_size=12)
+
+
+@given(_corpus, st.integers(min_value=2, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_boilerplate_strip_idempotent(docs, min_docs):
+    """Stripping is a fixpoint: after removing every occurrence of each hot
+    line, surviving lines keep their original doc counts (all below the
+    threshold, else they'd have been hot), so a second pass with a
+    recomputed hot set removes nothing."""
+    from pii_detection_redaction_spark.core.quality import (
+        boilerplate_line_set,
+        strip_boilerplate,
+    )
+
+    hot1 = boilerplate_line_set(docs, min_docs)
+    once = [strip_boilerplate(t, hot1)[0] for t in docs]
+    hot2 = boilerplate_line_set(once, min_docs)
+    twice = [strip_boilerplate(t, hot2) for t in once]
+    assert all(removed == 0 for _, removed in twice)
+    assert [t for t, _ in twice] == once
+
+
+@given(_corpus, st.integers(min_value=2, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_boilerplate_strip_only_removes_hot_lines(docs, min_docs):
+    from pii_detection_redaction_spark.core.quality import (
+        boilerplate_line_set,
+        strip_boilerplate,
+    )
+
+    hot = boilerplate_line_set(docs, min_docs)
+    for t in docs:
+        cleaned, removed = strip_boilerplate(t, hot)
+        # every kept line's trimmed form is cold; counts reconcile
+        assert all(ln.strip(" ") not in hot for ln in cleaned.split("\n"))
+        assert removed == sum(1 for ln in t.split("\n") if ln.strip(" ") in hot)
+
+
+# --- repetition metrics bounds (core.quality spec) -------------------------
+
+_rep_text = st.text(
+    alphabet=string.ascii_lowercase + " \n.", min_size=0, max_size=300
+)
+
+
+@given(_rep_text)
+@settings(max_examples=80, deadline=None)
+def test_repetition_metric_bounds(text):
+    """dup_line_char_frac in [0, 1); top-n-gram fraction in [0, n] (a word
+    participates in up to n n-grams, so the top gram's char mass can exceed
+    the corpus char count by at most that factor)."""
+    from pii_detection_redaction_spark.core.quality import repetition_metrics
+
+    m = repetition_metrics(text)
+    assert 0.0 <= m["dup_line_char_frac"] < 1.0 or m["dup_line_char_frac"] == 0.0
+    assert 0.0 <= m["top_bigram_char_frac"] <= 2.0
+    assert 0.0 <= m["top_trigram_char_frac"] <= 3.0
