@@ -54,6 +54,20 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).select(id_col, F.col("lid.lang").alias("lang_pred"), F.col("lid.conf").alias("lang_conf"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_line_char_frac, top_bigram_char_frac, top_trigram_char_frac):
+    Gopher repetition metrics, row-local JVM expressions
+    (functions.quality.repetition_metric_columns; spec core.quality)."""
+    from ..functions.quality import repetition_metric_columns
+
+    cols = repetition_metric_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col), *[F.round(v, 6).alias(k) for k, v in cols.items()]
+    )
+
+
 def compression_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

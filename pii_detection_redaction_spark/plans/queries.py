@@ -31,7 +31,6 @@ from ..functions.quality import (
     SYMBOL_RE,
     WORD_RE,
     add_quality_columns,
-    repetition_metric_columns,
 )
 from ..functions.udfs import (
     make_detect_udf,
@@ -798,10 +797,7 @@ def q_doc_repetition_metrics(spark, sf_dir):
     core.quality.repetition_metrics; extended metrics, deliberately NOT
     wired into the frozen keep/drop decision."""
     d = _pages(spark)
-    cols = repetition_metric_columns(F.col("text"))
-    return d.select(
-        "url", *[F.round(v, 6).alias(k) for k, v in cols.items()]
-    ).orderBy("url")
+    return TS.repetition_stats(d, id_col="url").orderBy("url")
 
 
 # host blocklist for the catalog query — literal policy list (a real UT1-
