@@ -102,8 +102,12 @@ def add_quality_columns(df: DataFrame, text_col: str, lang_col: str) -> DataFram
 # --- Gopher repetition metrics (core.quality.repetition_metrics spec) ------
 # All pure JVM higher-order expressions — no shuffle, no Python:
 # - duplicate-line chars: sort the line array, then a line occurrence is
-#   "beyond the first" iff it equals its sorted predecessor (F.get is
-#   0-based and null-safe, so index -1 is NULL under ANSI, not an error);
+#   "beyond the first" iff it equals its sorted predecessor — computed as a
+#   fold carrying the previous element in the accumulator ('' sentinel is
+#   safe: the array is pre-filtered to non-empty lines). A transform-with-
+#   index + F.get(sorted, i-1) formulation was rejected: Spark re-evaluates
+#   the full sort subtree per element inside HOF lambdas (no subexpression
+#   elimination across the lambda boundary) — O(L^2 log L) per doc;
 # - top-n-gram chars: fold (F.aggregate) over the SORTED gram array with
 #   (prev, run, best) struct state — equal grams are adjacent after the
 #   sort, so the running run-length reaches each gram's full count and
@@ -154,16 +158,17 @@ def _top_gram_chars(grams: Column, n: int) -> Column:
 
 def repetition_metric_columns(text: Column) -> dict:
     lines = _nonempty_lines(text)
-    s = F.array_sort(lines)
     extra = F.aggregate(
-        F.transform(
-            s,
-            lambda x, i: F.when(x == F.get(s, i - 1), F.length(x)).otherwise(
-                F.lit(0)
-            ),
+        F.array_sort(lines),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("extra")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["extra"]
+                + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+            ).alias("extra"),
         ),
-        F.lit(0),
-        lambda a, b: a + b,
+        lambda acc: acc["extra"],
     )
     tot_line_chars = F.aggregate(lines, F.lit(0), lambda a, b: a + F.length(b))
     words = F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))

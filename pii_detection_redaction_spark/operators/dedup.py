@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from pyspark.sql import Column
+
 from ..core import hashing as H
+from ..core.quality import BOILERPLATE_MIN_DOCS
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -280,43 +283,80 @@ def simhash_near_pairs(
 #   the two strategies is pytest-pinned.
 
 
+def boilerplate_hot_set(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: "Column | str" = "text",
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """1-column frame ``k`` of corpus-boilerplate line keys: trimmed
+    non-empty lines appearing in >= min_docs DISTINCT documents. ``text``
+    may be a column name or a computed Column (the pipeline passes its
+    extraction expression). Counting shuffles only (key, id) projections."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = df.select(
+        F.col(id_col).alias("_sb_id"), F.explode(F.split(text, "\n")).alias("line")
+    )
+    key = F.trim(F.col("line"))
+    return (
+        lines.where(key != "")
+        .select(key.alias("k"), "_sb_id")
+        .groupBy("k")
+        .agg(F.countDistinct("_sb_id").alias("doc_count"))
+        .where(F.col("doc_count") >= min_docs)
+        .select("k")
+    )
+
+
+def boilerplate_hot_array(hot: DataFrame) -> DataFrame:
+    """Collapse the hot set to a single broadcastable ``hot_lines`` array
+    row (the shuffle-free strip strategy's build side)."""
+    return hot.agg(F.collect_list("k").alias("hot_lines"))
+
+
+def strip_hot_lines_exprs(text: Column, hot_lines: Column):
+    """(clean_text, n_removed) column pair: drop lines whose trimmed form is
+    in the ``hot_lines`` array, preserving the rest (including blanks) in
+    order — the ONE Spark definition of the strip semantics, shared by the
+    array strategy below and the pipeline stage (plans.pipeline)."""
+    parts = F.split(text, "\n")
+    kept = F.filter(
+        parts,
+        lambda x: ~F.coalesce(F.array_contains(hot_lines, F.trim(x)), F.lit(False)),
+    )
+    return (
+        F.array_join(kept, "\n"),
+        (F.size(parts) - F.size(kept)).cast("long"),
+    )
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_docs: int = 5,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
     strategy: str = "join",
 ) -> DataFrame:
     """(id, text_clean, n_lines_removed): drop corpus-boilerplate lines from
     every document, preserving the remaining lines (including blanks) in
     input order. ``n_lines_removed`` is 0-preserving: every input document
     yields exactly one output row, even when all its lines are removed."""
+    hot = boilerplate_hot_set(df, id_col, text_col, min_docs)
+
+    if strategy == "array":
+        clean, removed = strip_hot_lines_exprs(
+            F.col(text_col), F.col("hot_lines")
+        )
+        return df.crossJoin(F.broadcast(boilerplate_hot_array(hot))).select(
+            F.col(id_col),
+            clean.alias("text_clean"),
+            removed.alias("n_lines_removed"),
+        )
+
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )
     key = F.trim(F.col("line"))
-    hot = (
-        lines.where(key != "")
-        .select(key.alias("k"), F.col(id_col))
-        .groupBy("k")
-        .agg(F.countDistinct(id_col).alias("doc_count"))
-        .where(F.col("doc_count") >= min_docs)
-        .select("k")
-    )
-
-    if strategy == "array":
-        hot_arr = hot.agg(F.collect_list("k").alias("hot_lines"))
-        parts = F.split(F.col(text_col), "\n")
-        kept = F.filter(
-            parts, lambda x: ~F.coalesce(
-                F.array_contains("hot_lines", F.trim(x)), F.lit(False)
-            )
-        )
-        return df.crossJoin(F.broadcast(hot_arr)).select(
-            F.col(id_col),
-            F.array_join(kept, "\n").alias("text_clean"),
-            (F.size(parts) - F.size(kept)).cast("long").alias("n_lines_removed"),
-        )
 
     marked = lines.join(F.broadcast(hot), key == F.col("k"), "left").select(
         id_col, "pos", "line", F.col("k").isNotNull().alias("is_hot")

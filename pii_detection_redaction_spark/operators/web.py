@@ -58,13 +58,21 @@ def filter_blocked_hosts_literal(
 
 
 def host_rollup(
-    df: DataFrame, url_col: str = "url", text_col: str = "text"
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col_name: str | None = None,
 ) -> DataFrame:
     """(host, n_pages, total_chars, avg_chars): per-host page/byte stats.
     avg is derived from the two sums AFTER aggregation (same association
-    order as the SQL oracle) and rounded to 2dp."""
+    order as the SQL oracle) and rounded to 2dp. Pass ``host_col_name`` to
+    aggregate an already-extracted host column (e.g. the one
+    ``filter_blocked_hosts`` added) instead of re-running the regexp."""
+    host = (
+        F.col(host_col_name) if host_col_name else host_col(url_col)
+    )
     return (
-        df.select(host_col(url_col).alias("host"), F.length(text_col).alias("n"))
+        df.select(host.alias("host"), F.length(text_col).alias("n"))
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),

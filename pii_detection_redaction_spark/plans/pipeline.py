@@ -81,21 +81,16 @@ def boilerplate_hot_lines(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     is a separate lightweight pass before the bucket-group loop: JVM-only
     scan + one narrow (line, url) shuffle; CC-Net pays the same second pass).
     Single-row frame with the hot lines collected into an array, built for
-    ``F.broadcast`` + higher-order filter (the array strategy of
-    operators.dedup.strip_boilerplate_lines: document text never shuffles)."""
-    lines = df.select(
-        F.col("url"),
-        F.explode(F.split(_extracted_text(df, cfg), "\n")).alias("line"),
+    ``F.broadcast`` + higher-order filter. Derivation and strip semantics
+    are the shared ``operators.dedup`` helpers — one Spark definition."""
+    from ..operators.dedup import boilerplate_hot_array, boilerplate_hot_set
+
+    return boilerplate_hot_array(
+        boilerplate_hot_set(
+            df, id_col="url", text=_extracted_text(df, cfg),
+            min_docs=cfg.boilerplate_min_docs,
+        )
     )
-    key = F.trim(F.col("line"))
-    hot = (
-        lines.where(key != "")
-        .select(key.alias("k"), "url")
-        .groupBy("k")
-        .agg(F.countDistinct("url").alias("doc_count"))
-        .where(F.col("doc_count") >= cfg.boilerplate_min_docs)
-    )
-    return hot.agg(F.collect_list("k").alias("hot_lines"))
 
 
 def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -142,17 +137,14 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if "hot_lines" in df.columns:
         # corpus-level boilerplate strip (array-broadcast strategy): drop
         # lines whose trimmed form is in the broadcast hot set, BEFORE the
-        # quality rules — still row-local JVM work in the same stage.
-        parts = F.split(F.col("text"), "\n")
-        kept = F.filter(
-            parts,
-            lambda x: ~F.coalesce(
-                F.array_contains("hot_lines", F.trim(x)), F.lit(False)
-            ),
-        )
+        # quality rules — still row-local JVM work in the same stage; the
+        # strip expressions are the shared operators.dedup definition.
+        from ..operators.dedup import strip_hot_lines_exprs
+
+        clean, removed = strip_hot_lines_exprs(F.col("text"), F.col("hot_lines"))
         df = (
-            df.withColumn("boiler_removed", (F.size(parts) - F.size(kept)).cast("long"))
-            .withColumn("text", F.array_join(kept, "\n"))
+            df.withColumn("boiler_removed", removed)
+            .withColumn("text", clean)
             .drop("hot_lines")
         )
     else:
@@ -221,8 +213,12 @@ def host_metrics(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Stage 1 shuffles on (host, salt) — skewed hosts split across
     ``salt_buckets`` reducers; stage 2 reduces ``hosts x salt`` pre-aggregated
     rows, which is tiny. Deterministic salt = pmod(xxhash64(url), S).
+    Host definition is the ONE shared ``operators.web.host_col`` (a slashless
+    url like https://a.example.com must roll up under its authority, not '').
     """
-    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1).alias("host")
+    from ..operators.web import host_col
+
+    host = host_col("url").alias("host")
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).alias("salt")
     partial = (
         df.select(host, salt, "keep", "n_entities_scrubbed")

@@ -815,7 +815,7 @@ def q_host_rollup(spark, sf_dir):
     d = _pages(spark)
     blocked = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], ["host"])
     kept = W.filter_blocked_hosts(d, blocked)
-    return W.host_rollup(kept.drop("host")).orderBy("host")
+    return W.host_rollup(kept, host_col_name="host").orderBy("host")
 
 
 def q_quality_pipeline(spark, sf_dir):
