@@ -189,6 +189,41 @@ def make_langid_udf():
     return langid_udf
 
 
+FTLANG_TYPE = T.StructType(
+    [T.StructField("lang", T.StringType()), T.StructField("prob", T.DoubleType())]
+)
+
+
+def make_ftlang_udf(spark=None):
+    """fastText-architecture language ID (``core.ftlang``): hashed char
+    n-gram features scored against a dense weight matrix. The model is
+    trained ONCE on the driver and shipped via ``SparkContext.broadcast``
+    (the north rule's "models broadcast to executors, batched inference" —
+    the 10.5 MB matrix crosses the wire once per executor, not per task);
+    inference is Arrow-batched through this pandas UDF and scores each doc
+    with one vector-matrix product. Executors never train: they unpickle the
+    broadcast arrays bit-identically, and scoring goes through the same
+    ``core.ftlang.predict`` the golden oracle uses, so Spark output equals
+    the golden parquet bit-for-bit."""
+    from ..core import ftlang as _ftlang
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(_ftlang.model()) if spark else None
+
+    @pandas_udf(FTLANG_TYPE)
+    def ftlang_udf(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value if bc is not None else _ftlang.model()
+        preds = _ftlang.predict_many(texts.fillna("").to_numpy(), m)
+        return pd.DataFrame(
+            {"lang": [p[0] for p in preds], "prob": [p[1] for p in preds]}
+        )
+
+    return ftlang_udf
+
+
 def make_perplexity_udf():
     """(text, lang) -> double. The LMs are trained once on the driver and
     shipped inside the closure (few-KB numpy arrays), so executor workers do

@@ -889,7 +889,12 @@ def _golden_oracles(sf_dir: str) -> dict:
     scrub_docs = G.golden_pii_scrub(sf_dir)
     qp = G.golden_quality_pipeline(sf_dir)
     comp = G.golden_doc_compression(sf_dir)
+    ftl = G.golden_ftlang(sf_dir)
     return {
+        "ftlang_documents": f"""
+SELECT doc_id, ft_lang, ft_prob
+FROM read_parquet('{ftl}') ORDER BY doc_id
+""",
         "doc_compression": f"""
 SELECT doc_id, n_bytes, compression_ratio
 FROM read_parquet('{comp}') ORDER BY doc_id

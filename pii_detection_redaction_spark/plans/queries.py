@@ -34,6 +34,7 @@ from ..functions.quality import (
 )
 from ..functions.udfs import (
     make_detect_udf,
+    make_ftlang_udf,
     make_langid_udf,
     make_perplexity_udf,
     make_scrub_udf,
@@ -463,6 +464,25 @@ def q_langid_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ftlang_documents(spark, sf_dir):
+    """fastText-architecture language ID (hashed char n-grams scored against
+    a driver-trained, executor-broadcast weight matrix — the north rule's
+    fastText parity path). A trained model is not re-derivable in ANSI SQL,
+    so the value gate is a golden parquet (``testing.goldens.golden_ftlang``)
+    computed by the same ``core.ftlang.predict`` the UDF calls."""
+    d = _t_wide(spark, sf_dir, "documents")
+    ft = make_ftlang_udf(spark)
+    return (
+        d.withColumn("ft", ft(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("ft.lang").alias("ft_lang"),
+            F.round(F.col("ft.prob"), 6).alias("ft_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return TS.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -863,6 +883,7 @@ QUERIES = {
     "toxicity_scrub": q_toxicity_scrub,
     "doc_token_stats": q_doc_token_stats,
     "langid_documents": q_langid_documents,
+    "ftlang_documents": q_ftlang_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dup_keepers": q_exact_dup_keepers,
     "minhash_bands": q_minhash_bands,

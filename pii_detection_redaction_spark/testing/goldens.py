@@ -74,6 +74,7 @@ def spec_fingerprint() -> str:
         chunker,
         entities,
         extract,
+        ftlang,
         hashing,
         langid,
         langprofiles,
@@ -89,8 +90,9 @@ def spec_fingerprint() -> str:
 
     h = hashlib.md5()
     for mod in (
-        chunker, entities, extract, hashing, langid, langprofiles, lm,
-        quality, recognizers, relationships, sanitize, scrub, spans, toxicity,
+        chunker, entities, extract, ftlang, hashing, langid, langprofiles,
+        lm, quality, recognizers, relationships, sanitize, scrub, spans,
+        toxicity,
     ):
         h.update(inspect.getsource(mod).encode("utf-8"))
     return h.hexdigest()[:10]
@@ -256,6 +258,33 @@ def golden_doc_compression(sf_dir: str) -> str:
         )
 
     return _materialize("doc_compression", _documents_key(sf_dir), build)
+
+
+def golden_ftlang(sf_dir: str) -> str:
+    """(doc_id, ft_lang, ft_prob@6dp) over the documents table — mirrors
+    ``q_ftlang_documents``: the fastText-architecture classifier
+    (``core.ftlang.predict``, the same function the Spark UDF scores with,
+    under the same trained weight matrix)."""
+
+    def build() -> pa.Table:
+        from ..core.ftlang import model, predict
+
+        m = model()
+        ids, langs, probs = [], [], []
+        for doc_id, text in _documents_rows(sf_dir):
+            lang, prob = predict(text or "", m)
+            ids.append(doc_id)
+            langs.append(lang)
+            probs.append(spark_round(prob, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ft_lang": pa.array(langs, pa.string()),
+                "ft_prob": pa.array(probs, pa.float64()),
+            }
+        )
+
+    return _materialize("ftlang", _documents_key(sf_dir), build)
 
 
 def golden_quality_pipeline(sf_dir: str) -> str:
