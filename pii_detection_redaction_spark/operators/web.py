@@ -26,8 +26,10 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..core import urlnorm as UN
 
 # shared Spark (Java) / DuckDB (RE2) / Python re — ASCII classes, no
 # lookaround: scheme://authority, authority = everything up to the first '/'
@@ -55,6 +57,49 @@ def filter_blocked_hosts_literal(
     """Literal-list variant: folds to a scan predicate (no join at all).
     Only for small lists — a real UT1-scale blocklist is a table."""
     return df.filter(~host_col(url_col).isin(list(blocked)))
+
+
+def canonical_url_col(url_col: str = "url") -> Column:
+    """Canonical URL as a pure JVM expression chain (core.urlnorm spec,
+    step-for-step): strip fragment, drop tracking params, collapse separator
+    debris, lowercase the authority (stripping :80/:443), strip trailing
+    slashes. Seven regexp_replace/extract nodes — stays inside whole-stage
+    codegen, so it is free to compute at scan time and usable as a shuffle
+    key without materializing anything."""
+    u = F.col(url_col)
+    u = F.regexp_replace(u, UN.FRAGMENT_RE, "")
+    u = F.regexp_replace(u, UN.TRACKING_RE, UN.TRACKING_REPL_JAVA)
+    u = F.regexp_replace(u, UN.QMARK_AMP_RE, "?")
+    u = F.regexp_replace(u, UN.MULTI_AMP_RE, "&")
+    u = F.regexp_replace(u, UN.TRAILING_SEP_RE, "")
+    auth = F.regexp_extract(u, f"({UN.AUTHORITY_RE})", 1)
+    rest = F.regexp_replace(u, UN.AUTHORITY_RE, "")
+    auth = F.regexp_replace(F.lower(auth), UN.DEFAULT_PORT_RE, "")
+    return F.regexp_replace(F.concat(auth, rest), UN.TRAILING_SLASH_RE, "")
+
+
+def dedup_latest_crawl(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """URL-level crawl dedup: canonicalize, keep the LATEST crawl record per
+    canonical URL (ties broken on raw url desc — deterministic), and report
+    how many crawl records collapsed into it (``n_crawls``).
+
+    Scale: exactly one shuffle, on canonical_url; row_number and count ride
+    the SAME window partitioning so Spark computes both in one Window node
+    over one Exchange. Canonical URLs are near-unique (a page has a handful
+    of crawl records, never millions), so the key cannot skew and the window
+    buffer per key is tiny. The full row (html payload included) moves once
+    — identical movement to any keep-one-per-key dedup lower bound."""
+    w = Window.partitionBy("canonical_url")
+    wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col).desc())
+    return (
+        df.withColumn("canonical_url", canonical_url_col(url_col))
+        .withColumn("__rn", F.row_number().over(wo))
+        .withColumn("n_crawls", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def host_rollup(

@@ -808,6 +808,53 @@ ORDER BY host
 """
 
 
+def _url_dedup_sql() -> str:
+    """Canonical-URL crawl dedup re-derived in RE2 from the SAME spec
+    constants (core.urlnorm) the Spark expression chain uses: identical
+    patterns in identical order; only the backreference spelling differs
+    (RE2 ``\\1`` vs Java ``$1``) and DuckDB needs the explicit 'g' flag
+    (Spark's regexp_replace is always global)."""
+    from ..core import urlnorm as UN
+    from .queries import oracle_crawl_path
+
+    path = oracle_crawl_path()
+    return f"""
+WITH c AS (SELECT url, warc_ts FROM read_parquet('{path}')),
+s AS (
+  SELECT url, warc_ts,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      url, '{UN.FRAGMENT_RE}', '', 'g'),
+      '{UN.TRACKING_RE}', '{UN.TRACKING_REPL_RE2}', 'g'),
+      '{UN.QMARK_AMP_RE}', '?', 'g'),
+      '{UN.MULTI_AMP_RE}', '&', 'g'),
+      '{UN.TRAILING_SEP_RE}', '', 'g') AS u5
+  FROM c
+),
+a AS (
+  SELECT url, warc_ts, u5,
+    regexp_replace(lower(regexp_extract(u5, '({UN.AUTHORITY_RE})', 1)),
+                   '{UN.DEFAULT_PORT_RE}', '', 'g') AS auth,
+    regexp_replace(u5, '{UN.AUTHORITY_RE}', '', 'g') AS rest
+  FROM s
+),
+k AS (
+  SELECT url, warc_ts,
+    regexp_replace(auth || rest, '{UN.TRAILING_SLASH_RE}', '', 'g') AS canonical_url
+  FROM a
+),
+r AS (
+  SELECT canonical_url, url, warc_ts,
+    row_number() OVER (PARTITION BY canonical_url
+                       ORDER BY warc_ts DESC, url DESC) AS rn,
+    CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_crawls
+  FROM k
+)
+SELECT canonical_url, url,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts, n_crawls
+FROM r WHERE rn = 1 ORDER BY canonical_url
+"""
+
+
 def _doc_repetition_metrics_sql() -> str:
     """Independent SQL re-derivation of the Gopher repetition metrics: line
     occurrence counts via GROUP BY (vs Spark's sorted-neighbor scan), word
@@ -937,6 +984,7 @@ def all_oracles() -> dict:
     d["line_dedup_pages"] = _line_dedup_pages_sql()
     d["host_rollup"] = _host_rollup_sql()
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
+    d["url_dedup"] = _url_dedup_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

@@ -700,6 +700,12 @@ def oracle_pages_path() -> str:
     return ensure_pages_parquet(N_ORACLE_PAGES)
 
 
+def oracle_crawl_path() -> str:
+    from ..testing.corpus import ensure_crawl_parquet
+
+    return ensure_crawl_parquet()
+
+
 def _pages(spark: SparkSession) -> DataFrame:
     df = spark.read.parquet(oracle_pages_path()).select("url", "text")
     return df.repartition(spark.sparkContext.defaultParallelism)
@@ -838,6 +844,25 @@ def q_host_rollup(spark, sf_dir):
     return W.host_rollup(kept, host_col_name="host").orderBy("host")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + latest-crawl dedup over the crawl table (pages
+    + messy re-crawl records): canonical form per core.urlnorm (fragment /
+    tracking-param / default-port / trailing-slash / host-case rules as one
+    JVM regex chain), keep the newest crawl per canonical URL, count how
+    many records collapsed. One shuffle (window on canonical_url); the
+    DuckDB oracle re-derives the canonical form from the same spec constants
+    over the same parquet."""
+    d = spark.read.parquet(oracle_crawl_path()).select("url", "warc_ts")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    out = W.dedup_latest_crawl(d)
+    return out.select(
+        "canonical_url",
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        "n_crawls",
+    ).orderBy("canonical_url")
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -906,6 +931,7 @@ QUERIES = {
     "pii_scrub_pages": q_pii_scrub_pages,
     "line_dedup_pages": q_line_dedup_pages,
     "host_rollup": q_host_rollup,
+    "url_dedup": q_url_dedup,
     "doc_repetition_metrics": q_doc_repetition_metrics,
     "doc_compression": q_doc_compression,
     "quality_pipeline": q_quality_pipeline,

@@ -332,6 +332,81 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED, n_files: int = 1) -
     return path
 
 
+# ---------------------------------------------------------------------------
+# crawl table: pages + messy re-crawl records (URL-canonicalization material).
+# Kept SEPARATE from the pages corpus so the 47 existing golden/oracle gates
+# are untouched; same input_hint schema. Every decoration canonicalizes back
+# to the base URL under core.urlnorm EXCEPT the real-params case, which must
+# survive as a distinct canonical URL.
+
+N_ORACLE_CRAWL = 500  # base pages; re-crawls add ~1/7 more rows
+
+_RECRAWL_DECOR = (
+    "?utm_source=feed&utm_campaign=rss",  # tracking-only query
+    "__UPPER_HOST_443__",                 # mixed-case host + explicit :443
+    "/?ref=rss#frag",                     # trailing slash + ref + fragment
+    "#section-2",                         # fragment only
+    "?gclid=abc123&fbclid=xyz&utm_medium=email",  # all tracking families
+)
+
+
+def _decorate(url: str, variant: int) -> str:
+    d = _RECRAWL_DECOR[variant % len(_RECRAWL_DECOR)]
+    if d == "__UPPER_HOST_443__":
+        scheme, rest = url.split("://", 1)
+        host, path = rest.split("/", 1)
+        return f"{scheme}://{host.upper()}:443/{path}"
+    return url + d
+
+
+def crawl_df(n: int, seed: int = SEED) -> pd.DataFrame:
+    """Base record per page i; every i%7==3 page additionally gets a
+    re-crawl one day later under a decorated URL spelling (same content).
+    Every i%11==5 BASE record carries real query params (+ one tracking
+    param) — its canonical URL keeps ``?id=..&page=2`` and stays distinct."""
+    rows = []
+    for i in range(n):
+        base = page_row(i, seed)
+        if i % 11 == 5:
+            base["url"] = f"{base['url']}?id={i}&utm_medium=email&page=2"
+        rows.append(base)
+        if i % 7 == 3:
+            re_crawl = dict(base)
+            re_crawl["url"] = _decorate(base["url"], i)
+            re_crawl["warc_ts"] = base["warc_ts"] + timedelta(days=1)
+            rows.append(re_crawl)
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    return df
+
+
+def ensure_crawl_parquet(n: int = N_ORACLE_CRAWL) -> str:
+    """Deterministic crawl parquet under _data/ — both the Spark url_dedup
+    query and its DuckDB oracle read THIS file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data = os.path.join(repo, "_data")
+    os.makedirs(data, exist_ok=True)
+    path = os.path.join(data, f"crawl_oracle_v{CORPUS_VERSION}_{n}.parquet")
+    if not os.path.exists(path):
+        df = crawl_df(n)
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    return path
+
+
 def ensure_pages_parquet(n: int = 500) -> str:
     """Deterministic single-file pages parquet under the repo's _data/ cache,
     written on first use (pandas/pyarrow only — no Spark needed). Both the

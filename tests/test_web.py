@@ -57,3 +57,69 @@ def test_rollup_partial_aggregation(spark):
     df = spark.createDataFrame(ROWS, ["url", "text"])
     plan = W.host_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+# --- URL canonicalization + crawl dedup ------------------------------------
+
+MESSY = [
+    "https://Site01.Example.ORG:443/page-3?utm_source=feed&utm_campaign=rss#frag",
+    "https://site01.example.org/page-3/?ref=rss",
+    "http://host.example.com:80/a/b/",
+    "https://h.example/x?id=7&utm_medium=x&page=2",
+    "https://h.example/x?gclid=abc123&fbclid=xyz&utm_medium=email",
+    "https://h.example/",
+    "no-scheme-plain-text",
+]
+
+
+def test_canonical_url_spark_matches_python_mirror(spark):
+    """The JVM expression chain and the pure-Python re mirror are the same
+    spec (core.urlnorm) — byte-identical output on every rule's edge case."""
+    from pii_detection_redaction_spark.core.urlnorm import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in MESSY], ["url"])
+    got = [r.c for r in df.select(W.canonical_url_col().alias("c")).collect()]
+    assert got == [canonicalize_url(u) for u in MESSY]
+
+
+def test_canonical_url_rules():
+    from pii_detection_redaction_spark.core.urlnorm import canonicalize_url as C
+
+    # each canonicalization rule, pinned
+    assert C("https://A.B/x#frag") == "https://a.b/x"          # fragment, host case
+    assert C("https://a.b/x?utm_source=f") == "https://a.b/x"  # tracking-only query
+    assert C("https://a.b:443/x") == "https://a.b/x"           # default port
+    assert C("https://a.b:8443/x") == "https://a.b:8443/x"     # non-default port kept
+    assert C("https://a.b/x/") == "https://a.b/x"              # trailing slash
+    assert C("https://a.b/x?id=1&ref=r&p=2") == "https://a.b/x?id=1&p=2"  # real params kept
+    assert C("https://a.b/x?xref=1") == "https://a.b/x?xref=1"  # 'ref' needs a separator
+
+
+def test_dedup_latest_crawl(spark):
+    rows = [
+        ("https://a.b/x?utm_source=f", "2025-01-02 00:00:00"),  # later crawl wins
+        ("https://a.b/x", "2025-01-01 00:00:00"),
+        ("https://c.d/y", "2025-01-01 00:00:00"),               # singleton
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts"]).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    out = {r.canonical_url: r for r in W.dedup_latest_crawl(df).collect()}
+    assert out["https://a.b/x"].url == "https://a.b/x?utm_source=f"
+    assert out["https://a.b/x"].n_crawls == 2
+    assert out["https://c.d/y"].n_crawls == 1
+
+
+def test_url_dedup_plan_single_exchange(spark):
+    """The crawl dedup is exactly one hash shuffle: row_number and count
+    share the window partitioning, and canonicalization is scan-side JVM."""
+    from pii_detection_redaction_spark.testing.corpus import ensure_crawl_parquet
+
+    df = spark.read.parquet(ensure_crawl_parquet()).select("url", "warc_ts")
+    plan = W.dedup_latest_crawl(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # rn (ordered frame) and n_crawls (whole-partition frame) render as two
+    # Window nodes but share the one Exchange and the one Sort — no re-shuffle
+    assert plan.count("Sort") == 1
+    # column pruning: html/text payload columns never read
+    assert "html" not in plan and "text" not in plan
