@@ -1,0 +1,41 @@
+"""Deterministic hash-sampling spec — single source for Spark and DuckDB.
+
+Rebalancing a web corpus (downsampling over-represented languages, carving
+reproducible eval slices) must be a pure function of the row key, never of
+``rand()``: re-runs, resumes, and two engines must pick the SAME rows. The
+standard trick is a salted-hash threshold: a row is kept iff the first
+``HEX_DIGITS`` hex chars of md5(salt || key) fall below the stratum's
+threshold. md5's prefix is uniform, both engines produce identical lowercase
+hex, and plain string comparison decides membership — no floats, no RNG
+state, no engine divergence.
+
+``hex_threshold(rate)`` maps a keep-rate to the threshold string; rate 1.0
+maps to 'g', which every hex string sorts below — the keep-everything
+sentinel that avoids a 5-digit threshold breaking lexicographic compare.
+"""
+
+from __future__ import annotations
+
+SAMPLE_SALT = "sample:"
+HEX_DIGITS = 4  # 16^4 = 65536 buckets; rate granularity ~1.5e-5
+
+# catalog-query stratification: downsample the over-represented language
+# (web corpora are English-heavy), keep the rest whole
+SAMPLE_RATES = {"en": 0.25}
+DEFAULT_RATE = 1.0
+
+
+def hex_threshold(rate: float) -> str:
+    """Keep-rate -> lexicographic hex threshold on the md5 prefix."""
+    if rate >= 1.0:
+        return "g"  # sorts above every hex digit: keep all
+    n = max(0, min(16**HEX_DIGITS, round(rate * 16**HEX_DIGITS)))
+    return format(n, f"0{HEX_DIGITS}x")
+
+
+def keep_row(key: str, rate: float) -> bool:
+    """Pure-Python mirror (unit tests)."""
+    import hashlib
+
+    h = hashlib.md5((SAMPLE_SALT + key).encode("utf-8")).hexdigest()
+    return h[:HEX_DIGITS] < hex_threshold(rate)

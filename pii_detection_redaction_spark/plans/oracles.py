@@ -1025,6 +1025,26 @@ FROM n ORDER BY media_id
 """
 
 
+def _hash_sample_sql() -> str:
+    """Same salted-md5-prefix ticket, same thresholds (core.sampling
+    constants) — DuckDB's md5() and Spark's F.md5 agree byte-for-byte on
+    UTF-8 input, so the keep set is identical by construction."""
+    from ..core import sampling as S
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{S.hex_threshold(r)}'"
+        for k, r in sorted(S.SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('{S.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, {S.HEX_DIGITS})
+      < CASE lang {whens} ELSE '{S.hex_threshold(S.DEFAULT_RATE)}' END
+ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["hash_sample"] = _hash_sample_sql()
+
 ORACLE_SQL["multimodal_features"] = _multimodal_sql()
 
 # frame sampling × resize geometry: same metadata arithmetic, same fit

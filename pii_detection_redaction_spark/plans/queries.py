@@ -863,6 +863,18 @@ def q_url_dedup(spark, sf_dir):
     ).orderBy("canonical_url")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sample of documents (corpus rebalancing:
+    en downsampled to 25%, other languages kept — core.sampling spec): keep
+    iff the md5(salt||doc_id) hex-prefix ticket clears the stratum's
+    threshold. Pure scan-side codegen predicate — zero shuffle, identical
+    keep set on any partitioning / any engine."""
+    from ..operators.sampling import stratified_sample
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "doc_id", "lang").orderBy("doc_id")
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -932,6 +944,7 @@ QUERIES = {
     "line_dedup_pages": q_line_dedup_pages,
     "host_rollup": q_host_rollup,
     "url_dedup": q_url_dedup,
+    "hash_sample": q_hash_sample,
     "doc_repetition_metrics": q_doc_repetition_metrics,
     "doc_compression": q_doc_compression,
     "quality_pipeline": q_quality_pipeline,

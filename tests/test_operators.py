@@ -538,3 +538,54 @@ def test_compression_stats_matches_spec(spark):
         assert got[i].compression_ratio == _pytest.approx(compression_ratio(t))
     assert got[0].compression_ratio < 0.1  # repetitive compresses hard
     assert got[4].compression_ratio > 0.4  # high-entropy hex barely compresses
+
+
+# --- deterministic stratified hash sampling ---------------------------------
+
+
+def test_hash_sample_matches_python_mirror(spark):
+    from pii_detection_redaction_spark.core.sampling import keep_row
+    from pii_detection_redaction_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {r.doc_id for r in stratified_sample(df, "doc_id", "lang").collect()}
+    rates = {"en": 0.25}
+    want = {i for i, l in rows if keep_row(str(i), rates.get(l, 1.0))}
+    assert got == want
+    # stratification is real: all fr rows kept, en rows thinned near 25%
+    fr = {i for i, l in rows if l == "fr"}
+    assert fr <= got
+    en_kept = len(got - fr) / len([1 for _, l in rows if l == "en"])
+    assert 0.1 < en_kept < 0.45
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    """The keep set is a pure function of the key — identical under any
+    physical layout (the property rand()/DataFrame.sample cannot give)."""
+    from pii_detection_redaction_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en") for i in range(300)]
+    a = spark.createDataFrame(rows, ["doc_id", "lang"]).repartition(1)
+    b = spark.createDataFrame(rows, ["doc_id", "lang"]).repartition(17, "lang")
+    ka = sorted(r.doc_id for r in stratified_sample(a, "doc_id", "lang").collect())
+    kb = sorted(r.doc_id for r in stratified_sample(b, "doc_id", "lang").collect())
+    assert ka == kb and len(ka) > 0
+
+
+def test_hash_sample_plan_scan_side(spark):
+    """Zero shuffle: the sampling predicate is a codegen'd Filter directly
+    over the scan."""
+    from pii_detection_redaction_spark.operators.sampling import stratified_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    plan = (
+        stratified_sample(df, "doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "*(1) Filter" in plan  # '*' = whole-stage codegen stage
