@@ -119,3 +119,52 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.md5(F.col(text_col)).alias("content_md5"),
         fp_udf(F.col(text_col)).alias("fingerprint"),
     )
+
+
+PPL_BUCKET_LABELS = ("head", "middle", "tail")  # CC-Net naming, low ppl = head
+
+
+def ppl_tertile_buckets(
+    df: DataFrame,
+    lang_col: str = "lang_pred",
+    ppl_col: str = "ppl",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """CC-Net-style perplexity bucketing: within each language, split docs
+    into head/middle/tail tertiles of the LM-perplexity distribution (head =
+    most fluent third — the slice CC-Net keeps or upweights).
+
+    This exact form (NTILE window) is the oracle-checkable catalog query; it
+    sorts each language partition once, and a language is a HOT key (a web
+    corpus is one-third English), so at 100 TB you do NOT run this window —
+    you compute the two per-language cutoffs once on a hash sample
+    (percentile_approx or this window over ~1M sampled rows), broadcast the
+    tiny (lang, t1, t2) table, and bucket with a scan-side comparison
+    (``ppl_threshold_buckets``). The window and threshold forms agree
+    everywhere except within the tie-width of the cutoffs.
+    """
+    from pyspark.sql import Window
+
+    nt = F.ntile(3).over(
+        Window.partitionBy(lang_col).orderBy(F.col(ppl_col), F.col(order_col))
+    )
+    bucket = (
+        F.when(nt == 1, PPL_BUCKET_LABELS[0])
+        .when(nt == 2, PPL_BUCKET_LABELS[1])
+        .otherwise(PPL_BUCKET_LABELS[2])
+    )
+    return df.withColumn("ppl_bucket", bucket)
+
+
+def ppl_threshold_buckets(df: DataFrame, cutoffs: DataFrame) -> DataFrame:
+    """Scale-path bucketing: broadcast-join a tiny per-language cutoff table
+    (lang_pred, t1, t2) and compare — no global sort, no hot-key window.
+    ``cutoffs`` typically comes from ``ppl_tertile_buckets`` (or
+    percentile_approx) over a deterministic hash sample."""
+    j = df.join(F.broadcast(cutoffs), "lang_pred", "left")
+    bucket = (
+        F.when(F.col("ppl") <= F.col("t1"), PPL_BUCKET_LABELS[0])
+        .when(F.col("ppl") <= F.col("t2"), PPL_BUCKET_LABELS[1])
+        .otherwise(PPL_BUCKET_LABELS[2])
+    )
+    return j.withColumn("ppl_bucket", bucket).drop("t1", "t2")

@@ -967,6 +967,20 @@ FROM read_parquet('{scrub_docs}') ORDER BY doc_id
 SELECT doc_id, lang_pred, ppl, keep
 FROM read_parquet('{qp}') ORDER BY doc_id
 """,
+        # NOT a parquet read-back: DuckDB re-runs the NTILE window itself
+        # over the golden (lang_pred, ppl) columns, so Spark's window
+        # arithmetic is checked against an independent implementation
+        "ppl_buckets": f"""
+WITH r AS (
+  SELECT doc_id, lang_pred, ppl,
+         ntile(3) OVER (PARTITION BY lang_pred ORDER BY ppl, doc_id) AS nt
+  FROM read_parquet('{qp}')
+)
+SELECT doc_id, lang_pred, ppl,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM r ORDER BY doc_id
+""",
     }
 
 

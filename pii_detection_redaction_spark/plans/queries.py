@@ -875,6 +875,26 @@ def q_hash_sample(spark, sf_dir):
     return stratified_sample(d, "doc_id", "lang").orderBy("doc_id")
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CC-Net perplexity bucketing: per predicted language, head/middle/tail
+    tertiles of LM perplexity (operators.textstats.ppl_tertile_buckets —
+    exact NTILE form; the 100-TB path broadcasts sampled cutoffs instead,
+    see ppl_threshold_buckets). Oracle: DuckDB runs the same NTILE over the
+    quality-pipeline golden parquet (same rounded ppl, same (ppl, doc_id)
+    total order), so the window arithmetic itself is cross-engine-checked."""
+    d = _t_wide(spark, sf_dir, "documents")
+    lid = make_langid_udf()
+    ppl = make_perplexity_udf()
+    d = d.withColumn("lid", lid(F.col("text")))
+    d = (
+        d.withColumn("lang_pred", F.col("lid.lang"))
+        .drop("lid")
+        .withColumn("ppl", F.round(ppl(F.col("text"), F.col("lang_pred")), 4))
+    )
+    out = TS.ppl_tertile_buckets(d)
+    return out.select("doc_id", "lang_pred", "ppl", "ppl_bucket").orderBy("doc_id")
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Full keep/drop over documents incl. langid + perplexity gates."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -945,6 +965,7 @@ QUERIES = {
     "host_rollup": q_host_rollup,
     "url_dedup": q_url_dedup,
     "hash_sample": q_hash_sample,
+    "ppl_buckets": q_ppl_buckets,
     "doc_repetition_metrics": q_doc_repetition_metrics,
     "doc_compression": q_doc_compression,
     "quality_pipeline": q_quality_pipeline,

@@ -589,3 +589,30 @@ def test_hash_sample_plan_scan_side(spark):
     )
     assert "Exchange" not in plan
     assert "*(1) Filter" in plan  # '*' = whole-stage codegen stage
+
+
+def test_ppl_threshold_buckets_agree_with_window(spark):
+    """The broadcast-cutoff scale path reproduces the exact NTILE bucketing
+    when cutoffs are the tertile maxima (tie-free input)."""
+    from pii_detection_redaction_spark.operators.textstats import (
+        ppl_tertile_buckets,
+        ppl_threshold_buckets,
+    )
+
+    rows = [(i, "en" if i % 2 else "de", float(100 + 7 * i % 97) + i / 1000.0)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang_pred", "ppl"])
+    exact = ppl_tertile_buckets(df)
+    cutoffs = (
+        exact.groupBy("lang_pred")
+        .agg(
+            F.max(F.when(F.col("ppl_bucket") == "head", F.col("ppl"))).alias("t1"),
+            F.max(F.when(F.col("ppl_bucket") == "middle", F.col("ppl"))).alias("t2"),
+        )
+    )
+    approx = ppl_threshold_buckets(df, cutoffs)
+    a = {r.doc_id: r.ppl_bucket for r in exact.collect()}
+    b = {r.doc_id: r.ppl_bucket for r in approx.collect()}
+    assert a == b
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
