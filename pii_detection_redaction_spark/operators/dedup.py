@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -374,6 +374,52 @@ def strip_boilerplate_lines(
                 "\n",
             ).alias("text_clean"),
             F.size(F.filter("sl", lambda x: x["is_hot"])).cast("long").alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
+def dedup_lines_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus-level line dedup: keep exactly the FIRST occurrence
+    of every distinct (trimmed, non-empty) line across the whole corpus —
+    ordered by (id, position) — and drop every later repeat, including
+    repeats inside the same document. Blank lines are structure, not
+    content: always kept. Complements ``strip_boilerplate_lines`` (CC-Net
+    hot-set removal, which strips ALL occurrences of high-frequency lines):
+    C4's rule preserves one copy of everything.
+
+    Scale: two line-level shuffles is the floor for this semantic — one on
+    the line key to rank occurrences (hot boilerplate keys skew; AQE
+    skew-split handles it, same as the LSH band join), one on the doc id to
+    reassemble. The ranked-line projection is (id, pos, flag) — the text of
+    a line crosses the wire once per occurrence, documents never move
+    whole. Output preserves every input document (possibly with empty
+    text_clean)."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    key = F.trim(F.col("line"))
+    w = Window.partitionBy(key).orderBy(F.col(id_col), F.col("pos"))
+    marked = lines.select(
+        id_col,
+        "pos",
+        "line",
+        ((key != "") & (F.row_number().over(w) > 1)).alias("is_dup"),
+    )
+    sl = F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup")))
+    return (
+        marked.groupBy(id_col)
+        .agg(sl.alias("sl"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.filter("sl", lambda x: ~x["is_dup"]), lambda x: x["line"]),
+                "\n",
+            ).alias("text_clean"),
+            F.size(F.filter("sl", lambda x: x["is_dup"])).cast("long").alias(
                 "n_lines_removed"
             ),
         )

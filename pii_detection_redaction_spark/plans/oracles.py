@@ -782,6 +782,39 @@ ORDER BY l.url
 """
 
 
+def _c4_line_dedup_sql() -> str:
+    """Keep-first line dedup re-derived: rank every trimmed non-empty line's
+    occurrences by (url, pos) corpus-wide, mark rank>1 as duplicates, then
+    reassemble each page's surviving lines in order (blank lines kept —
+    identical to operators.dedup.dedup_lines_keep_first)."""
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+lines AS (
+  SELECT url,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM pages
+),
+r AS (
+  SELECT url, pos, line,
+         (trim(line) <> '' AND
+          row_number() OVER (PARTITION BY trim(line) ORDER BY url, pos) > 1)
+           AS is_dup
+  FROM lines
+)
+SELECT url,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_clean,
+       CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_lines_removed
+FROM r
+GROUP BY url
+ORDER BY url
+"""
+
+
 def _host_rollup_sql() -> str:
     """Host extraction (same regex literal), blocklist NOT IN, per-host
     rollup with avg derived from the two sums in the same order as Spark."""
@@ -999,6 +1032,7 @@ def all_oracles() -> dict:
     d["host_rollup"] = _host_rollup_sql()
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d["url_dedup"] = _url_dedup_sql()
+    d["c4_line_dedup"] = _c4_line_dedup_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

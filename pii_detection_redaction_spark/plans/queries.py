@@ -802,6 +802,19 @@ def q_line_dedup_pages(spark, sf_dir):
     return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
 
 
+def q_c4_line_dedup(spark, sf_dir):
+    """C4-style keep-first line dedup over the pages corpus (operators.
+    dedup.dedup_lines_keep_first): one surviving copy of every distinct
+    trimmed line corpus-wide, ordered by (url, pos); later repeats removed
+    — including within-document repeats (the arch-3 duplicate-line docs) and
+    cross-document boilerplate (which CC-Net's hot-set strip removes
+    entirely; C4 keeps the first copy — both semantics are in the catalog).
+    Full-SQL DuckDB oracle re-derives the ranking and reassembly."""
+    d = _pages(spark)
+    out = D.dedup_lines_keep_first(d, id_col="url", text_col="text")
+    return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
+
+
 def q_doc_compression(spark, sf_dir):
     """Deflate compression ratio per document (operators.textstats.
     compression_stats; spec core.quality.compression_ratio). Low = templated
@@ -962,6 +975,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "pii_scrub_pages": q_pii_scrub_pages,
     "line_dedup_pages": q_line_dedup_pages,
+    "c4_line_dedup": q_c4_line_dedup,
     "host_rollup": q_host_rollup,
     "url_dedup": q_url_dedup,
     "hash_sample": q_hash_sample,

@@ -4,6 +4,7 @@ semantics, plan shape, and non-vacuity on the pages corpus."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pii_detection_redaction_spark.core.quality import (
     BOILERPLATE_MIN_DOCS,
@@ -73,3 +74,50 @@ def test_nonvacuous_on_pages_corpus(pages_small):
     assert len(hot) >= 1
     removed = sum(strip_boilerplate(t, hot)[1] for t in pdf["text"])
     assert removed >= 10
+
+
+# --- C4 keep-first line dedup ------------------------------------------------
+
+
+def test_keep_first_semantics(spark):
+    from pii_detection_redaction_spark.operators.dedup import dedup_lines_keep_first
+
+    rows = [
+        ("a", "shared line\nunique a\n\nshared line"),  # within-doc repeat
+        ("b", "shared line\nunique b"),                 # cross-doc repeat
+        ("c", "  shared line  \nunique c"),             # trimmed-equal repeat
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = {r.url: r for r in dedup_lines_keep_first(df, id_col="url").collect()}
+    # first occurrence (doc a, pos 0) survives; all later repeats drop,
+    # blanks are kept
+    assert out["a"].text_clean == "shared line\nunique a\n"
+    assert out["a"].n_lines_removed == 1
+    assert out["b"].text_clean == "unique b" and out["b"].n_lines_removed == 1
+    assert out["c"].text_clean == "unique c" and out["c"].n_lines_removed == 1
+
+
+def test_keep_first_vs_hot_set_strip(spark):
+    """C4 keeps one copy of boilerplate; CC-Net hot-set strip keeps none."""
+    from pii_detection_redaction_spark.operators.dedup import (
+        dedup_lines_keep_first,
+        strip_boilerplate_lines,
+    )
+
+    rows = [(f"u{i}", "promo footer\nbody " + str(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    c4 = dedup_lines_keep_first(df, id_col="url")
+    cc = strip_boilerplate_lines(df, id_col="url", min_docs=3)
+    c4_kept = sum("promo footer" in r.text_clean for r in c4.collect())
+    cc_kept = sum("promo footer" in r.text_clean for r in cc.collect())
+    assert c4_kept == 1 and cc_kept == 0
+
+
+def test_keep_first_nonvacuous_on_corpus(spark):
+    """The pages corpus plants within-doc repeats (arch 3) and cross-doc
+    boilerplate — the catalog query must actually remove lines."""
+    from pii_detection_redaction_spark.plans.queries import q_c4_line_dedup
+
+    out = q_c4_line_dedup(spark, None)
+    removed = out.agg(F.sum("n_lines_removed")).collect()[0][0]
+    assert removed > 100
