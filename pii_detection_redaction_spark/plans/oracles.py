@@ -815,6 +815,50 @@ ORDER BY url
 """
 
 
+def _decontaminate_sql() -> str:
+    """N-gram decontamination re-derived in DuckDB from the same spec
+    constants: same tokenization regex, same shingle arithmetic (DuckDB list
+    slice t[i:i+n-1] is 1-based inclusive = Spark slice(t, i, n)), same
+    salted eval ticket."""
+    from ..core import decontam as C
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    n = C.NGRAM_N
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+f AS (
+  SELECT url, text,
+         substr(md5('{C.EVAL_SALT}' || url), 1, {C.HEX_DIGITS})
+           < '{C.EVAL_THRESHOLD}' AS is_eval
+  FROM pages
+),
+toks AS (
+  SELECT url, is_eval,
+         list_filter(string_split_regex(lower(text), '{C.TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS t
+  FROM f
+),
+grams AS (
+  SELECT url, is_eval,
+         CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n} + 2),
+                                  i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [] END AS gs
+  FROM toks
+),
+eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE is_eval),
+cg AS (SELECT url, unnest(list_distinct(gs)) AS g FROM grams WHERE NOT is_eval),
+hits AS (SELECT url, count(*) AS n FROM cg JOIN eg USING (g) GROUP BY url)
+SELECT f.url,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM f LEFT JOIN hits h ON f.url = h.url
+WHERE NOT f.is_eval
+ORDER BY f.url
+"""
+
+
 def _host_rollup_sql() -> str:
     """Host extraction (same regex literal), blocklist NOT IN, per-host
     rollup with avg derived from the two sums in the same order as Spark."""
@@ -1033,6 +1077,7 @@ def all_oracles() -> dict:
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d["url_dedup"] = _url_dedup_sql()
     d["c4_line_dedup"] = _c4_line_dedup_sql()
+    d["decontaminate"] = _decontaminate_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
     return d
 

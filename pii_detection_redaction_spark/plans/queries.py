@@ -815,6 +815,26 @@ def q_c4_line_dedup(spark, sf_dir):
     return out.select("url", "text_clean", "n_lines_removed").orderBy("url")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination over the pages corpus: a deterministic 10%
+    eval slice is carved by salted-hash ticket (in production this is an
+    external benchmark table), and every remaining page is flagged with the
+    count of distinct 8-word shingles it shares with that slice
+    (operators.decontam; GPT-3-style n-gram overlap). The eval gram set is
+    broadcast — the corpus never shuffles. Non-vacuous: planted near-dup
+    families and boilerplate lines straddle the split."""
+    from ..operators import decontam as DC
+
+    d = _pages(spark).withColumn("is_eval", DC.eval_ticket_col(F.col("url")))
+    out = DC.flag_contaminated(
+        d.filter(~F.col("is_eval")),
+        d.filter(F.col("is_eval")),
+        id_col="url",
+        text_col="text",
+    )
+    return out.orderBy("url")
+
+
 def q_doc_compression(spark, sf_dir):
     """Deflate compression ratio per document (operators.textstats.
     compression_stats; spec core.quality.compression_ratio). Low = templated
@@ -976,6 +996,7 @@ QUERIES = {
     "pii_scrub_pages": q_pii_scrub_pages,
     "line_dedup_pages": q_line_dedup_pages,
     "c4_line_dedup": q_c4_line_dedup,
+    "decontaminate": q_decontaminate,
     "host_rollup": q_host_rollup,
     "url_dedup": q_url_dedup,
     "hash_sample": q_hash_sample,

@@ -616,3 +616,59 @@ def test_ppl_threshold_buckets_agree_with_window(spark):
     assert a == b
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+# --- test-set decontamination ------------------------------------------------
+
+
+def test_decontamination_ngram_overlap(spark):
+    from pii_detection_redaction_spark.operators.decontam import flag_contaminated
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here then " + shared + " and a long tail of words"),
+            (2, "completely different content with no overlap at all in any span"),
+            (3, "short doc"),  # < 8 tokens -> zero grams, never contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark question: " + shared + " answer choice")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in flag_contaminated(corpus, eval_df).collect()}
+    assert out[1].contaminated and out[1].n_shared_grams >= 1
+    assert not out[2].contaminated and out[2].n_shared_grams == 0
+    assert not out[3].contaminated
+    assert len(out) == 3  # every corpus row preserved
+
+
+def test_decontamination_repeated_gram_probes_once(spark):
+    """array_distinct before explode: a doc repeating one contaminated gram
+    many times counts it once."""
+    from pii_detection_redaction_spark.operators.decontam import flag_contaminated
+
+    gram = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(1, " . ".join([gram] * 50))], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame([(9, gram)], ["doc_id", "text"])
+    row = flag_contaminated(corpus, eval_df).collect()[0]
+    # repeats of the same shingle collapse; only the distinct shingles that
+    # appear in the eval set count (the joined '. '-separated text also forms
+    # cross-boundary shingles, which are distinct and uncontaminated)
+    assert row.contaminated and row.n_shared_grams == 1
+
+
+def test_decontamination_plan_broadcasts_eval(spark):
+    from pii_detection_redaction_spark.operators.decontam import flag_contaminated
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = corpus.limit(20)
+    plan = (
+        flag_contaminated(corpus, eval_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
