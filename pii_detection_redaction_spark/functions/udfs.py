@@ -224,6 +224,27 @@ def make_ftlang_udf(spark=None):
     return ftlang_udf
 
 
+def make_ftquality_udf(spark=None):
+    """fastText-architecture quality classifier (``core.ftquality``): same
+    broadcast-once / Arrow-batched shape as ``make_ftlang_udf``; scoring
+    goes through the same ``predict_quality`` the golden oracle uses, so
+    Spark output equals the golden parquet bit-for-bit."""
+    from ..core import ftquality as _ftq
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(_ftq.model()) if spark else None
+
+    @pandas_udf("double")
+    def ftquality_udf(texts: pd.Series) -> pd.Series:
+        W = bc.value if bc is not None else _ftq.model()
+        return pd.Series(_ftq.predict_quality_many(texts.fillna("").to_numpy(), W))
+
+    return ftquality_udf
+
+
 def make_perplexity_udf():
     """(text, lang) -> double. The LMs are trained once on the driver and
     shipped inside the closure (few-KB numpy arrays), so executor workers do

@@ -1014,10 +1014,15 @@ def _golden_oracles(sf_dir: str) -> dict:
     qp = G.golden_quality_pipeline(sf_dir)
     comp = G.golden_doc_compression(sf_dir)
     ftl = G.golden_ftlang(sf_dir)
+    ftq = G.golden_ftquality(sf_dir)
     return {
         "ftlang_documents": f"""
 SELECT doc_id, ft_lang, ft_prob
 FROM read_parquet('{ftl}') ORDER BY doc_id
+""",
+        "ftquality_documents": f"""
+SELECT doc_id, quality_prob, quality_label
+FROM read_parquet('{ftq}') ORDER BY doc_id
 """,
         "doc_compression": f"""
 SELECT doc_id, n_bytes, compression_ratio

@@ -35,6 +35,7 @@ from ..functions.quality import (
 from ..functions.udfs import (
     make_detect_udf,
     make_ftlang_udf,
+    make_ftquality_udf,
     make_langid_udf,
     make_perplexity_udf,
     make_scrub_udf,
@@ -478,6 +479,29 @@ def q_ftlang_documents(spark, sf_dir):
             "doc_id",
             F.col("ft.lang").alias("ft_lang"),
             F.round(F.col("ft.prob"), 6).alias("ft_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_ftquality_documents(spark, sf_dir):
+    """fastText-architecture quality classifier (core.ftquality — the
+    DCLM/FineWeb-Edu model-based-filter pattern): hashed char-n-gram NB
+    trained on fluent-vs-junk synthetic supervision, driver-trained,
+    broadcast, Arrow-batch scored. quality_label compares the UNROUNDED
+    probability against the threshold (matching the golden); the prob is
+    rounded 6dp for the value hash. Golden-parquet value gate (a trained
+    matrix is not re-derivable in ANSI SQL)."""
+    from ..core.ftquality import QUALITY_THRESHOLD
+
+    d = _t_wide(spark, sf_dir, "documents")
+    fq = make_ftquality_udf(spark)
+    d = d.withColumn("qp", fq(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            F.round(F.col("qp"), 6).alias("quality_prob"),
+            (F.col("qp") >= QUALITY_THRESHOLD).alias("quality_label"),
         )
         .orderBy("doc_id")
     )
@@ -974,6 +998,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "langid_documents": q_langid_documents,
     "ftlang_documents": q_ftlang_documents,
+    "ftquality_documents": q_ftquality_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dup_keepers": q_exact_dup_keepers,
     "minhash_bands": q_minhash_bands,

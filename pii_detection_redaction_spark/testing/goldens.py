@@ -72,9 +72,11 @@ def spec_fingerprint() -> str:
     chunker invalidates every golden automatically — no manual version."""
     from ..core import (
         chunker,
+        decontam,
         entities,
         extract,
         ftlang,
+        ftquality,
         hashing,
         langid,
         langprofiles,
@@ -82,17 +84,19 @@ def spec_fingerprint() -> str:
         quality,
         recognizers,
         relationships,
+        sampling,
         sanitize,
         scrub,
         spans,
         toxicity,
+        urlnorm,
     )
 
     h = hashlib.md5()
     for mod in (
-        chunker, entities, extract, ftlang, hashing, langid, langprofiles,
-        lm, quality, recognizers, relationships, sanitize, scrub, spans,
-        toxicity,
+        chunker, decontam, entities, extract, ftlang, ftquality, hashing,
+        langid, langprofiles, lm, quality, recognizers, relationships,
+        sampling, sanitize, scrub, spans, toxicity, urlnorm,
     ):
         h.update(inspect.getsource(mod).encode("utf-8"))
     return h.hexdigest()[:10]
@@ -285,6 +289,32 @@ def golden_ftlang(sf_dir: str) -> str:
         )
 
     return _materialize("ftlang", _documents_key(sf_dir), build)
+
+
+def golden_ftquality(sf_dir: str) -> str:
+    """(doc_id, quality_prob@6dp, quality_label) over the documents table —
+    mirrors ``q_ftquality_documents`` (``core.ftquality.predict_quality``,
+    the same function the Spark UDF scores with)."""
+
+    def build() -> pa.Table:
+        from ..core.ftquality import QUALITY_THRESHOLD, model, predict_quality
+
+        W = model()
+        ids, probs, labels = [], [], []
+        for doc_id, text in _documents_rows(sf_dir):
+            p = predict_quality(text or "", W)
+            ids.append(doc_id)
+            probs.append(spark_round(p, 6))
+            labels.append(p >= QUALITY_THRESHOLD)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "quality_prob": pa.array(probs, pa.float64()),
+                "quality_label": pa.array(labels, pa.bool_()),
+            }
+        )
+
+    return _materialize("ftquality", _documents_key(sf_dir), build)
 
 
 def golden_quality_pipeline(sf_dir: str) -> str:

@@ -87,3 +87,35 @@ def test_spark_udf_equals_core_bitexact(spark):
     for i, (lang, prob) in enumerate(expected):
         assert got[i][0] == lang
         assert got[i][1] == prob  # bit-exact
+
+
+# --- fastText-architecture quality classifier --------------------------------
+
+
+def test_ftquality_separates_junk_from_fluent():
+    from pii_detection_redaction_spark.core.ftquality import model, predict_quality
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    W = model()
+    df = pages_df(400)
+    by_arch = {}
+    for i, r in df.iterrows():
+        by_arch.setdefault(i % 20, []).append(predict_quality(r.text, W))
+    junk = by_arch[1] + by_arch[2] + by_arch[5]   # short / soup / stopword-free
+    plain = by_arch[12] + by_arch[14] + by_arch[16]
+    assert sum(junk) / len(junk) < 0.15
+    assert sum(plain) / len(plain) > 0.5
+    assert predict_quality("", W) == 0.0
+
+
+def test_ftquality_udf_matches_core(spark):
+    from pii_detection_redaction_spark.core.ftquality import predict_quality
+    from pii_detection_redaction_spark.functions.udfs import make_ftquality_udf
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    df = pages_df(60)
+    sdf = spark.createDataFrame(df[["url", "text"]])
+    fq = make_ftquality_udf(spark)
+    got = {r.url: r.p for r in sdf.select("url", fq("text").alias("p")).collect()}
+    for _, r in df.iterrows():
+        assert got[r.url] == predict_quality(r.text)  # bit-identical
