@@ -77,6 +77,14 @@ HEADLINE = [
     "pii_subset_counts",
     "pii_scrub",
     "quality_pipeline",
+    # round-3 additions
+    "ftlang_documents",
+    "ftquality_documents",
+    "hash_sample",
+    "ppl_buckets",
+    "url_dedup",
+    "c4_line_dedup",
+    "decontaminate",
 ]
 
 
