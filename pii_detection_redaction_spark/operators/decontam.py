@@ -66,9 +66,18 @@ def flag_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = C.NGRAM_N,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(id, n_shared_grams, contaminated) for every corpus row: how many
-    DISTINCT n-grams of the document appear anywhere in ``eval_df``."""
+    DISTINCT n-grams of the document appear anywhere in ``eval_df``.
+
+    ``strategy='broadcast'`` (default) ships the eval gram set to every
+    executor — correct whenever the eval side is benchmark-sized. If the
+    eval set is itself corpus-scale (cross-deduplication against another
+    crawl), use ``strategy='shuffle'``: a plain shuffle semi-join on the
+    gram — both sides move (gram, id) projections only, never documents,
+    and hot boilerplate grams lean on AQE skew-split like the MinHash band
+    join. Results are identical (equality test-pinned)."""
     eval_grams = (
         eval_df.select(F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
         .distinct()
@@ -77,8 +86,10 @@ def flag_contaminated(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("g"),
     )
+    if strategy == "broadcast":
+        eval_grams = F.broadcast(eval_grams)
     hits = (
-        probes.join(F.broadcast(eval_grams), "g", "left_semi")
+        probes.join(eval_grams, "g", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

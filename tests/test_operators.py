@@ -672,3 +672,19 @@ def test_decontamination_plan_broadcasts_eval(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_decontamination_strategies_agree(spark):
+    """Broadcast and shuffle semi-join produce identical flags (the seam for
+    corpus-scale eval sides / cross-deduplication)."""
+    from pii_detection_redaction_spark.operators.decontam import flag_contaminated
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = corpus.filter(F.col("doc_id") % 7 == 0)
+    train = corpus.filter(F.col("doc_id") % 7 != 0)
+    a = sorted(map(tuple, flag_contaminated(train, eval_df).collect()))
+    b = sorted(map(tuple, flag_contaminated(train, eval_df, strategy="shuffle").collect()))
+    assert a == b
+    # no plan-shape assertion for the shuffle strategy: the hint is absent,
+    # and AQE is free to (correctly) downgrade a small build side back to a
+    # runtime broadcast — the seam's value is at sizes where it can't

@@ -258,3 +258,50 @@ def test_repetition_metric_bounds(text):
     assert 0.0 <= m["dup_line_char_frac"] < 1.0 or m["dup_line_char_frac"] == 0.0
     assert 0.0 <= m["top_bigram_char_frac"] <= 2.0
     assert 0.0 <= m["top_trigram_char_frac"] <= 3.0
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+_url_path = st.text(
+    alphabet=string.ascii_letters + string.digits + "/-_.", max_size=30
+)
+_url_query = st.lists(
+    st.tuples(
+        st.sampled_from(["id", "page", "q", "utm_source", "utm_campaign",
+                         "gclid", "fbclid", "ref"]),
+        st.text(alphabet=string.ascii_lowercase + string.digits, max_size=8),
+    ),
+    max_size=5,
+)
+
+
+@given(
+    st.sampled_from(["http", "https"]),
+    st.text(alphabet=string.ascii_letters + string.digits + ".-", min_size=1,
+            max_size=20),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _url_path,
+    _url_query,
+    st.sampled_from(["", "#frag", "#a/b?c"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_url_properties(scheme, host, port, path, query, frag):
+    from pii_detection_redaction_spark.core.urlnorm import canonicalize_url
+
+    qs = "&".join(f"{k}={v}" for k, v in query)
+    url = f"{scheme}://{host}{port}/{path}" + (f"?{qs}" if qs else "") + frag
+    c = canonicalize_url(url)
+    # idempotent: canonical form is a fixpoint
+    assert canonicalize_url(c) == c
+    # no fragment, no tracking params, no dangling separators survive
+    assert "#" not in c
+    for t in ("utm_", "gclid=", "fbclid=", "&ref=", "?ref="):
+        assert t not in c
+    assert not c.endswith(("?", "&", "/"))
+    # real params survive with their values
+    for k, v in query:
+        if k in ("id", "page", "q") and v:
+            assert f"{k}={v}" in c
+    # the authority is lowercased, default ports stripped
+    assert c.split("/")[2] == c.split("/")[2].lower()
+    assert not c.split("/")[2].endswith((":80", ":443"))
