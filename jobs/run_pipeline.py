@@ -39,6 +39,10 @@ def main() -> None:
     p.add_argument("--strip-boilerplate", action="store_true",
                    help="CC-Net-style corpus-level boilerplate-line removal "
                         "before the quality rules (extra corpus pass)")
+    p.add_argument("--quality-classifier", action="store_true",
+                   help="annotate output with the fastText-architecture "
+                        "quality score (fused into the one UDF stage; does "
+                        "NOT change keep/drop)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -59,6 +63,7 @@ def main() -> None:
         min_score=args.min_score,
         entities=args.entities,
         strip_boilerplate=args.strip_boilerplate,
+        quality_classifier=args.quality_classifier,
     )
     counters = run_pipeline(
         spark, args.input, args.output, cfg, resume=not args.no_resume

@@ -276,6 +276,11 @@ QUALITY_SCRUB_TYPE = T.StructType(
         T.StructField("drop_reasons", T.ArrayType(T.StringType())),
         T.StructField("detections", DETECTIONS_TYPE),
         T.StructField("scrubbed_text", T.StringType()),
+        # optional fastText-architecture quality score (core.ftquality);
+        # NULL unless the factory was built with quality_prob=True — kept in
+        # the one struct so enabling the classifier does NOT add a second
+        # Python eval node to the flagship plan
+        T.StructField("q_prob", T.DoubleType()),
     ]
 )
 
@@ -295,6 +300,7 @@ def make_quality_scrub_udf(
     size: int = _chunker.DEFAULT_CHUNK_SIZE,
     overlap: int = _chunker.DEFAULT_CHUNK_OVERLAP,
     mode: str = "relationship",
+    quality_prob: bool = False,
 ):
     """Single fused Python stage for the whole pipeline:
     (text, metrics_struct) -> (lang, conf, ppl, drop_reasons, detections,
@@ -316,6 +322,23 @@ def make_quality_scrub_udf(
     models = _lm.all_models()
     fallback = models["en"]
     ent = list(entities) if entities else None
+
+    # optional fused quality classifier: train once driver-side, ship by
+    # broadcast when a session is live (factory may be called without one in
+    # unit contexts — then the 2 MB matrix rides the closure, LM-style)
+    qprob_bc = None
+    qprob_W = None
+    if quality_prob:
+        from pyspark.sql import SparkSession
+
+        from ..core import ftquality as _ftq
+
+        W = _ftq.model()
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            qprob_bc = sess.sparkContext.broadcast(W)
+        else:
+            qprob_W = W
 
     @pandas_udf(QUALITY_SCRUB_TYPE)
     def quality_scrub_udf(texts: pd.Series, m: pd.DataFrame) -> pd.DataFrame:
@@ -377,6 +400,13 @@ def make_quality_scrub_udf(
             )
             dets_out.append([d.as_tuple() for d in dets])
             scrub_out.append(_scrub.scrub_document(t_arr[i], dets, mode=mode))
+        if quality_prob:
+            from ..core import ftquality as _ftq
+
+            W = qprob_bc.value if qprob_bc is not None else qprob_W
+            q_prob = _ftq.predict_quality_many(t_arr, W)
+        else:
+            q_prob = [None] * len(texts)
         return pd.DataFrame(
             {
                 "lang": lid["lang"],
@@ -385,6 +415,7 @@ def make_quality_scrub_udf(
                 "drop_reasons": reasons_out,
                 "detections": dets_out,
                 "scrubbed_text": scrub_out,
+                "q_prob": pd.Series(q_prob, dtype="float64"),
             }
         )
 

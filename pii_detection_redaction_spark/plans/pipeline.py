@@ -58,6 +58,12 @@ class PipelineConfig:
     # defined on unstripped text; enabling changes what the rules see).
     strip_boilerplate: bool = False
     boilerplate_min_docs: int = Q.BOILERPLATE_MIN_DOCS
+    # fastText-architecture quality score (core.ftquality) as an output
+    # ANNOTATION (off by default). Deliberately not a keep/drop gate: the
+    # frozen reference-parity decision and its pinned counters stay intact;
+    # DCLM-style selection is a downstream filter on quality_prob. Fused
+    # into the one Python eval node — enabling it adds no UDF stage.
+    quality_classifier: bool = False
     extra: Dict = field(default_factory=dict)
 
 
@@ -116,6 +122,7 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         size=cfg.chunk_size,
         overlap=cfg.chunk_overlap,
         mode=cfg.scrub_mode,
+        quality_prob=cfg.quality_classifier,
     )
 
     if cfg.extract_from_html and "html" in df.columns:
@@ -180,8 +187,10 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 F.col("keep"), mask_toxicity_column(F.col("qs.scrubbed_text"))
             ).otherwise(F.lit(None)),
         )
-        .drop("qs")
     )
+    if cfg.quality_classifier:
+        df = df.withColumn("quality_prob", F.col("qs.q_prob"))
+    df = df.drop("qs")
     df = df.withColumn("n_entities_scrubbed", F.size("detections"))
     return df
 
@@ -294,7 +303,10 @@ def run_pipeline(
             part = part.repartition(n_parts, "bucket")
         if hot_arr is not None:
             part = part.crossJoin(F.broadcast(hot_arr))
-        out = transform_pages(part, cfg).select(*OUTPUT_COLUMNS)
+        out_cols = OUTPUT_COLUMNS + (
+            ["quality_prob"] if cfg.quality_classifier else []
+        )
+        out = transform_pages(part, cfg).select(*out_cols)
         out = out.observe(
             obs,
             F.count(F.lit(1)).alias("docs_seen"),

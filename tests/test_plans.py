@@ -174,3 +174,25 @@ def test_csv_reassembly_single_shuffle_any_width(spark, tmp_path):
             out._jdf.queryExecution(), "simple"
         )
         assert plan.count("Exchange") == 1, (n_cols, plan)
+
+
+def test_pipeline_quality_classifier_fused(spark, pages_small):
+    """Enabling the quality-classifier annotation must NOT add a Python eval
+    node (it is fused into the one UDF), must not change keep/drop, and the
+    scores must equal core.ftquality.predict_quality on the extracted text."""
+    from pii_detection_redaction_spark.core.ftquality import predict_quality
+
+    pages = spark.read.parquet(pages_small)
+    cfg = PipelineConfig(num_buckets=8, groups=1, quality_classifier=True)
+    out = transform_pages(pages, cfg)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("ArrowEvalPython") == 1, simple
+
+    base = transform_pages(pages, PipelineConfig(num_buckets=8, groups=1))
+    got = {r.url: r for r in out.select("url", "text", "keep", "quality_prob").collect()}
+    base_keep = {r.url: r.keep for r in base.select("url", "keep").collect()}
+    assert {u: r.keep for u, r in got.items()} == base_keep
+    for u, r in list(got.items())[:50]:
+        assert r.quality_prob == predict_quality(r.text or "")
