@@ -86,3 +86,44 @@ def run_first_seen_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+URL_OUTPUT_SCHEMA = "canonical_url string, url string"
+
+
+def _first_seen_url_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    seen_before = state.exists
+    n_prior = state.get[0] if seen_before else 0
+    state.update((n_prior + len(rows),))
+    if not seen_before and len(rows):
+        winner = rows.sort_values("url").iloc[0]
+        yield pd.DataFrame({"canonical_url": [key[0]], "url": [winner["url"]]})
+
+
+def first_seen_url_dedup_stream(stream: DataFrame, url_col: str = "url") -> DataFrame:
+    """Streaming twin of the batch crawl dedup: canonicalize the URL
+    (the SAME ``operators.web.canonical_url_col`` JVM chain — one spec) and
+    emit each canonical URL's first-seen record; later crawl records of the
+    same page are suppressed across micro-batches and restarts.
+
+    Note the deliberate semantic difference from the batch
+    ``dedup_latest_crawl``: a stream cannot keep "latest" without waiting
+    forever, so streaming ingest dedups FIRST-seen (the standard crawl-
+    frontier rule); a periodic batch compaction applies latest-wins. State
+    is one counter row per canonical URL, shuffled without the page payload."""
+    from ..operators.web import canonical_url_col
+
+    keyed = stream.select(
+        canonical_url_col(url_col).alias("canonical_url"),
+        F.col(url_col).alias("url"),
+    )
+    return keyed.groupBy("canonical_url").applyInPandasWithState(
+        _first_seen_url_fn,
+        outputStructType=URL_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

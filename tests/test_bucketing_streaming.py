@@ -112,3 +112,43 @@ def test_stateful_first_seen_dedup_across_drains(spark, tmp_path):
         (md5("bbb"), "u3"),
         (md5("ccc"), "u5"),  # only the genuinely-new hash from drain 2
     }
+
+
+def test_streaming_url_dedup_first_seen(spark, tmp_path):
+    """Canonical-URL first-seen dedup across micro-batch drains: the crawl
+    table's decorated re-crawls collapse onto their first-seen record, and a
+    second drain with no new files emits nothing (state survives)."""
+    import os
+
+    from pii_detection_redaction_spark.streaming.stateful import (
+        first_seen_url_dedup_stream,
+    )
+    from pii_detection_redaction_spark.streaming.pipeline import PAGES_DDL
+    from pii_detection_redaction_spark.testing.corpus import ensure_crawl_parquet
+
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    os.symlink(ensure_crawl_parquet(), src / "part-0.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(PAGES_DDL).format("parquet").load(str(src))
+        )
+        q = (
+            first_seen_url_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got = spark.read.parquet(out)
+    n_canon = got.select("canonical_url").distinct().count()
+    assert got.count() == n_canon == 500  # 571 crawl records -> 500 pages
+    drain()  # no new files: exactly-once, nothing re-emitted
+    assert spark.read.parquet(out).count() == 500
