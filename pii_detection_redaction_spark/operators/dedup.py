@@ -391,23 +391,35 @@ def dedup_lines_keep_first(
     hot-set removal, which strips ALL occurrences of high-frequency lines):
     C4's rule preserves one copy of everything.
 
-    Scale: two line-level shuffles is the floor for this semantic — one on
-    the line key to rank occurrences (hot boilerplate keys skew; AQE
-    skew-split handles it, same as the LSH band join), one on the doc id to
-    reassemble. The ranked-line projection is (id, pos, flag) — the text of
-    a line crosses the wire once per occurrence, documents never move
-    whole. Output preserves every input document (possibly with empty
-    text_clean)."""
+    Scale: the tempting formulation — row_number() windowed on the line key
+    — is a straggler trap: a boilerplate line occurring 10^7 times is ONE
+    window partition, and AQE cannot split window partitions (it splits
+    join sides only). So the first occurrence is computed as
+    ``min(struct(id, pos))`` per key instead: aggregation gets map-side
+    partial combine, so a hot key collapses to one row per map task and
+    the agg shuffle CANNOT skew; the join marking each occurrence against
+    its key's minimum is an equi-join where AQE skew-split does apply
+    (same shape as the LSH band join). Line text crosses the wire once per
+    occurrence (probe side) plus once per DISTINCT line (min table); the
+    reassembly shuffles (id, pos, line, flag). Output preserves every
+    input document (possibly with empty text_clean)."""
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )
     key = F.trim(F.col("line"))
-    w = Window.partitionBy(key).orderBy(F.col(id_col), F.col("pos"))
-    marked = lines.select(
+    firsts = (
+        lines.where(key != "")
+        .groupBy(key.alias("k"))
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f"))
+    )
+    marked = lines.join(firsts, key == F.col("k"), "left").select(
         id_col,
         "pos",
         "line",
-        ((key != "") & (F.row_number().over(w) > 1)).alias("is_dup"),
+        (
+            F.col("k").isNotNull()
+            & ~((F.col("f.i") == F.col(id_col)) & (F.col("f.p") == F.col("pos")))
+        ).alias("is_dup"),
     )
     sl = F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup")))
     return (

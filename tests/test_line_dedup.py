@@ -121,3 +121,19 @@ def test_keep_first_nonvacuous_on_corpus(spark):
     out = q_c4_line_dedup(spark, None)
     removed = out.agg(F.sum("n_lines_removed")).collect()[0][0]
     assert removed > 100
+
+
+def test_keep_first_plan_is_skew_safe(spark):
+    """The first-occurrence computation must be an AGGREGATION (map-side
+    partial_min collapses hot boilerplate keys), never a window on the line
+    key — AQE can split skewed join sides but not window partitions."""
+    from pii_detection_redaction_spark.operators.dedup import dedup_lines_keep_first
+    from pii_detection_redaction_spark.testing.corpus import ensure_pages_parquet
+
+    df = spark.read.parquet(ensure_pages_parquet(500)).select("url", "text")
+    plan = (
+        dedup_lines_keep_first(df, id_col="url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 0
+    assert "partial_min" in plan  # map-side combine: the agg shuffle cannot skew
