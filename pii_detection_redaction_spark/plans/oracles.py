@@ -1049,6 +1049,26 @@ FROM read_parquet('{scrub_docs}') ORDER BY doc_id
 SELECT doc_id, lang_pred, ppl, keep
 FROM read_parquet('{qp}') ORDER BY doc_id
 """,
+        # NOT a parquet read-back: re-joined against the SQL token expression
+        # and re-aggregated in DuckDB, so the GROUP BY itself is checked
+        "corpus_summary": f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_q(TOKEN_RE)}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT q.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(CASE WHEN q.keep THEN q.ppl END), 2) AS kept_ppl_avg
+FROM read_parquet('{qp}') q JOIN toks t USING (doc_id)
+GROUP BY q.lang_pred
+ORDER BY q.lang_pred
+""",
         # NOT a parquet read-back: DuckDB re-runs the NTILE window itself
         # over the golden (lang_pred, ppl) columns, so Spark's window
         # arithmetic is checked against an independent implementation

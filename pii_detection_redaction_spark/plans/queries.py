@@ -975,6 +975,56 @@ def q_quality_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_summary(spark, sf_dir):
+    """Per-language corpus report — the rollup a pipeline operator reads
+    after a run: doc/kept counts, keep rate, token volume, mean perplexity
+    of kept docs. Composes the langid+ppl UDF signals with JVM token counts
+    and a single groupBy; the oracle re-derives it by joining the
+    quality-pipeline golden against the SQL token expression and running
+    the same aggregation in DuckDB (the GROUP BY itself is cross-checked,
+    not read back)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    lid = make_langid_udf()
+    ppl = make_perplexity_udf()
+    d = d.withColumn("lid", lid(F.col("text")))
+    d = (
+        d.withColumn("lang_pred", F.col("lid.lang"))
+        .withColumn("lang_conf", F.col("lid.conf"))
+        .drop("lid")
+        .withColumn("ppl_raw", ppl(F.col("text"), F.col("lang_pred")))
+        .withColumn("ppl", F.round("ppl_raw", 4))
+    )
+    d = add_quality_columns(d, "text", "lang_pred")
+    keep = (
+        F.col("rules_pass")
+        & (F.col("lang_conf") >= Q.MIN_LANG_CONF)
+        & (F.col("ppl_raw") <= Q.MAX_PERPLEXITY)
+    )
+    d = d.withColumn("keep", keep).withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(TS.TOKEN_RE))
+    )
+    return (
+        d.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.round(F.avg(F.when(F.col("keep"), F.col("ppl"))), 2).alias(
+                "kept_ppl_avg"
+            ),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+            "total_tokens",
+            "kept_ppl_avg",
+        )
+        .orderBy("lang_pred")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -1026,6 +1076,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "hash_sample": q_hash_sample,
     "ppl_buckets": q_ppl_buckets,
+    "corpus_summary": q_corpus_summary,
     "doc_repetition_metrics": q_doc_repetition_metrics,
     "doc_compression": q_doc_compression,
     "quality_pipeline": q_quality_pipeline,
