@@ -39,3 +39,39 @@ def keep_row(key: str, rate: float) -> bool:
 
     h = hashlib.md5((SAMPLE_SALT + key).encode("utf-8")).hexdigest()
     return h[:HEX_DIGITS] < hex_threshold(rate)
+
+
+# --- token-budget mixture sampling ------------------------------------------
+# Mixture construction ("this corpus contributes at most B tokens of lang L")
+# derives each stratum's keep-rate FROM THE DATA: rate = budget / total
+# tokens. The threshold arithmetic must be engine-exact, so it avoids
+# round(): budget/total is ONE IEEE-754 division (identical in Python, the
+# JVM, and DuckDB), *16^HEX_DIGITS is exact (power of two), and floor() on a
+# double agrees everywhere. Strata without a budget are dropped — a mixture
+# spec says what goes IN.
+
+BUDGET_SALT = "budget:"
+
+# catalog-query mixture over the documents table (~10-12k en tokens, ~4-5k
+# fr/de at the driver's scales): en and fr budgets bind (rates ~0.5 / ~0.2),
+# de's budget exceeds any corpus here (keep-all 'g' path), es/zh carry no
+# budget (dropped) — all four code paths exercised at sf0.001 AND sf0.01
+TOKEN_BUDGETS = {"en": 6_000, "fr": 1_000, "de": 10_000_000}
+
+
+def budget_threshold(budget: int, total: int) -> str:
+    """Hex keep-threshold for a token budget over a stratum's total."""
+    import math
+
+    if total <= budget:
+        return "g"  # keep-all sentinel (sorts above every hex digit)
+    n = math.floor((budget / total) * 16**HEX_DIGITS)
+    return format(n, f"0{HEX_DIGITS}x")
+
+
+def keep_row_budget(key: str, budget: int, total: int) -> bool:
+    """Pure-Python mirror (unit tests)."""
+    import hashlib
+
+    h = hashlib.md5((BUDGET_SALT + key).encode("utf-8")).hexdigest()
+    return h[:HEX_DIGITS] < budget_threshold(budget, total)

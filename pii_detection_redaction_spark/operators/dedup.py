@@ -436,3 +436,87 @@ def dedup_lines_keep_first(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental ingestion (history-aware crawl dedup)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitmap(history, key_col: str, m: int, k: int):
+    """numpy bool bitmap of the history keys' Bloom bits (core.bloom spec).
+
+    Build cost: one row-local positions UDF over history + a DISTINCT on
+    ints bounded by min(n*k, m) — no payload ever shuffles. The driver
+    collect is bounded by m bits (like similarity.py's n_centroids collect),
+    NOT by history size; past the single-bitmap boundary (~10^10 keys) the
+    filter shards by key range instead (core.bloom module doc)."""
+    import numpy as np
+
+    from ..core import bloom as B
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def pos_udf(keys: pd.Series) -> pd.Series:
+        return keys.map(lambda s: B.positions(s, m, k))
+
+    rows = (
+        history.select(F.explode(pos_udf(F.col(key_col))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m, dtype=bool)
+    bits[[r.p for r in rows]] = True
+    return bits
+
+
+def incremental_new(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str = "canonical_url",
+    m: Optional[int] = None,
+    k: Optional[int] = None,
+) -> DataFrame:
+    """Annotate a new crawl batch against the full ingestion history:
+    ``bloom_maybe`` (Bloom verdict) and ``is_new`` (exact verdict).
+
+    The scale contract: rows the Bloom filter rejects are DEFINITELY new
+    (no false negatives by construction — property-tested) and never enter
+    a join; only the "maybe seen" sliver — true re-crawls plus the
+    false-positive tail, a few percent of the batch at production sizing —
+    is verified exactly against the history keys. ``is_new`` therefore
+    equals the plain anti-join verdict row-for-row, which is exactly what
+    the DuckDB oracle re-derives (bloom arithmetic included) for the
+    ``incremental_new`` catalog query.
+
+    The history bitmap ships once per executor via SparkContext.broadcast;
+    the probe is one Arrow-batched UDF pass (init-free numpy indexing)."""
+    import numpy as np  # noqa: F401  (bitmap type)
+
+    from ..core import bloom as B
+
+    m = B.BLOOM_M if m is None else m
+    k = B.BLOOM_K if k is None else k
+    hist_keys = history.select(F.col(key_col)).distinct()
+    bits = bloom_bitmap(hist_keys, key_col, m, k)
+    bc = batch.sparkSession.sparkContext.broadcast(bits)
+
+    @pandas_udf(T.BooleanType())
+    def probe_udf(keys: pd.Series) -> pd.Series:
+        b = bc.value
+        return keys.map(lambda s: bool(all(b[p] for p in B.positions(s, m, k))))
+
+    annotated = batch.withColumn("bloom_maybe", probe_udf(F.col(key_col)))
+    definite = annotated.filter(~F.col("bloom_maybe")).withColumn(
+        "is_new", F.lit(True)
+    )
+    maybe = (
+        annotated.filter(F.col("bloom_maybe"))
+        .join(
+            hist_keys.withColumn("__seen", F.lit(True)),
+            key_col,
+            "left",
+        )
+        .withColumn("is_new", F.col("__seen").isNull())
+        .drop("__seen")
+    )
+    return definite.unionByName(maybe)

@@ -102,6 +102,74 @@ def dedup_latest_crawl(
     )
 
 
+def cap_per_host(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col_name: str | None = None,
+    n_salts: int = 1,
+) -> DataFrame:
+    """Keep at most ``cap`` pages per host, preferring longer pages
+    (order: length(text) DESC, url ASC — total because URLs are unique).
+
+    Host-domination control (the FineWeb/RefinedWeb "url quota" stage): a
+    handful of boilerplate-heavy hosts (forums, shops, link farms) otherwise
+    contribute millions of near-identical pages to a trained corpus.
+
+    Scale design — the corpus must NOT pay a window shuffle for a per-host
+    cap, because almost every host is under the cap:
+    1. count pages per host (map-side partials; only (host, count) pairs
+       shuffle) and keep the hosts OVER the cap — with a Zipf host
+       distribution this set is tiny (the head), so it broadcasts;
+    2. rows of under-cap hosts pass through a broadcast LEFT-ANTI probe —
+       the page payload never shuffles;
+    3. only rows of over-cap hosts (broadcast LEFT-SEMI) enter the
+       row_number window — exactly one payload Exchange, over the head
+       subset only; Spark further prunes it with a partial
+       WindowGroupLimit (map-side top-cap before the shuffle, pinned by
+       ``test_cap_per_host_under_cap_rows_avoid_the_window``).
+    The input is scanned three times (count + two probes); at 100 TB a scan
+    is cheap next to shuffling page payloads, and the count scan prunes to
+    the two key columns.
+
+    ``n_salts > 1`` adds an exact pre-pruning phase for pathological hosts
+    whose rows exceed one task's memory: top-``cap`` per (host, salt) first
+    — top-k of a union is the top-k of per-part top-k's, so this is
+    lossless — leaving at most cap*n_salts rows per host for the final
+    window. (``test_cap_per_host_salted_equals_plain``.)
+    """
+    if host_col_name == "host":
+        d = df
+    else:
+        src = F.col(host_col_name) if host_col_name else host_col(url_col)
+        d = df.withColumn("host", src)
+    over_hosts = (
+        d.groupBy("host")
+        .count()
+        .filter(F.col("count") > cap)
+        .select("host")
+    )
+    under = d.join(F.broadcast(over_hosts), "host", "left_anti")
+    over = d.join(F.broadcast(over_hosts), "host", "left_semi")
+    order = [F.length(text_col).desc(), F.col(url_col).asc()]
+    if n_salts > 1:
+        salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+        over = (
+            over.withColumn("__rn1", F.row_number().over(
+                Window.partitionBy("host", salt).orderBy(*order)))
+            .filter(F.col("__rn1") <= cap)
+            .drop("__rn1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    kept_over = (
+        over.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return under.unionByName(kept_over)
+
+
 def host_rollup(
     df: DataFrame,
     url_col: str = "url",

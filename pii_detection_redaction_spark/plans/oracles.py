@@ -326,6 +326,16 @@ FROM fl ORDER BY doc_id
 """
 )
 
+ORACLE_SQL["quality_funnel"] = (
+    _METRICS_CTE
+    + f"""
+SELECT CASE {' '.join(f"WHEN NOT rule_{n} THEN '{n}'" for n in Q.RULE_NAMES)}
+            ELSE 'kept' END AS first_fail,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM fl GROUP BY first_fail ORDER BY first_fail
+"""
+)
+
 ORACLE_SQL["doc_quality_agg"] = (
     _METRICS_CTE
     + f"""
@@ -885,40 +895,76 @@ ORDER BY host
 """
 
 
-def _url_dedup_sql() -> str:
-    """Canonical-URL crawl dedup re-derived in RE2 from the SAME spec
-    constants (core.urlnorm) the Spark expression chain uses: identical
-    patterns in identical order; only the backreference spelling differs
-    (RE2 ``\\1`` vs Java ``$1``) and DuckDB needs the explicit 'g' flag
-    (Spark's regexp_replace is always global)."""
-    from ..core import urlnorm as UN
-    from .queries import oracle_crawl_path
+def _host_quota_sql() -> str:
+    """Plain row_number window over everything — deliberately the naive
+    single-path form of the quota, so the differential checks that the
+    engine's skew-safe two-path plan (broadcast anti-probe + head-only
+    window) selects the identical page set."""
+    from ..operators.web import HOST_REGEX
+    from .queries import HOST_CAP, oracle_pages_path
 
-    path = oracle_crawl_path()
+    path = oracle_pages_path()
     return f"""
-WITH c AS (SELECT url, warc_ts FROM read_parquet('{path}')),
-s AS (
-  SELECT url, warc_ts,
+WITH p AS (SELECT url, text FROM read_parquet('{path}')),
+h AS (
+  SELECT regexp_extract(url, '{_q(HOST_REGEX)}', 1) AS host,
+         url, CAST(length(text) AS INTEGER) AS n_chars
+  FROM p
+),
+r AS (
+  SELECT host, url, n_chars,
+    row_number() OVER (PARTITION BY host
+                       ORDER BY n_chars DESC, url ASC) AS rn
+  FROM h
+)
+SELECT host, url, n_chars FROM r WHERE rn <= {HOST_CAP}
+ORDER BY host, url
+"""
+
+
+def _canon_ctes(src_cte: str, cols: str, p: str = "") -> str:
+    """The canonical-URL derivation as a reusable CTE chain (s -> a -> k),
+    re-derived in RE2 from the SAME spec constants (core.urlnorm) the Spark
+    expression chain uses: identical patterns in identical order; only the
+    backreference spelling differs (RE2 ``\\1`` vs Java ``$1``) and DuckDB
+    needs the explicit 'g' flag (Spark's regexp_replace is always global).
+    ``cols`` are passenger columns carried through to ``{p}k``; ``p``
+    prefixes the CTE names so two chains can share one query."""
+    from ..core import urlnorm as UN
+
+    return f"""
+{p}s AS (
+  SELECT {cols},
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       url, '{UN.FRAGMENT_RE}', '', 'g'),
       '{UN.TRACKING_RE}', '{UN.TRACKING_REPL_RE2}', 'g'),
       '{UN.QMARK_AMP_RE}', '?', 'g'),
       '{UN.MULTI_AMP_RE}', '&', 'g'),
       '{UN.TRAILING_SEP_RE}', '', 'g') AS u5
-  FROM c
+  FROM {src_cte}
 ),
-a AS (
-  SELECT url, warc_ts, u5,
+{p}a AS (
+  SELECT {cols}, u5,
     regexp_replace(lower(regexp_extract(u5, '({UN.AUTHORITY_RE})', 1)),
                    '{UN.DEFAULT_PORT_RE}', '', 'g') AS auth,
     regexp_replace(u5, '{UN.AUTHORITY_RE}', '', 'g') AS rest
-  FROM s
+  FROM {p}s
 ),
-k AS (
-  SELECT url, warc_ts,
+{p}k AS (
+  SELECT {cols},
     regexp_replace(auth || rest, '{UN.TRAILING_SLASH_RE}', '', 'g') AS canonical_url
-  FROM a
-),
+  FROM {p}a
+)"""
+
+
+def _url_dedup_sql() -> str:
+    """Canonical-URL crawl dedup over the shared canonicalization CTEs."""
+    from .queries import oracle_crawl_path
+
+    path = oracle_crawl_path()
+    return f"""
+WITH c AS (SELECT url, warc_ts FROM read_parquet('{path}')),
+{_canon_ctes('c', 'url, warc_ts')},
 r AS (
   SELECT canonical_url, url, warc_ts,
     row_number() OVER (PARTITION BY canonical_url
@@ -929,6 +975,60 @@ r AS (
 SELECT canonical_url, url,
        strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts, n_crawls
 FROM r WHERE rn = 1 ORDER BY canonical_url
+"""
+
+
+def _warc_pages_sql() -> str:
+    """Round-trip check against the SOURCE parquet (not the parser): every
+    field the WARC reader extracts, re-derived from pages_oracle. The
+    writer is pinned to status 200 / this strftime format, so a reader that
+    mis-parses any header or mangles one payload byte hash-mismatches."""
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    return f"""
+SELECT url,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(octet_length(html) AS INTEGER) AS n_bytes,
+       md5(decode(html)) AS payload_md5
+FROM read_parquet('{path}')
+ORDER BY url
+"""
+
+
+def _incremental_new_sql() -> str:
+    """Bloom-gated incremental ingestion, fully re-derived: canonical URLs
+    for history and batch (shared canonicalization CTEs), the filter's bit
+    positions via the same md5-portable hash (md5_number_lower == core.
+    hashing.hash64), the 'maybe' verdict as k IN-probes against the
+    history's DISTINCT position set, and the exact verdict as NOT IN. The
+    Spark side must agree on BOTH verdicts — including the deliberate
+    false positives (maybe=true, new=true) the small sizing produces."""
+    from ..core import bloom as B
+    from .queries import oracle_batch_path, oracle_crawl_path
+
+    hist, batch = oracle_crawl_path(), oracle_batch_path()
+
+    def pos(i: int) -> str:
+        return (
+            f"md5_number_lower('bf{i}' || chr(31) || canonical_url) % {B.BLOOM_M}"
+        )
+
+    pos_list = ", ".join(pos(i) for i in range(B.BLOOM_K))
+    maybe = " AND ".join(f"({pos(i)}) IN (SELECT p FROM hp)" for i in range(B.BLOOM_K))
+    return f"""
+WITH hraw AS (SELECT url FROM read_parquet('{hist}')),
+{_canon_ctes('hraw', 'url', 'h')},
+hist AS (SELECT DISTINCT canonical_url FROM hk),
+hp AS (SELECT DISTINCT unnest([{pos_list}]) AS p FROM hist),
+braw AS (SELECT url FROM read_parquet('{batch}')),
+{_canon_ctes('braw', 'url', 'b')}
+SELECT canonical_url,
+       ({maybe}) AS bloom_maybe,
+       canonical_url NOT IN (SELECT canonical_url FROM hist) AS is_new
+FROM bk
+ORDER BY canonical_url
 """
 
 
@@ -1099,8 +1199,11 @@ def all_oracles() -> dict:
     d["pii_subset_counts"] = _pii_subset_counts_sql()
     d["line_dedup_pages"] = _line_dedup_pages_sql()
     d["host_rollup"] = _host_rollup_sql()
+    d["host_quota"] = _host_quota_sql()
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d["url_dedup"] = _url_dedup_sql()
+    d["incremental_new"] = _incremental_new_sql()
+    d["warc_pages"] = _warc_pages_sql()
     d["c4_line_dedup"] = _c4_line_dedup_sql()
     d["decontaminate"] = _decontaminate_sql()
     d.update(_golden_oracles(oracle_sf_dir()))
@@ -1162,6 +1265,48 @@ ORDER BY doc_id
 
 
 ORACLE_SQL["hash_sample"] = _hash_sample_sql()
+
+
+def _budget_sample_sql() -> str:
+    """Full re-derivation of the mixture sample: token totals per language,
+    threshold = floor((budget/total) * 16^d) as hex (ONE IEEE division then
+    an exact power-of-two multiply — bit-identical across Python/JVM/DuckDB),
+    keep-all 'g' when the stratum fits its budget, inner join drops
+    unbudgeted strata. Same TOKEN_RE and core.sampling constants as Spark."""
+    from ..core import sampling as S
+    from ..operators.textstats import TOKEN_RE
+
+    scale = 16**S.HEX_DIGITS
+    values = ", ".join(
+        f"('{k}', {int(b)})" for k, b in sorted(S.TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '{_q(TOKEN_RE)}')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+),
+tot AS (SELECT lang, sum(n_tokens) AS total FROM t GROUP BY lang),
+b(lang, budget) AS (VALUES {values}),
+th AS (
+  SELECT tot.lang,
+    CASE WHEN total <= budget THEN 'g'
+         ELSE printf('%0{S.HEX_DIGITS}x',
+                     CAST(floor((CAST(budget AS DOUBLE) / CAST(total AS DOUBLE))
+                                * {scale}) AS INTEGER))
+    END AS thresh
+  FROM tot JOIN b USING (lang)
+)
+SELECT t.doc_id, t.lang, t.n_tokens
+FROM t JOIN th USING (lang)
+WHERE substr(md5('{S.BUDGET_SALT}' || CAST(t.doc_id AS VARCHAR)), 1, {S.HEX_DIGITS})
+      < th.thresh
+ORDER BY t.doc_id
+"""
+
+
+ORACLE_SQL["budget_sample"] = _budget_sample_sql()
 
 ORACLE_SQL["multimodal_features"] = _multimodal_sql()
 

@@ -424,6 +424,25 @@ def q_doc_quality_flags(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_funnel(spark, sf_dir):
+    """Drop-reason funnel: each document attributed to its FIRST failing
+    quality rule (core.quality.RULE_NAMES order — the order a pipeline
+    operator would short-circuit in), 'kept' otherwise. The report a corpus
+    curator reads before retuning thresholds. Pure JVM CASE over the rule
+    flags + one tiny (reason,count) aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    out = add_quality_columns(d, "text", "lang")
+    first_fail = F.lit("kept")
+    for n in reversed(Q.RULE_NAMES):
+        first_fail = F.when(~F.col(f"rule_{n}"), F.lit(n)).otherwise(first_fail)
+    return (
+        out.select(first_fail.alias("first_fail"))
+        .groupBy("first_fail")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("first_fail")
+    )
+
+
 def q_doc_quality_agg(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = add_quality_columns(d, "text", "lang")
@@ -901,6 +920,25 @@ def q_host_rollup(spark, sf_dir):
     return W.host_rollup(kept, host_col_name="host").orderBy("host")
 
 
+# per-host page quota for the catalog query — Zipf head of the 20-host pages
+# corpus puts ~6 hosts over this cap, the tail passes untouched
+HOST_CAP = 25
+
+
+def q_host_quota(spark, sf_dir):
+    """Host-domination control (FineWeb-style per-host quota): keep at most
+    HOST_CAP pages per host, preferring longer pages (length DESC, url ASC).
+    Skew-safe two-path plan (operators.web.cap_per_host): under-cap hosts'
+    rows pass a broadcast anti-probe with NO shuffle; only the Zipf head
+    enters the row_number window — one payload Exchange over the head
+    subset. The DuckDB oracle runs the plain window over everything."""
+    d = _pages(spark)
+    capped = W.cap_per_host(d, HOST_CAP)
+    return capped.select(
+        "host", "url", F.length("text").alias("n_chars")
+    ).orderBy("host", "url")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + latest-crawl dedup over the crawl table (pages
     + messy re-crawl records): canonical form per core.urlnorm (fragment /
@@ -920,6 +958,55 @@ def q_url_dedup(spark, sf_dir):
     ).orderBy("canonical_url")
 
 
+def oracle_batch_path() -> str:
+    from ..testing.corpus import ensure_batch_parquet
+
+    return ensure_batch_parquet()
+
+
+def q_warc_pages(spark, sf_dir):
+    """WARC source round trip: the pages corpus re-encoded as per-record-
+    gzipped WARC files (Common Crawl layout) is read back by sources.warc
+    (binaryFile listing -> file-parallel mapInPandas parse, records never
+    shuffle). The DuckDB oracle re-derives url/ts/status/bytes/md5 from the
+    PAGES parquet — writer->bytes->reader vs the source of truth."""
+    from ..sources.warc import read_warc
+    from ..testing.corpus import ensure_warc_dir
+
+    d = read_warc(spark, ensure_warc_dir())
+    return d.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        "http_status",
+        F.length("html").cast("int").alias("n_bytes"),
+        F.md5(F.col("html").cast("string")).alias("payload_md5"),
+    ).orderBy("url")
+
+
+def q_incremental_new(spark, sf_dir):
+    """Bloom-gated incremental ingestion: annotate a new crawl batch (pages
+    450-550, half already in the crawl history, some under re-spelled URLs)
+    with ``bloom_maybe`` (core.bloom spec verdict over the history's
+    canonical URLs) and ``is_new`` (exact). Rows the filter rejects are
+    definitely new and SKIP the verify join; sizing is deliberately small
+    (m=2048, k=2) so false positives — bloom_maybe=true but is_new=true —
+    actually occur and the differential checks them. The DuckDB oracle
+    re-derives the bloom bit arithmetic (md5_number_lower positions) AND
+    the exact verdict from the same two parquets."""
+    from ..operators.dedup import incremental_new
+
+    hist = spark.read.parquet(oracle_crawl_path()).select(
+        W.canonical_url_col().alias("canonical_url")
+    )
+    batch = spark.read.parquet(oracle_batch_path()).select(
+        W.canonical_url_col().alias("canonical_url")
+    )
+    out = incremental_new(batch, hist, key_col="canonical_url")
+    return out.select("canonical_url", "bloom_maybe", "is_new").orderBy(
+        "canonical_url"
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic stratified sample of documents (corpus rebalancing:
     en downsampled to 25%, other languages kept — core.sampling spec): keep
@@ -930,6 +1017,24 @@ def q_hash_sample(spark, sf_dir):
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(d, "doc_id", "lang").orderBy("doc_id")
+
+
+def q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling (core.sampling.TOKEN_BUDGETS): each
+    language is downsampled to rate budget/total_tokens derived FROM the
+    corpus (en and fr bind, de fits whole, unbudgeted es/zh drop out). One
+    (lang, sum) aggregation, then a zero-shuffle scan-side predicate; the
+    DuckDB oracle re-derives totals, thresholds (floor of one IEEE division
+    — engine-exact) and the keep set independently."""
+    from ..operators.sampling import token_budget_sample
+    from ..operators.textstats import TOKEN_RE
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = d.withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    ).drop("text")
+    out = token_budget_sample(d, "doc_id", "lang", "n_tokens")
+    return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
 
 
 def q_ppl_buckets(spark, sf_dir):
@@ -1044,6 +1149,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "doc_quality_flags": q_doc_quality_flags,
     "doc_quality_agg": q_doc_quality_agg,
+    "quality_funnel": q_quality_funnel,
     "toxicity_scrub": q_toxicity_scrub,
     "doc_token_stats": q_doc_token_stats,
     "langid_documents": q_langid_documents,
@@ -1073,8 +1179,12 @@ QUERIES = {
     "c4_line_dedup": q_c4_line_dedup,
     "decontaminate": q_decontaminate,
     "host_rollup": q_host_rollup,
+    "host_quota": q_host_quota,
     "url_dedup": q_url_dedup,
+    "incremental_new": q_incremental_new,
+    "warc_pages": q_warc_pages,
     "hash_sample": q_hash_sample,
+    "budget_sample": q_budget_sample,
     "ppl_buckets": q_ppl_buckets,
     "corpus_summary": q_corpus_summary,
     "doc_repetition_metrics": q_doc_repetition_metrics,

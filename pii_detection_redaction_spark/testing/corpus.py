@@ -407,6 +407,90 @@ def ensure_crawl_parquet(n: int = N_ORACLE_CRAWL) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# incremental-ingestion batch: a later crawl slice that OVERLAPS the crawl
+# table's canonical URLs (pages lo..500 re-crawled, some under re-spelled
+# URLs) and extends past it (500..hi genuinely new) — the history/batch
+# material for the Bloom-gated `incremental_new` query.
+
+N_BATCH_LO, N_BATCH_HI = 450, 550
+
+
+def batch_df(lo: int = N_BATCH_LO, hi: int = N_BATCH_HI, seed: int = SEED) -> pd.DataFrame:
+    rows = []
+    for i in range(lo, hi):
+        r = page_row(i, seed)
+        if i % 11 == 5:  # same real-params rule as crawl_df -> same canonical
+            r["url"] = f"{r['url']}?id={i}&utm_medium=email&page=2"
+        if i % 5 == 2:  # re-spelled fetch: canonicalizes back to the page
+            sep = "&" if "?" in r["url"] else "?"
+            r["url"] = r["url"] + sep + "utm_source=newsletter"
+        r["warc_ts"] = r["warc_ts"] + timedelta(days=30)
+        rows.append(r)
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    return df
+
+
+def ensure_batch_parquet(lo: int = N_BATCH_LO, hi: int = N_BATCH_HI) -> str:
+    """Deterministic ingestion-batch parquet under _data/ — the Spark
+    incremental_new query and its DuckDB oracle read THIS file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data = os.path.join(repo, "_data")
+    os.makedirs(data, exist_ok=True)
+    path = os.path.join(data, f"batch_oracle_v{CORPUS_VERSION}_{lo}_{hi}.parquet")
+    if not os.path.exists(path):
+        df = batch_df(lo, hi)
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
+        )
+    return path
+
+
+def ensure_warc_dir(n: int = N_ORACLE_PAGES, n_files: int = 8) -> str:
+    """The pages corpus re-encoded as per-record-gzipped WARC files (the
+    Common Crawl layout, core.warc writer) — the fixture for the WARC
+    source. The DuckDB oracle reads the PAGES parquet and re-derives every
+    field, so the differential proves the writer->bytes->reader round trip
+    against the source of truth, not the parser against itself."""
+    import os
+
+    from ..core.warc import build_response_record, write_warc
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data = os.path.join(repo, "_data")
+    os.makedirs(data, exist_ok=True)
+    path = os.path.join(data, f"warc_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        step = (n + n_files - 1) // n_files
+        for f in range(n_files):
+            recs = []
+            for i in range(f * step, min((f + 1) * step, n)):
+                r = page_row(i)
+                date_iso = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                recs.append(build_response_record(r["url"], date_iso, r["html"]))
+            if recs:
+                write_warc(recs, os.path.join(path, f"part-{f:04d}.warc.gz"))
+        open(done, "w").close()
+    return path
+
+
 def ensure_pages_parquet(n: int = 500) -> str:
     """Deterministic single-file pages parquet under the repo's _data/ cache,
     written on first use (pandas/pyarrow only — no Spark needed). Both the

@@ -71,6 +71,7 @@ def spec_fingerprint() -> str:
     Any change to recognizers / scrub / langid / LM / quality / toxicity /
     chunker invalidates every golden automatically — no manual version."""
     from ..core import (
+        bloom,
         chunker,
         decontam,
         entities,
@@ -90,13 +91,15 @@ def spec_fingerprint() -> str:
         spans,
         toxicity,
         urlnorm,
+        warc,
     )
 
     h = hashlib.md5()
     for mod in (
-        chunker, decontam, entities, extract, ftlang, ftquality, hashing,
-        langid, langprofiles, lm, quality, recognizers, relationships,
-        sampling, sanitize, scrub, spans, toxicity, urlnorm,
+        bloom, chunker, decontam, entities, extract, ftlang, ftquality,
+        hashing, langid, langprofiles, lm, quality, recognizers,
+        relationships, sampling, sanitize, scrub, spans, toxicity, urlnorm,
+        warc,
     ):
         h.update(inspect.getsource(mod).encode("utf-8"))
     return h.hexdigest()[:10]

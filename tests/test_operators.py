@@ -688,3 +688,110 @@ def test_decontamination_strategies_agree(spark):
     # no plan-shape assertion for the shuffle strategy: the hint is absent,
     # and AQE is free to (correctly) downgrade a small build side back to a
     # runtime broadcast — the seam's value is at sizes where it can't
+
+
+# --- token-budget mixture sampling -------------------------------------------
+
+
+def _budget_rows():
+    # lang, deterministic token counts; en ~3000 tokens total (budget 900
+    # binds), de ~500 (budget 10^7 keeps all), zh unbudgeted (dropped)
+    rows = []
+    for i in range(300):
+        rows.append((i, "en", 10 + (i % 5)))
+    for i in range(300, 340):
+        rows.append((i, "de", 12))
+    for i in range(340, 360):
+        rows.append((i, "zh", 9))
+    return rows
+
+
+BUDGETS = {"en": 900, "de": 10_000_000}
+
+
+def test_budget_sample_matches_python_mirror(spark):
+    from pii_detection_redaction_spark.core.sampling import keep_row_budget
+    from pii_detection_redaction_spark.operators.sampling import token_budget_sample
+
+    rows = _budget_rows()
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    got = {r.doc_id for r in token_budget_sample(df, "doc_id", "lang", "n_tokens", BUDGETS).collect()}
+    totals = {}
+    for _, lang, n in rows:
+        totals[lang] = totals.get(lang, 0) + n
+    want = {
+        i
+        for i, lang, _ in rows
+        if lang in BUDGETS and keep_row_budget(str(i), BUDGETS[lang], totals[lang])
+    }
+    assert got == want
+    # keep-all stratum intact, unbudgeted stratum gone, binding stratum thinned
+    assert {i for i, l, _ in rows if l == "de"} <= got
+    assert not any(l == "zh" for i, l, _ in rows if i in got)
+    en_tokens = sum(n for i, l, n in rows if l == "en" and i in got)
+    assert 450 < en_tokens < 1350  # expectation 900, O(sqrt) concentration
+
+
+def test_budget_sample_variants_agree(spark):
+    """Driver-literal CASE vs broadcast-join threshold column: identical
+    keep set — the JVM floor/format threshold arithmetic reproduces the
+    Python spec bit-for-bit."""
+    from pii_detection_redaction_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_sample_join,
+    )
+
+    df = spark.createDataFrame(_budget_rows(), ["doc_id", "lang", "n_tokens"])
+    a = sorted(r.doc_id for r in token_budget_sample(df, "doc_id", "lang", "n_tokens", BUDGETS).collect())
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample_join(df, "doc_id", "lang", "n_tokens", BUDGETS).collect()
+    )
+    assert a == b and len(a) > 40
+
+
+# --- Bloom-gated incremental ingestion ---------------------------------------
+
+
+def test_bloom_no_false_negatives_pure():
+    """Spec property: every inserted key probes true — by construction, for
+    any key set and any sizing (here: adversarially small m)."""
+    from pii_detection_redaction_spark.core import bloom as B
+
+    keys = [f"https://h{i % 7}.ex/p{i}" for i in range(500)]
+    bits = B.build_bitmap(keys, m=64, k=3)
+    assert all(B.might_contain(k, bits, m=64, k=3) for k in keys)
+
+
+def test_incremental_new_matches_exact_and_mirror(spark):
+    """Engine verdicts == plain anti-join (exactness) AND Spark's
+    bloom_maybe == the pure-Python probe (spec parity), on the catalog
+    fixture where false positives actually occur."""
+    from pii_detection_redaction_spark.core import bloom as B
+    from pii_detection_redaction_spark.operators.dedup import incremental_new
+    from pii_detection_redaction_spark.operators.web import canonical_url_col
+    from pii_detection_redaction_spark.testing.corpus import (
+        ensure_batch_parquet,
+        ensure_crawl_parquet,
+    )
+
+    hist = spark.read.parquet(ensure_crawl_parquet()).select(
+        canonical_url_col().alias("key")
+    )
+    batch = spark.read.parquet(ensure_batch_parquet()).select(
+        canonical_url_col().alias("key")
+    )
+    got = {r.key: (r.bloom_maybe, r.is_new) for r in
+           incremental_new(batch, hist, key_col="key").collect()}
+    hist_keys = {r.key for r in hist.distinct().collect()}
+    batch_keys = [r.key for r in batch.collect()]
+    assert len(got) == len(batch_keys)
+    bits = B.build_bitmap(hist_keys)
+    fp = 0
+    for k in batch_keys:
+        maybe, new = got[k]
+        assert new == (k not in hist_keys)  # exact == anti-join
+        assert maybe == B.might_contain(k, bits)  # spec parity
+        assert not (k in hist_keys and not maybe)  # no false negatives
+        fp += int(maybe and new)
+    assert fp > 0  # sizing is small enough that the FP verify path runs

@@ -123,3 +123,62 @@ def test_url_dedup_plan_single_exchange(spark):
     assert plan.count("Sort") == 1
     # column pruning: html/text payload columns never read
     assert "html" not in plan and "text" not in plan
+
+
+# --- per-host quota (cap_per_host) ------------------------------------------
+
+QUOTA_ROWS = [
+    # host A: 4 pages (over cap=2) — keep the two longest, url tiebreak asc
+    ("https://a.ex/p1", "xxxxxx"),
+    ("https://a.ex/p2", "xxxx"),
+    ("https://a.ex/p3", "xxxx"),
+    ("https://a.ex/p4", "x"),
+    # host B: 2 pages (exactly at cap) — both kept, via the no-shuffle path
+    ("https://b.ex/p1", "yy"),
+    ("https://b.ex/p2", "y"),
+]
+
+
+def test_cap_per_host_semantics(spark):
+    df = spark.createDataFrame(QUOTA_ROWS, ["url", "text"])
+    kept = sorted(r.url for r in W.cap_per_host(df, 2).collect())
+    # a.ex: p1 (len 6) then p2 beats p3 on url asc at len 4; p4 dropped
+    assert kept == [
+        "https://a.ex/p1",
+        "https://a.ex/p2",
+        "https://b.ex/p1",
+        "https://b.ex/p2",
+    ]
+
+
+def test_cap_per_host_salted_equals_plain(spark):
+    """Exact top-cap decomposability: per-(host,salt) pre-prune then final
+    window == plain window. This is the pathological-host escape hatch."""
+    from pii_detection_redaction_spark.testing.corpus import ensure_pages_parquet
+
+    df = spark.read.parquet(ensure_pages_parquet()).select("url", "text")
+    plain = sorted(r.url for r in W.cap_per_host(df, 10).collect())
+    salted = sorted(r.url for r in W.cap_per_host(df, 10, n_salts=4).collect())
+    assert plain == salted and len(plain) > 0
+
+
+def test_cap_per_host_under_cap_rows_avoid_the_window(spark):
+    """Plan shape: under-cap rows pass a broadcast LEFT-ANTI probe (no
+    shuffle); only the over-cap head enters the window Exchange. Payload
+    Exchanges: 1 (window); the count agg shuffles only (host,count) pairs."""
+    df = spark.createDataFrame(QUOTA_ROWS, ["url", "text"])
+    plan = W.cap_per_host(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # hash shuffles in the initial plan: the per-host count agg appears
+    # under BOTH broadcast probes (identical subtrees — AQE reuses one at
+    # runtime, and they carry only (host,count) pairs) plus ONE head-only
+    # window shuffle. The page payload itself crosses exactly that one.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_count" in plan  # the count agg combines map-side
+    # exactly one Window node — and it sits on the semi-probed head branch,
+    # so the anti-probed (under-cap) rows never sort/shuffle for ranking
+    assert plan.count("Window [") == 1
+    # Spark pushes the rank<=cap filter into a partial WindowGroupLimit:
+    # even head rows prune to <=cap per map partition BEFORE shuffling
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
