@@ -85,6 +85,12 @@ HEADLINE = [
     "url_dedup",
     "c4_line_dedup",
     "decontaminate",
+    "host_quota",
+    "budget_sample",
+    "incremental_new",
+    "warc_pages",
+    "quality_funnel",
+    "exsub_dedup",
 ]
 
 

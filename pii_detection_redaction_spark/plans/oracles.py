@@ -1109,6 +1109,7 @@ def _golden_oracles(sf_dir: str) -> dict:
     from ..testing import goldens as G
 
     det = G.golden_pii_detections()
+    exsub = G.golden_exsub()
     scrub_pages = G.golden_pii_scrub_pages()
     scrub_docs = G.golden_pii_scrub(sf_dir)
     qp = G.golden_quality_pipeline(sf_dir)
@@ -1119,6 +1120,10 @@ def _golden_oracles(sf_dir: str) -> dict:
         "ftlang_documents": f"""
 SELECT doc_id, ft_lang, ft_prob
 FROM read_parquet('{ftl}') ORDER BY doc_id
+""",
+        "exsub_dedup": f"""
+SELECT url, clean_md5, n_chars_removed, n_dup_windows
+FROM read_parquet('{exsub}') ORDER BY url
 """,
         "ftquality_documents": f"""
 SELECT doc_id, quality_prob, quality_label

@@ -964,6 +964,25 @@ def oracle_batch_path() -> str:
     return ensure_batch_parquet()
 
 
+def q_exsub_dedup(spark, sf_dir):
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2021) over the pages
+    corpus: every 20-token run occurring >1 times (the planted cross-doc
+    boilerplate lines are 30-37 tokens) is excised from all non-keeper
+    occurrences; overlapping duplicated windows merge into maximal spans.
+    Value-gated by a golden parquet from the pure-Python reference
+    (core.exsub.exsub_clean) over the same file."""
+    from ..operators.exsub import exsub_dedup
+
+    d = _pages(spark)
+    out = exsub_dedup(d, id_col="url", text_col="text")
+    return out.select(
+        "url",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_chars_removed",
+        "n_dup_windows",
+    ).orderBy("url")
+
+
 def q_warc_pages(spark, sf_dir):
     """WARC source round trip: the pages corpus re-encoded as per-record-
     gzipped WARC files (Common Crawl layout) is read back by sources.warc
@@ -1183,6 +1202,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "incremental_new": q_incremental_new,
     "warc_pages": q_warc_pages,
+    "exsub_dedup": q_exsub_dedup,
     "hash_sample": q_hash_sample,
     "budget_sample": q_budget_sample,
     "ppl_buckets": q_ppl_buckets,

@@ -75,6 +75,7 @@ def spec_fingerprint() -> str:
         chunker,
         decontam,
         entities,
+        exsub,
         extract,
         ftlang,
         ftquality,
@@ -96,7 +97,7 @@ def spec_fingerprint() -> str:
 
     h = hashlib.md5()
     for mod in (
-        bloom, chunker, decontam, entities, extract, ftlang, ftquality,
+        bloom, chunker, decontam, entities, exsub, extract, ftlang, ftquality,
         hashing, langid, langprofiles, lm, quality, recognizers,
         relationships, sampling, sanitize, scrub, spans, toxicity, urlnorm,
         warc,
@@ -196,6 +197,33 @@ def golden_pii_scrub_pages() -> str:
         )
 
     return _materialize("pii_scrub_pages", spec_fingerprint(), build)
+
+
+def golden_exsub() -> str:
+    """(url, clean_md5, n_chars_removed, n_dup_windows): corpus-level
+    exact-substring dedup (core.exsub reference implementation over the
+    pages corpus — mirrors ``q_exsub_dedup``)."""
+
+    def build() -> pa.Table:
+        import hashlib
+
+        from ..core.exsub import exsub_clean
+
+        res = exsub_clean(_pages_rows())
+        urls = sorted(res)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "clean_md5": pa.array(
+                    [hashlib.md5(res[u][0].encode("utf-8")).hexdigest() for u in urls],
+                    pa.string(),
+                ),
+                "n_chars_removed": pa.array([res[u][1] for u in urls], pa.int32()),
+                "n_dup_windows": pa.array([res[u][2] for u in urls], pa.int32()),
+            }
+        )
+
+    return _materialize("exsub", spec_fingerprint(), build)
 
 
 # ---------------------------------------------------------------------------
