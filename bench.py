@@ -91,6 +91,7 @@ HEADLINE = [
     "warc_pages",
     "quality_funnel",
     "exsub_dedup",
+    "token_shards",
 ]
 
 

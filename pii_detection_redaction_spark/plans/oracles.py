@@ -1313,6 +1313,37 @@ ORDER BY t.doc_id
 
 ORACLE_SQL["budget_sample"] = _budget_sample_sql()
 
+
+def _token_shards_sql() -> str:
+    """The NAIVE single global window (the plan that cannot scale) — if the
+    engine's two-phase bucket prefix sum diverges from it by one token
+    anywhere, the hash mismatches."""
+    from ..operators.packing import SHARD_TOKENS
+    from ..operators.textstats import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_q(TOKEN_RE)}')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ticket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY ticket, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+FROM r ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["token_shards"] = _token_shards_sql()
+
 ORACLE_SQL["multimodal_features"] = _multimodal_sql()
 
 # frame sampling × resize geometry: same metadata arithmetic, same fit

@@ -1038,6 +1038,22 @@ def q_hash_sample(spark, sf_dir):
     return stratified_sample(d, "doc_id", "lang").orderBy("doc_id")
 
 
+def q_token_shards(spark, sf_dir):
+    """Training-export packing: documents assigned to ~2000-token shards in
+    a deterministic md5-ticket order via a DISTRIBUTED prefix sum (range-
+    bucketed windows + driver-side bucket offsets, operators.packing). The
+    DuckDB oracle runs the naive single global window instead — the
+    differential proves two-phase == global prefix sum exactly."""
+    from ..operators.packing import token_shards
+    from ..operators.textstats import TOKEN_RE
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    ).drop("text")
+    return token_shards(d).orderBy("doc_id")
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget mixture sampling (core.sampling.TOKEN_BUDGETS): each
     language is downsampled to rate budget/total_tokens derived FROM the
@@ -1205,6 +1221,7 @@ QUERIES = {
     "exsub_dedup": q_exsub_dedup,
     "hash_sample": q_hash_sample,
     "budget_sample": q_budget_sample,
+    "token_shards": q_token_shards,
     "ppl_buckets": q_ppl_buckets,
     "corpus_summary": q_corpus_summary,
     "doc_repetition_metrics": q_doc_repetition_metrics,

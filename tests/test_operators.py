@@ -795,3 +795,47 @@ def test_incremental_new_matches_exact_and_mirror(spark):
         assert not (k in hist_keys and not maybe)  # no false negatives
         fp += int(maybe and new)
     assert fp > 0  # sizing is small enough that the FP verify path runs
+
+
+# --- token-shard packing ------------------------------------------------------
+
+
+def test_token_shards_two_phase_equals_global_window(spark):
+    """The distributed (bucketed) prefix sum must equal the naive single
+    global window bit-for-bit."""
+    from pyspark.sql import Window
+
+    from pii_detection_redaction_spark.operators.packing import token_shards
+
+    rows = [(i, 7 + (i * 13) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r.doc_id: (r.start_offset, r.shard_id)
+           for r in token_shards(df, shard_tokens=300).collect()}
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.withColumn(
+        "start_offset", F.sum(F.col("n_tokens").cast("long")).over(w) - F.col("n_tokens")
+    ).withColumn("shard_id", F.floor(F.col("start_offset") / F.lit(300)))
+    want = {r.doc_id: (r.start_offset, r.shard_id) for r in naive.collect()}
+    assert got == want
+    # prefix-sum invariants: starts begin at 0 and chain exactly
+    seq = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert seq[0][1][0] == 0
+    tok = dict(rows)
+    for (a, (sa, _)), (b, (sb, _)) in zip(seq, seq[1:]):
+        assert sb == sa + tok[a]
+    assert len({s for _, (_, s) in got.items()}) > 5  # multiple shards filled
+
+
+def test_token_shards_partitioning_invariant(spark):
+    from pii_detection_redaction_spark.operators.packing import token_shards
+
+    rows = [(i, 5 + i % 11) for i in range(300)]
+    a = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(1)
+    b = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(13, "n_tokens")
+    ra = sorted((r.doc_id, r.start_offset, r.shard_id)
+                for r in token_shards(a, shard_tokens=100).collect())
+    rb = sorted((r.doc_id, r.start_offset, r.shard_id)
+                for r in token_shards(b, shard_tokens=100).collect())
+    assert ra == rb
