@@ -53,6 +53,35 @@ def dedup_pass(
     }
 
 
+def near_dedup_df(
+    df,
+    id_col: str = "url",
+    text_col: str = "scrubbed_text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    band_size: int = 4,
+):
+    """DataFrame form of the near-dup removal (candidates → Jaccard verify
+    → connected components → keep smallest id per cluster); returns
+    (survivors, cc_rounds). ``near_dedup_pass`` wraps it for the snapshot
+    store; ``plans.prepare`` chains it after exact dedup."""
+    hashable = df.filter(F.regexp_count(F.col(text_col), F.lit(r"\S")) > 0)
+    cand = minhash_candidate_pairs(
+        hashable, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, band_size=band_size,
+    )
+    verified = jaccard_verify_pairs(
+        hashable, cand, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    comps, cc_rounds = connected_components_with_rounds(
+        verified.select("id_a", "id_b")
+    )
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti"), cc_rounds
+
+
 def near_dedup_pass(
     spark: SparkSession,
     pipeline_out_root: str,
@@ -77,21 +106,10 @@ def near_dedup_pass(
     """
     kept = read_output(spark, pipeline_out_root).filter(F.col("keep"))
     n_in = kept.count()  # before the write — see dedup_pass counter note
-    hashable = kept.filter(F.regexp_count(F.col(text_col), F.lit(r"\S")) > 0)
-    cand = minhash_candidate_pairs(
-        hashable, id_col="url", text_col=text_col,
+    final, cc_rounds = near_dedup_df(
+        kept, id_col="url", text_col=text_col, threshold=threshold,
         num_hashes=num_hashes, band_size=band_size,
     )
-    verified = jaccard_verify_pairs(
-        hashable, cand, id_col="url", text_col=text_col, threshold=threshold
-    )
-    comps, cc_rounds = connected_components_with_rounds(
-        verified.select("id_a", "id_b")
-    )
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("url")
-    )
-    final = kept.join(losers, "url", "left_anti")
     final.write.mode("overwrite").parquet(dest)
     n_out = spark.read.parquet(dest).count()
     return {

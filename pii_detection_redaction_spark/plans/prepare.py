@@ -1,0 +1,112 @@
+"""End-to-end training-corpus preparation — the whole engine in one job.
+
+The FineWeb/RefinedWeb-shaped flow a user actually runs, chained from the
+operators this repo already value-gates individually:
+
+    raw pages ──(1)── quality filter + PII/toxicity scrub  (plans.pipeline,
+                      snapshot store: crash-safe, resumable)
+          ────(2)── exact dedup            (operators.dedup.dedup_exact)
+          ────(3)── MinHash near-dedup     (plans.dedup_pass.near_dedup_df)
+          ────(4)── exact-substring dedup  (operators.exsub, in-place excise)
+          ────(5)── token-budget mixture sample  (operators.sampling;
+                      optional — budgets name what goes in, by lang_pred)
+          ────(6)── token-shard packing    (operators.packing) and write,
+                      repartitioned by shard so a shard's docs are co-filed.
+
+Each stage writes under ``<out_root>/<stage>/`` so any stage can be
+inspected or resumed independently; counters for every stage come back in
+one dict (the JSON line ``jobs/run_prepare.py`` prints). Stages 2-6 are
+deterministic pure functions of their input; stage 1 inherits the snapshot
+store's resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.exsub import exsub_dedup
+from ..operators.packing import SHARD_TOKENS, token_shards
+from ..operators.sampling import token_budget_sample
+from ..operators.textstats import TOKEN_RE
+from .dedup_pass import near_dedup_df
+from .pipeline import PipelineConfig, read_output, run_pipeline
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    cfg: Optional[PipelineConfig] = None,
+    budgets: Optional[Mapping[str, int]] = None,
+    shard_tokens: int = SHARD_TOKENS,
+    near_threshold: float = 0.8,
+    exsub_k: Optional[int] = None,
+) -> Dict[str, int]:
+    from ..core.exsub import EXSUB_K
+
+    k = EXSUB_K if exsub_k is None else exsub_k
+    scrub_root = os.path.join(out_root, "scrub")
+    final_path = os.path.join(out_root, "final")
+
+    # 1) quality filter + scrub (snapshot store — resumable)
+    c = dict(run_pipeline(spark, input_path, scrub_root, cfg or PipelineConfig()))
+    kept = read_output(spark, scrub_root).filter(F.col("keep"))
+
+    # 2) exact dedup: keeper = lexicographically smallest url per content
+    from ..operators.dedup import dedup_exact
+
+    n_kept = kept.count()
+    d = dedup_exact(kept, id_col="url", text_col="scrubbed_text")
+    n_exact = d.count()
+
+    # 3) near dedup (MinHash-LSH → verify → connected components)
+    d, cc_rounds = near_dedup_df(
+        d, id_col="url", text_col="scrubbed_text", threshold=near_threshold
+    )
+    n_near = d.count()
+
+    # 4) exact-substring dedup: excise non-keeper >=K-token repeated runs
+    d = exsub_dedup(d, id_col="url", text_col="scrubbed_text", k=k)
+    d = (
+        d.withColumn("scrubbed_text", F.col("clean_text"))
+        .drop("clean_text")
+        .withColumn(
+            "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
+        )
+    )
+
+    # 5) optional mixture sampling on the predicted language
+    if budgets:
+        d = token_budget_sample(d, "url", "lang_pred", "n_tokens", budgets)
+
+    # 6) shard assignment + co-filed write
+    shards = token_shards(d, id_col="url", tokens_col="n_tokens",
+                          shard_tokens=shard_tokens)
+    final = d.drop("n_tokens").join(shards, "url")
+    final.repartition(F.col("shard_id")).write.mode("overwrite").parquet(final_path)
+
+    out = spark.read.parquet(final_path)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("shard_id").alias("shards"),
+        F.sum("n_chars_removed").alias("exsub_chars"),
+    ).collect()[0]
+    c.update(
+        {
+            "docs_kept": n_kept,
+            "exact_dups_removed": n_kept - n_exact,
+            "near_dups_removed": n_exact - n_near,
+            "cc_rounds": cc_rounds,
+            "docs_final": agg["docs"],
+            "docs_sampled_out": n_near - agg["docs"],
+            "exsub_chars_removed": int(agg["exsub_chars"] or 0),
+            "total_tokens": int(agg["tokens"] or 0),
+            "n_shards": agg["shards"],
+        }
+    )
+    return c

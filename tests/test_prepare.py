@@ -1,0 +1,58 @@
+"""End-to-end corpus preparation: every stage non-vacuous and the counters
+arithmetic consistent, on the deterministic 500-page corpus."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pii_detection_redaction_spark.plans.prepare import prepare_corpus
+from pii_detection_redaction_spark.testing.corpus import ensure_pages_parquet
+
+
+def test_prepare_corpus_end_to_end(spark, tmp_path):
+    c = prepare_corpus(spark, ensure_pages_parquet(), str(tmp_path / "out"))
+    # stage 1: the pinned pipeline counters (verify-skill goldens, corpus v8)
+    assert c["docs_seen"] == 500 and c["docs_kept"] == 335
+    assert c["entities_scrubbed"] == 596 and c["tox_masked"] == 33
+    # stage 2/3: corpus has no byte-identical dups; the planted near-dup
+    # families ARE removed (transitively, in O(log d) CC rounds)
+    assert c["exact_dups_removed"] == 0
+    assert c["near_dups_removed"] > 0
+    assert c["cc_rounds"] <= 4
+    # stage 4: the planted 30-37-token boilerplate lines get excised
+    assert c["exsub_chars_removed"] > 0
+    # stage 5 skipped (no budgets): nothing sampled out
+    assert c["docs_sampled_out"] == 0
+    assert c["docs_final"] == c["docs_kept"] - c["near_dups_removed"]
+    # stage 6: shards fill to ~shard_tokens (greedy fill, oversized spill):
+    # shard count within 1 of ceil(total/2000)
+    want = math.ceil(c["total_tokens"] / 2000)
+    assert abs(c["n_shards"] - want) <= 1
+    # the written table is readable and consistent with the counters
+    out = spark.read.parquet(str(tmp_path / "out" / "final"))
+    assert out.count() == c["docs_final"]
+    assert {r.lang_pred for r in out.select("lang_pred").distinct().collect()} >= {
+        "en", "de"
+    }
+
+
+def test_prepare_corpus_with_budgets(spark, tmp_path):
+    c = prepare_corpus(
+        spark,
+        ensure_pages_parquet(),
+        str(tmp_path / "out"),
+        budgets={"en": 30_000, "fr": 5_000},
+    )
+    out = spark.read.parquet(str(tmp_path / "out" / "final"))
+    mix = {
+        r.lang_pred: r.toks
+        for r in out.groupBy("lang_pred")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    # mixture spec names what goes in: only budgeted languages survive
+    assert set(mix) == {"en", "fr"}
+    # realized token mass concentrates under/near each budget
+    assert mix["en"] <= 30_000 * 1.2 and mix["en"] >= 30_000 * 0.6
+    assert mix["fr"] <= 5_000 * 1.2
+    assert c["docs_sampled_out"] > 0
