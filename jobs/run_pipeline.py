@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="pages parquet path/dir")
+    p.add_argument("--format", default="parquet", choices=("parquet", "warc"),
+                   help="input format: parquet pages table or .warc(.gz) dir")
     p.add_argument("--output", required=True, help="snapshot-store root")
     p.add_argument("--buckets", type=int, default=64, help="url-hash buckets")
     p.add_argument("--groups", type=int, default=4, help="commit units per run")
@@ -66,7 +68,8 @@ def main() -> None:
         quality_classifier=args.quality_classifier,
     )
     counters = run_pipeline(
-        spark, args.input, args.output, cfg, resume=not args.no_resume
+        spark, args.input, args.output, cfg, resume=not args.no_resume,
+        input_format=args.format,
     )
     # per-host lineage table written beside the data
     out = read_output(spark, args.output)

@@ -256,8 +256,12 @@ def run_pipeline(
     out_root: str,
     cfg: Optional[PipelineConfig] = None,
     resume: bool = True,
+    input_format: str = "parquet",
 ) -> Dict[str, int]:
     """Batch run with snapshot commits per bucket group; resumable.
+    ``input_format='warc'`` ingests Common-Crawl-layout .warc(.gz) files
+    via sources.warc (same downstream plan: the reader emits the pages
+    schema, html payloads born in their scan task).
 
     Returns the accumulated counters across all snapshots (including any from
     prior partial runs when resuming).
@@ -266,7 +270,18 @@ def run_pipeline(
     store = SnapshotStore(out_root)
     done = store.committed_groups() if resume else set()
 
-    raw = spark.read.parquet(pages_path)
+    if input_format == "warc":
+        from ..sources.warc import read_warc
+
+        # a crawl carries no source-truth language label; the column stays
+        # in the output schema (NULL) so both sources are drop-ins
+        raw = read_warc(spark, pages_path).withColumn(
+            "lang", F.lit(None).cast("string")
+        )
+    elif input_format == "parquet":
+        raw = spark.read.parquet(pages_path)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
     pages = with_bucket(raw, cfg)
     # The heavy Arrow-UDF stage needs >= ~2 tasks/core or the run quantizes
     # into partial waves (measured: a 9-partition scan on 8 cores = 2 waves

@@ -45,6 +45,7 @@ def prepare_corpus(
     shard_tokens: int = SHARD_TOKENS,
     near_threshold: float = 0.8,
     exsub_k: Optional[int] = None,
+    input_format: str = "parquet",
 ) -> Dict[str, int]:
     from ..core.exsub import EXSUB_K
 
@@ -53,7 +54,8 @@ def prepare_corpus(
     final_path = os.path.join(out_root, "final")
 
     # 1) quality filter + scrub (snapshot store — resumable)
-    c = dict(run_pipeline(spark, input_path, scrub_root, cfg or PipelineConfig()))
+    c = dict(run_pipeline(spark, input_path, scrub_root, cfg or PipelineConfig(),
+                          input_format=input_format))
     kept = read_output(spark, scrub_root).filter(F.col("keep"))
 
     # 2) exact dedup: keeper = lexicographically smallest url per content

@@ -100,3 +100,25 @@ def test_spark_warc_reader_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pipeline_over_warc_input(spark, tmp_path):
+    """The full scrub/quality pipeline ingesting WARC files of the SAME
+    corpus must produce the exact parquet-path counters — the source is a
+    drop-in (north-rule input_hint shape from either format)."""
+    from pii_detection_redaction_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from pii_detection_redaction_spark.testing.corpus import ensure_warc_dir
+
+    c = run_pipeline(
+        spark,
+        ensure_warc_dir(),
+        str(tmp_path / "out"),
+        PipelineConfig(num_buckets=16, groups=2),
+        input_format="warc",
+    )
+    assert c["docs_seen"] == 500 and c["docs_kept"] == 335
+    assert c["entities_scrubbed"] == 596 and c["tox_masked"] == 33
+    assert c["extract_mismatch"] == 0
