@@ -305,3 +305,64 @@ def test_canonicalize_url_properties(scheme, host, port, path, query, frag):
     # the authority is lowercased, default ports stripped
     assert c.split("/")[2] == c.split("/")[2].lower()
     assert not c.split("/")[2].endswith((":80", ":443"))
+
+
+# --- exact-substring dedup spec properties -----------------------------------
+
+_span = st.tuples(st.integers(0, 200), st.integers(0, 60)).map(
+    lambda t: (t[0], t[0] + t[1])
+)
+
+
+@given(st.lists(_span, max_size=25))
+@settings(max_examples=80, deadline=None)
+def test_merge_spans_properties(spans):
+    from pii_detection_redaction_spark.core.exsub import merge_spans
+
+    merged = merge_spans(spans)
+    # disjoint (strictly separated), sorted, same covered set
+    for (a1, b1), (a2, b2) in zip(merged, merged[1:]):
+        assert b1 < a2
+    covered = {i for s, e in spans for i in range(s, e)}
+    assert {i for s, e in merged for i in range(s, e)} == covered
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " ", max_size=120),
+       st.lists(_span, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_excise_length_arithmetic(text, spans):
+    from pii_detection_redaction_spark.core.exsub import excise, merge_spans
+
+    spans = [(min(s, len(text)), min(e, len(text))) for s, e in spans]
+    clean, removed = excise(text, spans)
+    assert len(clean) == len(text) - removed
+    assert removed == sum(e - s for s, e in merge_spans(spans))
+    # kept characters appear in original order
+    it = iter(text)
+    assert all(c in it for c in clean) or clean == ""
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " ./:", min_size=1,
+                        max_size=40), min_size=1, max_size=60),
+       st.integers(32, 512), st.integers(1, 4))
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(keys, m, k):
+    from pii_detection_redaction_spark.core.bloom import build_bitmap, might_contain
+
+    bits = build_bitmap(keys, m=m, k=k)
+    assert all(might_contain(key, bits, m=m, k=k) for key in keys)
+
+
+@given(st.integers(0, 10**12), st.integers(1, 10**12))
+@settings(max_examples=120, deadline=None)
+def test_budget_threshold_properties(budget, total):
+    from pii_detection_redaction_spark.core.sampling import budget_threshold
+
+    t = budget_threshold(budget, total)
+    if total <= budget:
+        assert t == "g"  # keep-all sentinel sorts above every hex ticket
+    else:
+        assert len(t) == 4 and int(t, 16) <= 0xFFFF
+        # monotone: a bigger budget never keeps fewer rows
+        t2 = budget_threshold(min(budget * 2, total), total)
+        assert t2 == "g" or t2 >= t
