@@ -23,6 +23,7 @@ store's resume semantics.
 from __future__ import annotations
 
 import os
+from dataclasses import replace
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import SparkSession
@@ -46,6 +47,7 @@ def prepare_corpus(
     near_threshold: float = 0.8,
     exsub_k: Optional[int] = None,
     input_format: str = "parquet",
+    quality_threshold: Optional[float] = None,
 ) -> Dict[str, int]:
     from ..core.exsub import EXSUB_K
 
@@ -54,9 +56,20 @@ def prepare_corpus(
     final_path = os.path.join(out_root, "final")
 
     # 1) quality filter + scrub (snapshot store — resumable)
-    c = dict(run_pipeline(spark, input_path, scrub_root, cfg or PipelineConfig(),
+    cfg = cfg or PipelineConfig()
+    if quality_threshold is not None and not cfg.quality_classifier:
+        cfg = replace(cfg, quality_classifier=True)
+    c = dict(run_pipeline(spark, input_path, scrub_root, cfg,
                           input_format=input_format))
     kept = read_output(spark, scrub_root).filter(F.col("keep"))
+
+    # 1b) optional model gate ON TOP of the frozen rule keep/drop: drop kept
+    # docs the fastText-architecture classifier scores under the threshold
+    # (DCLM/FineWeb pattern — rules recall, model precision)
+    if quality_threshold is not None:
+        n_rule_kept = kept.count()
+        kept = kept.filter(F.col("quality_prob") >= quality_threshold)
+        c["model_gated_out"] = n_rule_kept - kept.count()
 
     # 2) exact dedup: keeper = lexicographically smallest url per content
     from ..operators.dedup import dedup_exact

@@ -839,3 +839,32 @@ def test_token_shards_partitioning_invariant(spark):
     rb = sorted((r.doc_id, r.start_offset, r.shard_id)
                 for r in token_shards(b, shard_tokens=100).collect())
     assert ra == rb
+
+
+def test_budget_sample_filter_is_scan_side(spark):
+    """After the (eagerly collected) totals agg, the sample itself is a
+    literal-CASE Filter over the scan — zero shuffle, like
+    stratified_sample."""
+    from pii_detection_redaction_spark.operators.sampling import token_budget_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    ).withColumn("n_tokens", F.length("doc_id"))
+    plan = (
+        token_budget_sample(df, "doc_id", "lang", "n_tokens", {"en": 10})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_token_shards_plan_single_payload_exchange(spark):
+    """The distributed prefix sum costs ONE hash Exchange (the per-bucket
+    window); bucket offsets ride a BroadcastExchange."""
+    from pii_detection_redaction_spark.operators.packing import token_shards
+
+    df = spark.createDataFrame([(i, 5) for i in range(50)], ["doc_id", "n_tokens"])
+    plan = token_shards(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan

@@ -56,3 +56,19 @@ def test_prepare_corpus_with_budgets(spark, tmp_path):
     assert mix["en"] <= 30_000 * 1.2 and mix["en"] >= 30_000 * 0.6
     assert mix["fr"] <= 5_000 * 1.2
     assert c["docs_sampled_out"] > 0
+
+
+def test_prepare_corpus_quality_threshold_gate(spark, tmp_path):
+    """--quality-threshold drops rule-kept docs the classifier scores low,
+    WITHOUT touching the frozen rule keep/drop counters (kept docs mean
+    ~0.58, dropped ~0.16 on this corpus — a 0.5 gate bites)."""
+    c = prepare_corpus(
+        spark,
+        ensure_pages_parquet(),
+        str(tmp_path / "out"),
+        quality_threshold=0.5,
+    )
+    assert c["docs_seen"] == 500 and c["docs_kept"] + c["model_gated_out"] == 335
+    assert 0 < c["model_gated_out"] < 335
+    out = spark.read.parquet(str(tmp_path / "out" / "final"))
+    assert out.agg(F.min("quality_prob")).collect()[0][0] >= 0.5
