@@ -29,8 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="pages parquet path/dir")
-    p.add_argument("--format", default="parquet", choices=("parquet", "warc"),
-                   help="input format: parquet pages table or .warc(.gz) dir")
+    p.add_argument("--format", default="parquet", choices=("parquet", "warc", "jsonl"),
+                   help="input format: parquet pages table, .warc(.gz) dir, or .jsonl(.gz) dir")
     p.add_argument("--output", required=True, help="snapshot-store root")
     p.add_argument("--buckets", type=int, default=64, help="url-hash buckets")
     p.add_argument("--groups", type=int, default=4, help="commit units per run")

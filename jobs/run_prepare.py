@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="pages parquet (url, html|text, ...)")
-    p.add_argument("--format", default="parquet", choices=("parquet", "warc"),
-                   help="input format: parquet pages table or .warc(.gz) dir")
+    p.add_argument("--format", default="parquet", choices=("parquet", "warc", "jsonl"),
+                   help="input format: parquet pages table, .warc(.gz) dir, or .jsonl(.gz) dir")
     p.add_argument("--output", required=True, help="output root (stage dirs inside)")
     p.add_argument("--budget", action="append", default=[],
                    metavar="LANG=TOKENS",

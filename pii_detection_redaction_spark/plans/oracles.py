@@ -997,6 +997,26 @@ ORDER BY url
 """
 
 
+def _jsonl_pages_sql() -> str:
+    """Same move as the WARC oracle: every field the JSONL reader produces,
+    re-derived from the pages parquet source of truth (base64 round trip
+    and timestamp parse included by implication — one mangled byte or
+    second hash-mismatches)."""
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    return f"""
+SELECT url,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts,
+       CAST(octet_length(html) AS INTEGER) AS n_bytes,
+       md5(decode(html)) AS payload_md5,
+       md5(text) AS text_md5,
+       lang
+FROM read_parquet('{path}')
+ORDER BY url
+"""
+
+
 def _incremental_new_sql() -> str:
     """Bloom-gated incremental ingestion, fully re-derived: canonical URLs
     for history and batch (shared canonicalization CTEs), the filter's bit
@@ -1209,6 +1229,7 @@ def all_oracles() -> dict:
     d["url_dedup"] = _url_dedup_sql()
     d["incremental_new"] = _incremental_new_sql()
     d["warc_pages"] = _warc_pages_sql()
+    d["jsonl_pages"] = _jsonl_pages_sql()
     d["c4_line_dedup"] = _c4_line_dedup_sql()
     d["decontaminate"] = _decontaminate_sql()
     d.update(_golden_oracles(oracle_sf_dir()))

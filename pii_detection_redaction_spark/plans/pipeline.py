@@ -278,6 +278,10 @@ def run_pipeline(
         raw = read_warc(spark, pages_path).withColumn(
             "lang", F.lit(None).cast("string")
         )
+    elif input_format == "jsonl":
+        from ..sources.jsonl import read_pages_jsonl
+
+        raw = read_pages_jsonl(spark, pages_path)
     elif input_format == "parquet":
         raw = spark.read.parquet(pages_path)
     else:

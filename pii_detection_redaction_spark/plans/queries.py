@@ -1002,6 +1002,25 @@ def q_warc_pages(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_jsonl_pages(spark, sf_dir):
+    """JSONL source round trip (sources.jsonl): the pages corpus re-encoded
+    as gzipped JSONL with base64 html (stdlib writer) is read back with an
+    EXPLICIT schema (no inference pass) and JVM unbase64. Oracle re-derives
+    all fields from the pages parquet — writer->bytes->reader vs truth."""
+    from ..sources.jsonl import read_pages_jsonl
+    from ..testing.corpus import ensure_jsonl_dir
+
+    d = read_pages_jsonl(spark, ensure_jsonl_dir())
+    return d.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        F.length("html").cast("int").alias("n_bytes"),
+        F.md5(F.col("html").cast("string")).alias("payload_md5"),
+        F.md5("text").alias("text_md5"),
+        "lang",
+    ).orderBy("url")
+
+
 def q_incremental_new(spark, sf_dir):
     """Bloom-gated incremental ingestion: annotate a new crawl batch (pages
     450-550, half already in the crawl history, some under re-spelled URLs)
@@ -1218,6 +1237,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "incremental_new": q_incremental_new,
     "warc_pages": q_warc_pages,
+    "jsonl_pages": q_jsonl_pages,
     "exsub_dedup": q_exsub_dedup,
     "hash_sample": q_hash_sample,
     "budget_sample": q_budget_sample,

@@ -491,6 +491,44 @@ def ensure_warc_dir(n: int = N_ORACLE_PAGES, n_files: int = 8) -> str:
     return path
 
 
+def ensure_jsonl_dir(n: int = N_ORACLE_PAGES, n_files: int = 8) -> str:
+    """The pages corpus as gzipped JSONL (stdlib writer — Spark-free), the
+    fixture for sources.jsonl: binary html rides as base64. The reader's
+    oracle re-derives fields from the pages PARQUET, so the differential is
+    writer->bytes->reader vs the source of truth (same move as the WARC
+    fixture)."""
+    import base64
+    import gzip as _gzip
+    import json as _json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data = os.path.join(repo, "_data")
+    os.makedirs(data, exist_ok=True)
+    path = os.path.join(data, f"jsonl_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        step = (n + n_files - 1) // n_files
+        for f in range(n_files):
+            lines = []
+            for i in range(f * step, min((f + 1) * step, n)):
+                r = page_row(i)
+                lines.append(_json.dumps({
+                    "url": r["url"],
+                    "warc_ts": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "html_b64": base64.b64encode(r["html"]).decode("ascii"),
+                    "text": r["text"],
+                    "lang": r["lang"],
+                }, ensure_ascii=False))
+            if lines:
+                with _gzip.open(os.path.join(path, f"part-{f:04d}.jsonl.gz"),
+                                "wt", encoding="utf-8") as fh:
+                    fh.write("\n".join(lines) + "\n")
+        open(done, "w").close()
+    return path
+
+
 def ensure_pages_parquet(n: int = 500) -> str:
     """Deterministic single-file pages parquet under the repo's _data/ cache,
     written on first use (pandas/pyarrow only — no Spark needed). Both the
