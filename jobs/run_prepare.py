@@ -41,6 +41,9 @@ def main() -> None:
                    help="k-gram Jaccard threshold for near-dedup")
     p.add_argument("--exsub-k", type=int, default=None,
                    help="exact-substring window length in tokens")
+    p.add_argument("--output-format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="final-table format (jsonl = gzip text dump)")
     p.add_argument("--quality-threshold", type=float, default=None,
                    help="drop rule-kept docs whose classifier quality_prob"
                         " is below this (model gate on top of the rules)")
@@ -73,6 +76,7 @@ def main() -> None:
         near_threshold=args.near_threshold,
         exsub_k=args.exsub_k,
         input_format=args.format,
+        output_format=args.output_format,
         quality_threshold=args.quality_threshold,
     )
     print(json.dumps(counters))

@@ -47,6 +47,7 @@ def prepare_corpus(
     near_threshold: float = 0.8,
     exsub_k: Optional[int] = None,
     input_format: str = "parquet",
+    output_format: str = "parquet",
     quality_threshold: Optional[float] = None,
 ) -> Dict[str, int]:
     from ..core.exsub import EXSUB_K
@@ -98,13 +99,22 @@ def prepare_corpus(
     if budgets:
         d = token_budget_sample(d, "url", "lang_pred", "n_tokens", budgets)
 
-    # 6) shard assignment + co-filed write
+    # 6) shard assignment + co-filed write (parquet, or gzip JSONL for
+    # trainers that consume text dumps — detections ride as JSON structs)
     shards = token_shards(d, id_col="url", tokens_col="n_tokens",
                           shard_tokens=shard_tokens)
     final = d.drop("n_tokens").join(shards, "url")
-    final.repartition(F.col("shard_id")).write.mode("overwrite").parquet(final_path)
+    writer = final.repartition(F.col("shard_id")).write.mode("overwrite")
+    if output_format == "jsonl":
+        final_path = os.path.join(out_root, "final_jsonl")
+        writer.option("compression", "gzip").json(final_path)
+        out = spark.read.json(final_path)
+    elif output_format == "parquet":
+        writer.parquet(final_path)
+        out = spark.read.parquet(final_path)
+    else:
+        raise ValueError(f"unknown output_format {output_format!r}")
 
-    out = spark.read.parquet(final_path)
     agg = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),

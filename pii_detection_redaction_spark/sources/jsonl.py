@@ -31,10 +31,18 @@ PAGES_JSONL_SCHEMA = T.StructType(
 )
 
 
-def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Read a .jsonl(.gz) pages corpus into the standard pages schema."""
+def read_pages_jsonl(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """Read a .jsonl(.gz) pages corpus into the standard pages schema.
+
+    Default mode is FAILFAST — same philosophy as the strict WARC parser: a
+    malformed line fails its file's task with context instead of silently
+    becoming a row of NULLs (PERMISSIVE, Spark's default) and corrupting
+    lineage. Pass mode='PERMISSIVE' to quarantine downstream instead."""
     return (
         spark.read.schema(PAGES_JSONL_SCHEMA)
+        .option("mode", mode)
         .json(path)
         .withColumn("html", F.unbase64("html_b64"))
         .drop("html_b64")

@@ -72,3 +72,21 @@ def test_pipeline_over_jsonl_input(spark, tmp_path):
     assert c["docs_seen"] == 500 and c["docs_kept"] == 335
     assert c["entities_scrubbed"] == 596 and c["tox_masked"] == 33
     assert c["extract_mismatch"] == 0
+
+
+def test_jsonl_reader_failfast_on_malformed(spark, tmp_path):
+    """Strict by default (WARC-parser philosophy): a malformed line fails
+    the read rather than silently becoming NULLs; PERMISSIVE opt-in."""
+    import gzip
+
+    import pytest
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    with gzip.open(p / "part.jsonl.gz", "wt", encoding="utf-8") as fh:
+        fh.write('{"url": "https://a.ex/1", "text": "ok", "lang": "en"}\n')
+        fh.write("this is not json\n")
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_pages_jsonl(spark, str(p)).collect()
+    rows = read_pages_jsonl(spark, str(p), mode="PERMISSIVE").collect()
+    assert len(rows) == 2  # quarantine-downstream mode keeps the null row

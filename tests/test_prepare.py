@@ -72,3 +72,26 @@ def test_prepare_corpus_quality_threshold_gate(spark, tmp_path):
     assert 0 < c["model_gated_out"] < 335
     out = spark.read.parquet(str(tmp_path / "out" / "final"))
     assert out.agg(F.min("quality_prob")).collect()[0][0] >= 0.5
+
+
+def test_prepare_corpus_jsonl_export(spark, tmp_path):
+    c = prepare_corpus(
+        spark,
+        ensure_pages_parquet(),
+        str(tmp_path / "out"),
+        output_format="jsonl",
+    )
+    import glob
+    import gzip
+    import json
+
+    files = glob.glob(str(tmp_path / "out" / "final_jsonl" / "*.json.gz"))
+    assert files
+    n = 0
+    for f in files:
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                row = json.loads(line)
+                assert "scrubbed_text" in row and "shard_id" in row
+                n += 1
+    assert n == c["docs_final"]
