@@ -1,0 +1,132 @@
+"""Incremental ingestion — add a new crawl batch to an ALREADY-PREPARED
+corpus without reprocessing history.
+
+The production cadence for a web corpus is a daily/weekly increment: run
+the quality+scrub pipeline on the new pages only, then admit just the docs
+the corpus has never seen. "Seen" is tested at two levels:
+
+1. URL level — canonical URL (core.urlnorm) against the set of URLs EVER
+   PROCESSED (the scrub snapshot stores of the base corpus and every prior
+   increment — not just the retained final table: a page that was
+   quality-dropped or deduped away before must not be re-admitted when
+   re-crawled). Bloom-gated (``operators.dedup.incremental_new``): the
+   typical increment is mostly genuinely-new URLs, and those skip the
+   verify join entirely; only the maybe-seen sliver (true re-crawls + the
+   small FP tail) is verified exactly.
+2. Content level — md5 of the scrubbed text against the RETAINED corpus's
+   content hashes (a page can move to a new URL unchanged). Anti-join on
+   the 32-byte hash; neither side's text payload moves.
+
+New docs are exact-deduped WITHIN the increment and written under
+``<corpus_root>/increments/<name>/final`` as their own token shards —
+appending into history's shard files would break their packing invariant;
+a training reader unions ``final`` with ``increments/*/final``. Cross-batch
+NEAR-dup removal against all of history is deliberately out of scope here
+(it is a full near_dedup_pass over the union — run that as a periodic
+compaction instead; this job keeps increment cost proportional to the
+increment).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_exact, incremental_new
+from ..operators.packing import SHARD_TOKENS, token_shards
+from ..operators.textstats import TOKEN_RE
+from ..operators.web import canonical_url_col
+from .pipeline import PipelineConfig, read_output, run_pipeline
+
+
+def _seen_url_roots(corpus_root: str, exclude: str) -> list:
+    """Scrub-store roots holding every URL ever processed: the base corpus
+    plus prior increments (minus the one being built)."""
+    import glob as _glob
+
+    roots = [os.path.join(corpus_root, "scrub")]
+    for r in sorted(_glob.glob(os.path.join(corpus_root, "increments", "*", "scrub"))):
+        if os.path.basename(os.path.dirname(r)) != exclude:
+            roots.append(r)
+    return roots
+
+
+def ingest_increment(
+    spark: SparkSession,
+    new_pages_path: str,
+    corpus_root: str,
+    name: str,
+    cfg: Optional[PipelineConfig] = None,
+    input_format: str = "parquet",
+    shard_tokens: int = SHARD_TOKENS,
+) -> Dict[str, int]:
+    inc_root = os.path.join(corpus_root, "increments", name)
+    history = spark.read.parquet(os.path.join(corpus_root, "final"))
+
+    # 1) quality + scrub the increment only (own resumable snapshot store)
+    c = dict(
+        run_pipeline(
+            spark,
+            new_pages_path,
+            os.path.join(inc_root, "scrub"),
+            cfg or PipelineConfig(),
+            input_format=input_format,
+        )
+    )
+    kept = read_output(spark, os.path.join(inc_root, "scrub")).filter(F.col("keep"))
+    n_kept = kept.count()
+
+    # 2) URL-level admission (Bloom-gated exact verdict) against every URL
+    # ever processed — kept, dropped, or deduped away
+    seen_urls = None
+    for root in _seen_url_roots(corpus_root, exclude=name):
+        part = read_output(spark, root).select("url")
+        seen_urls = part if seen_urls is None else seen_urls.unionByName(part)
+    hist_keys = seen_urls.select(canonical_url_col().alias("__key"))
+    batch = kept.withColumn("__key", canonical_url_col())
+    new = (
+        incremental_new(batch, hist_keys, key_col="__key")
+        .filter(F.col("is_new"))
+        .drop("__key", "bloom_maybe", "is_new")
+    )
+    n_new_url = new.count()
+
+    # 3) content-level admission (page moved to a new URL unchanged)
+    hist_md5 = history.select(F.md5("scrubbed_text").alias("__md5")).distinct()
+    new = (
+        new.withColumn("__md5", F.md5("scrubbed_text"))
+        .join(hist_md5, "__md5", "left_anti")
+        .drop("__md5")
+    )
+    n_new = new.count()
+
+    # 4) exact dedup WITHIN the increment, then shard and write
+    final_inc = dedup_exact(new, id_col="url", text_col="scrubbed_text")
+    final_inc = final_inc.withColumn(
+        "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
+    )
+    shards = token_shards(
+        final_inc, id_col="url", tokens_col="n_tokens", shard_tokens=shard_tokens
+    )
+    out_path = os.path.join(inc_root, "final")
+    (
+        final_inc.drop("n_tokens")
+        .join(shards, "url")
+        .repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    n_final = spark.read.parquet(out_path).count()
+    c.update(
+        {
+            "docs_kept": n_kept,
+            "url_dups_skipped": n_kept - n_new_url,
+            "content_dups_skipped": n_new_url - n_new,
+            "increment_dups_removed": n_new - n_final,
+            "docs_ingested": n_final,
+        }
+    )
+    return c

@@ -13,11 +13,13 @@ operators this repo already value-gates individually:
           ────(6)── token-shard packing    (operators.packing) and write,
                       repartitioned by shard so a shard's docs are co-filed.
 
-Each stage writes under ``<out_root>/<stage>/`` so any stage can be
-inspected or resumed independently; counters for every stage come back in
-one dict (the JSON line ``jobs/run_prepare.py`` prints). Stages 2-6 are
-deterministic pure functions of their input; stage 1 inherits the snapshot
-store's resume semantics.
+Materialization points: ``<out_root>/scrub/`` (snapshot store, stage 1),
+``<out_root>/deduped/`` (after near-dedup — the dedup chain never
+recomputes under downstream actions), ``<out_root>/final[_jsonl]/``.
+Counters for every stage come back in one dict (the JSON line
+``jobs/run_prepare.py`` prints). Stages 2-6 are deterministic pure
+functions of their input; stage 1 inherits the snapshot store's resume
+semantics.
 """
 
 from __future__ import annotations
@@ -79,10 +81,16 @@ def prepare_corpus(
     d = dedup_exact(kept, id_col="url", text_col="scrubbed_text")
     n_exact = d.count()
 
-    # 3) near dedup (MinHash-LSH → verify → connected components)
+    # 3) near dedup (MinHash-LSH → verify → connected components),
+    # MATERIALIZED: the dedup chain (signatures, band join, CC) must not
+    # recompute under every downstream count/action, and the written
+    # parquet is the stage-3 resume point a 100-TB run needs
     d, cc_rounds = near_dedup_df(
         d, id_col="url", text_col="scrubbed_text", threshold=near_threshold
     )
+    dedup_path = os.path.join(out_root, "deduped")
+    d.write.mode("overwrite").parquet(dedup_path)
+    d = spark.read.parquet(dedup_path)
     n_near = d.count()
 
     # 4) exact-substring dedup: excise non-keeper >=K-token repeated runs

@@ -95,3 +95,37 @@ def test_prepare_corpus_jsonl_export(spark, tmp_path):
                 assert "scrubbed_text" in row and "shard_id" in row
                 n += 1
     assert n == c["docs_final"]
+
+
+def test_ingest_increment_admits_only_never_seen(spark, tmp_path):
+    import re
+
+    from pii_detection_redaction_spark.operators.web import canonical_url_col
+    from pii_detection_redaction_spark.plans.ingest import ingest_increment
+    from pii_detection_redaction_spark.testing.corpus import ensure_batch_parquet
+
+    root = str(tmp_path / "corpus")
+    prepare_corpus(spark, ensure_pages_parquet(), root)
+    c = ingest_increment(spark, ensure_batch_parquet(), root, "day2")
+    # the batch is pages 450-550: half overlaps history (some under
+    # re-spelled URLs that only canonicalization collapses), half is new
+    assert c["docs_seen"] == 100
+    assert c["url_dups_skipped"] > 0
+    assert c["docs_ingested"] > 0
+    assert (
+        c["docs_ingested"]
+        == c["docs_kept"] - c["url_dups_skipped"] - c["content_dups_skipped"]
+        - c["increment_dups_removed"]
+    )
+    hist = {
+        r.k
+        for r in spark.read.parquet(root + "/final")
+        .select(canonical_url_col().alias("k"))
+        .collect()
+    }
+    inc = spark.read.parquet(root + "/increments/day2/final")
+    inc_keys = [r.k for r in inc.select(canonical_url_col().alias("k")).collect()]
+    assert hist.isdisjoint(inc_keys)
+    # every ingested page is from the genuinely-new half (id >= 500)
+    for r in inc.select("url").collect():
+        assert int(re.search(r"page-(\d+)", r.url).group(1)) >= 500
