@@ -17,7 +17,8 @@ the corpus has never seen. "Seen" is tested at two levels:
    content hashes (a page can move to a new URL unchanged). Anti-join on
    the 32-byte hash; neither side's text payload moves.
 
-New docs are exact-deduped WITHIN the increment and written under
+New docs are exact-deduped and exact-substring-excised WITHIN the
+increment and written under
 ``<corpus_root>/increments/<name>/final`` as their own token shards —
 appending into history's shard files would break their packing invariant;
 a training reader unions ``final`` with ``increments/*/final``. Cross-batch
@@ -39,6 +40,7 @@ from ..operators.dedup import dedup_exact, incremental_new
 from ..operators.packing import SHARD_TOKENS, token_shards
 from ..operators.textstats import TOKEN_RE
 from ..operators.web import canonical_url_col
+from .dedup_pass import near_dedup_df
 from .pipeline import PipelineConfig, read_output, run_pipeline
 
 
@@ -103,8 +105,24 @@ def ingest_increment(
     )
     n_new = new.count()
 
-    # 4) exact dedup WITHIN the increment, then shard and write
+    # 4) the same per-batch hygiene prepare applies, in the same order —
+    # exact dedup, near-dedup, THEN exact-substring excision (near-dedup
+    # must collapse whole-document twins first: running exsub on a
+    # near-dup pair would gut the loser instead of deleting it) — all
+    # WITHIN the increment; cross-batch clusters are the compaction pass's
+    # job
+    from ..operators.exsub import exsub_dedup
+
     final_inc = dedup_exact(new, id_col="url", text_col="scrubbed_text")
+    n_exact = final_inc.count()
+    final_inc, _ = near_dedup_df(final_inc, id_col="url",
+                                 text_col="scrubbed_text")
+    n_near = final_inc.count()
+    final_inc = (
+        exsub_dedup(final_inc, id_col="url", text_col="scrubbed_text")
+        .withColumn("scrubbed_text", F.col("clean_text"))
+        .drop("clean_text")
+    )
     final_inc = final_inc.withColumn(
         "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
     )
@@ -125,8 +143,72 @@ def ingest_increment(
             "docs_kept": n_kept,
             "url_dups_skipped": n_kept - n_new_url,
             "content_dups_skipped": n_new_url - n_new,
-            "increment_dups_removed": n_new - n_final,
+            "increment_exact_dups_removed": n_new - n_exact,
+            "increment_near_dups_removed": n_exact - n_near,
             "docs_ingested": n_final,
         }
     )
     return c
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus_root: str,
+    name: str = "compact",
+    near_threshold: float = 0.8,
+    shard_tokens: int = SHARD_TOKENS,
+) -> Dict[str, int]:
+    """Periodic maintenance pass: near-dedup ACROSS the base corpus and all
+    increments (the cross-batch clusters ``ingest_increment`` deliberately
+    leaves — its cost stays proportional to the increment; this job is the
+    amortized corpus-wide sweep), then re-shard and write a fresh corpus
+    under ``<corpus_root>/compacted/<name>/final``. Non-destructive: the
+    caller swaps roots when satisfied.
+
+    Per-batch exact-substring excision already ran inside prepare/ingest;
+    after the near-dedup keeper pass at most one member of any shared-run
+    cluster survives, so a corpus-wide exsub re-run would be a no-op on
+    this flow's outputs and is deliberately not repeated here.
+    """
+    import glob as _glob
+
+    paths = [os.path.join(corpus_root, "final")] + sorted(
+        _glob.glob(os.path.join(corpus_root, "increments", "*", "final"))
+    )
+    union = None
+    for p in paths:
+        part = spark.read.parquet(p)
+        union = part if union is None else union.unionByName(
+            part, allowMissingColumns=True
+        )
+    n_in = union.count()
+    d, cc_rounds = near_dedup_df(
+        union, id_col="url", text_col="scrubbed_text", threshold=near_threshold
+    )
+    # fresh global shard packing (per-batch shard ids are meaningless after
+    # the merge); n_tokens is already on every row
+    d = d.drop("start_offset", "shard_id")
+    shards = token_shards(d, id_col="url", tokens_col="n_tokens",
+                          shard_tokens=shard_tokens)
+    out_path = os.path.join(corpus_root, "compacted", name, "final")
+    (
+        d.drop("n_tokens")
+        .join(shards, "url")
+        .repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    out = spark.read.parquet(out_path)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("shard_id").alias("shards"),
+    ).collect()[0]
+    return {
+        "docs_in": n_in,
+        "cross_near_dups_removed": n_in - agg["docs"],
+        "cc_rounds": cc_rounds,
+        "docs_out": agg["docs"],
+        "total_tokens": int(agg["tokens"] or 0),
+        "n_shards": agg["shards"],
+    }

@@ -115,8 +115,9 @@ def test_ingest_increment_admits_only_never_seen(spark, tmp_path):
     assert (
         c["docs_ingested"]
         == c["docs_kept"] - c["url_dups_skipped"] - c["content_dups_skipped"]
-        - c["increment_dups_removed"]
+        - c["increment_exact_dups_removed"] - c["increment_near_dups_removed"]
     )
+    assert c["increment_near_dups_removed"] == 1  # 511~531 collapse in-batch
     hist = {
         r.k
         for r in spark.read.parquet(root + "/final")
@@ -129,3 +130,36 @@ def test_ingest_increment_admits_only_never_seen(spark, tmp_path):
     # every ingested page is from the genuinely-new half (id >= 500)
     for r in inc.select("url").collect():
         assert int(re.search(r"page-(\d+)", r.url).group(1)) >= 500
+
+
+def test_compact_corpus_removes_cross_batch_near_dups(spark, tmp_path):
+    """Family 8 (pages 491/511/531, one marker token apart) straddles the
+    base/increment boundary: 491 lives in the base corpus, 511+531 arrive
+    in the increment (new URLs, so ingestion rightly admits them).
+    Compaction's corpus-wide near-dedup collapses the family to one
+    keeper."""
+    import re
+
+    from pii_detection_redaction_spark.plans.ingest import (
+        compact_corpus,
+        ingest_increment,
+    )
+    from pii_detection_redaction_spark.testing.corpus import ensure_batch_parquet
+
+    root = str(tmp_path / "corpus")
+    prepare_corpus(spark, ensure_pages_parquet(), root)
+    ingest_increment(spark, ensure_batch_parquet(), root, "day2")
+    c = compact_corpus(spark, root, "c1")
+    # 511/531 already collapsed inside the increment; the survivor and the
+    # base corpus's 491 are the remaining cross-batch pair
+    assert c["cross_near_dups_removed"] == 1
+    assert c["docs_out"] == c["docs_in"] - 1
+    out = spark.read.parquet(root + "/compacted/c1/final")
+    fam = [
+        int(re.search(r"page-(\d+)", r.url).group(1))
+        for r in out.select("url").collect()
+        if re.search(r"page-(491|511|531)(\D|$)", r.url)
+    ]
+    assert len(fam) == 1  # exactly one family member survives
+    # shard packing is fresh and consistent
+    assert c["n_shards"] >= 1 and c["total_tokens"] > 0
