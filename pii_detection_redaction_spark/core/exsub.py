@@ -27,7 +27,6 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterable, List, Tuple
 
-from .hashing import hash64_signed
 
 EXSUB_K = 20  # window length in tokens (paper uses 50; corpus docs are short)
 
@@ -41,16 +40,38 @@ def token_spans(text: str) -> List[Tuple[str, int, int]]:
     return [(m.group(0).lower(), m.start(), m.end()) for m in _tok_re.finditer(text)]
 
 
+_ROLL_B = 0x100000001B3  # FNV-ish odd multiplier; invertible mod 2^64
+_U64 = (1 << 64) - 1
+
+
 def window_entries(text: str, k: int = EXSUB_K) -> List[Tuple[int, int, int]]:
-    """(key, start, end) per K-token window; key = signed hash64 of the
-    space-joined window (two's-complement view == Spark LongType ==
-    CAST(md5_number_lower(..) AS BIGINT))."""
+    """(key, start, end) per K-token window; key = polynomial rolling hash
+    (base ``_ROLL_B`` mod 2^64) over the tokens' ``hash64`` values, viewed
+    two's-complement (Spark LongType). One md5 per TOKEN plus O(1) per
+    window — the md5-per-window form costs O(tokens * K) hashing, which at
+    100 TB is the operator's whole budget. Window equality still implies
+    token-sequence equality up to 64-bit collisions (the same assumption
+    every suffix-array/fingerprint dedup tool makes); both the Spark UDF
+    and the golden oracle consume THIS function, so the key definition
+    cannot fork."""
+    from .hashing import hash64
+
     toks = token_spans(text)
-    return [
-        (hash64_signed(" ".join(t[0] for t in toks[i : i + k])),
-         toks[i][1], toks[i + k - 1][2])
-        for i in range(len(toks) - k + 1)
-    ]
+    n = len(toks)
+    if n < k:
+        return []
+    th = [hash64(t[0]) for t in toks]
+    pow_k = pow(_ROLL_B, k - 1, 1 << 64)
+    h = 0
+    for j in range(k):
+        h = (h * _ROLL_B + th[j]) & _U64
+    out = []
+    for i in range(n - k + 1):
+        if i:
+            h = ((h - th[i - 1] * pow_k) * _ROLL_B + th[i + k - 1]) & _U64
+        key = h - (1 << 64) if h >= (1 << 63) else h
+        out.append((key, toks[i][1], toks[i + k - 1][2]))
+    return out
 
 
 def merge_spans(spans: Iterable[Tuple[int, int]]) -> List[Tuple[int, int]]:
