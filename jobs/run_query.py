@@ -64,16 +64,24 @@ def main() -> int:
         got = df.toPandas()
         cols = sorted(got.columns)
         same_rows = len(got) == len(want)
-        try:
-            pd.testing.assert_frame_equal(
-                got[cols].reset_index(drop=True),
-                want[cols].reset_index(drop=True),
-                check_dtype=False,
-            )
-            same_vals = True
-        except AssertionError as e:
+        if sorted(want.columns) != cols:
+            print(f"column mismatch: spark={cols} oracle={sorted(want.columns)}")
             same_vals = False
-            print(str(e).splitlines()[-1])
+        else:
+            try:
+                # check_exact: this MUST match the real gate
+                # (tests/test_entry_oracle.py) — a tolerant compare here
+                # would bless drifts the differential rejects
+                pd.testing.assert_frame_equal(
+                    got[cols].reset_index(drop=True),
+                    want[cols].reset_index(drop=True),
+                    check_dtype=False,
+                    check_exact=True,
+                )
+                same_vals = True
+            except AssertionError as e:
+                same_vals = False
+                print(str(e).splitlines()[-1])
         print(f"oracle check: rows {len(got)}/{len(want)} "
               f"{'MATCH' if same_rows and same_vals else 'MISMATCH'}")
         rc = 0 if same_rows and same_vals else 1

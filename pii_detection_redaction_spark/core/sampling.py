@@ -45,9 +45,10 @@ def keep_row(key: str, rate: float) -> bool:
 # Mixture construction ("this corpus contributes at most B tokens of lang L")
 # derives each stratum's keep-rate FROM THE DATA: rate = budget / total
 # tokens. The threshold arithmetic must be engine-exact, so it avoids
-# round(): budget/total is ONE IEEE-754 division (identical in Python, the
-# JVM, and DuckDB), *16^HEX_DIGITS is exact (power of two), and floor() on a
-# double agrees everywhere. Strata without a budget are dropped — a mixture
+# round(): double(budget)/double(total) — each operand rounded to a double
+# FIRST, matching the JVM cast chain and DuckDB's CAST(... AS DOUBLE) —
+# then *16^HEX_DIGITS (exact, power of two) and floor(), which agree
+# everywhere. Strata without a budget are dropped — a mixture
 # spec says what goes IN.
 
 BUDGET_SALT = "budget:"
@@ -65,7 +66,12 @@ def budget_threshold(budget: int, total: int) -> str:
 
     if total <= budget:
         return "g"  # keep-all sentinel (sorts above every hex digit)
-    n = math.floor((budget / total) * 16**HEX_DIGITS)
+    # float() each operand FIRST: the JVM and DuckDB compute
+    # double(budget)/double(total) — two roundings. Python's int/int true
+    # division is correctly rounded from the exact rational and can differ
+    # by 1 ulp once operands exceed 2^53 (real 100-TB token totals), which
+    # would flip floor() across engines at threshold-straddling values.
+    n = math.floor((float(budget) / float(total)) * 16**HEX_DIGITS)
     return format(n, f"0{HEX_DIGITS}x")
 
 

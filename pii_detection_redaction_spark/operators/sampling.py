@@ -122,7 +122,7 @@ def token_budget_sample_join(
     """Broadcast-join variant of ``token_budget_sample`` — no driver collect,
     for unbounded strata: thresholds are derived as columns on the (tiny)
     per-stratum totals and broadcast; the inner join drops unbudgeted
-    strata. The threshold arithmetic (one IEEE division, exact *16^d,
+    strata. The threshold arithmetic (double(b)/double(t), exact *16^d,
     floor) is replicated JVM-side so both variants and the DuckDB oracle
     agree bit-for-bit (``test_budget_sample_variants_agree``)."""
     spark = df.sparkSession

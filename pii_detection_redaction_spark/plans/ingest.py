@@ -13,8 +13,9 @@ the corpus has never seen. "Seen" is tested at two levels:
    typical increment is mostly genuinely-new URLs, and those skip the
    verify join entirely; only the maybe-seen sliver (true re-crawls + the
    small FP tail) is verified exactly.
-2. Content level — md5 of the scrubbed text against the RETAINED corpus's
-   content hashes (a page can move to a new URL unchanged). Anti-join on
+2. Content level — md5 of the scrubbed text against EVERY retained table
+   (base final + prior increments' finals: checking only the base would
+   re-admit the same moved-URL content once per increment). Anti-join on
    the 32-byte hash; neither side's text payload moves.
 
 New docs are exact-deduped and exact-substring-excised WITHIN the
@@ -56,6 +57,20 @@ def _seen_url_roots(corpus_root: str, exclude: str) -> list:
     return roots
 
 
+def _retained_final_paths(corpus_root: str, exclude: str) -> list:
+    """Parquet paths of every RETAINED table: the base final plus prior
+    increments' finals (minus the one being built) — the content-hash
+    registry must cover all of them, or identical content re-crawled under
+    a new URL would be admitted once per increment."""
+    import glob as _glob
+
+    paths = [os.path.join(corpus_root, "final")]
+    for p in sorted(_glob.glob(os.path.join(corpus_root, "increments", "*", "final"))):
+        if os.path.basename(os.path.dirname(p)) != exclude:
+            paths.append(p)
+    return paths
+
+
 def ingest_increment(
     spark: SparkSession,
     new_pages_path: str,
@@ -66,7 +81,10 @@ def ingest_increment(
     shard_tokens: int = SHARD_TOKENS,
 ) -> Dict[str, int]:
     inc_root = os.path.join(corpus_root, "increments", name)
-    history = spark.read.parquet(os.path.join(corpus_root, "final"))
+    history = None
+    for p in _retained_final_paths(corpus_root, exclude=name):
+        part = spark.read.parquet(p).select("url", "scrubbed_text")
+        history = part if history is None else history.unionByName(part)
 
     # 1) quality + scrub the increment only (own resumable snapshot store)
     c = dict(
@@ -126,6 +144,10 @@ def ingest_increment(
     final_inc = final_inc.withColumn(
         "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
     )
+    # the admission + dedup + exsub chain is walked by token_shards' bucket
+    # totals, both join sides, and the final write — persist once instead
+    # of re-running the UDF chain ~4x (at real scale: a stage parquet)
+    final_inc = final_inc.persist()
     shards = token_shards(
         final_inc, id_col="url", tokens_col="n_tokens", shard_tokens=shard_tokens
     )
@@ -138,6 +160,7 @@ def ingest_increment(
         .parquet(out_path)
     )
     n_final = spark.read.parquet(out_path).count()
+    final_inc.unpersist()
     c.update(
         {
             "docs_kept": n_kept,
@@ -161,14 +184,13 @@ def compact_corpus(
     """Periodic maintenance pass: near-dedup ACROSS the base corpus and all
     increments (the cross-batch clusters ``ingest_increment`` deliberately
     leaves — its cost stays proportional to the increment; this job is the
-    amortized corpus-wide sweep), then re-shard and write a fresh corpus
-    under ``<corpus_root>/compacted/<name>/final``. Non-destructive: the
-    caller swaps roots when satisfied.
-
-    Per-batch exact-substring excision already ran inside prepare/ingest;
-    after the near-dedup keeper pass at most one member of any shared-run
-    cluster survives, so a corpus-wide exsub re-run would be a no-op on
-    this flow's outputs and is deliberately not repeated here.
+    amortized corpus-wide sweep), THEN corpus-wide exact-substring excision
+    (per-batch exsub cannot see a >=K-token run shared by two batches'
+    docs when the pair is below the near-dup threshold — e.g. two long,
+    mostly-different pages sharing one boilerplate sentence — so each
+    batch keeps its own 'keeper' occurrence until this pass), then re-shard
+    and write a fresh corpus under ``<corpus_root>/compacted/<name>/final``.
+    Non-destructive: the caller swaps roots when satisfied.
     """
     import glob as _glob
 
@@ -185,9 +207,24 @@ def compact_corpus(
     d, cc_rounds = near_dedup_df(
         union, id_col="url", text_col="scrubbed_text", threshold=near_threshold
     )
+    # corpus-wide exsub over the survivors (drop the per-batch exsub audit
+    # columns first — this pass supersedes them)
+    from ..operators.exsub import exsub_dedup
+
+    d = d.drop("start_offset", "shard_id", "n_tokens",
+               "n_chars_removed", "n_dup_windows")
+    d = (
+        exsub_dedup(d, id_col="url", text_col="scrubbed_text")
+        .withColumn("scrubbed_text", F.col("clean_text"))
+        .drop("clean_text")
+        .withColumn(
+            "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
+        )
+    )
     # fresh global shard packing (per-batch shard ids are meaningless after
-    # the merge); n_tokens is already on every row
-    d = d.drop("start_offset", "shard_id")
+    # the merge); persist: the near-dedup + exsub chain feeds the bucket
+    # totals, both join sides, and the aggs below
+    d = d.persist()
     shards = token_shards(d, id_col="url", tokens_col="n_tokens",
                           shard_tokens=shard_tokens)
     out_path = os.path.join(corpus_root, "compacted", name, "final")
@@ -203,11 +240,14 @@ def compact_corpus(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.countDistinct("shard_id").alias("shards"),
+        F.sum("n_chars_removed").alias("exsub_chars"),
     ).collect()[0]
+    d.unpersist()
     return {
         "docs_in": n_in,
         "cross_near_dups_removed": n_in - agg["docs"],
         "cc_rounds": cc_rounds,
+        "cross_exsub_chars_removed": int(agg["exsub_chars"] or 0),
         "docs_out": agg["docs"],
         "total_tokens": int(agg["tokens"] or 0),
         "n_shards": agg["shards"],

@@ -1295,7 +1295,7 @@ ORACLE_SQL["hash_sample"] = _hash_sample_sql()
 
 def _budget_sample_sql() -> str:
     """Full re-derivation of the mixture sample: token totals per language,
-    threshold = floor((budget/total) * 16^d) as hex (ONE IEEE division then
+    threshold = floor((double(budget)/double(total)) * 16^d) as hex (then
     an exact power-of-two multiply — bit-identical across Python/JVM/DuckDB),
     keep-all 'g' when the stratum fits its budget, inner join drops
     unbudgeted strata. Same TOKEN_RE and core.sampling constants as Spark."""

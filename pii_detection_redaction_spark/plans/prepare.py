@@ -108,7 +108,11 @@ def prepare_corpus(
         d = token_budget_sample(d, "url", "lang_pred", "n_tokens", budgets)
 
     # 6) shard assignment + co-filed write (parquet, or gzip JSONL for
-    # trainers that consume text dumps — detections ride as JSON structs)
+    # trainers that consume text dumps — detections ride as JSON structs).
+    # Persist first: the exsub chain above feeds token_shards' bucket
+    # totals, both join sides, and the write — without it the window UDFs
+    # and dup-key shuffle re-run ~3x.
+    d = d.persist()
     shards = token_shards(d, id_col="url", tokens_col="n_tokens",
                           shard_tokens=shard_tokens)
     final = d.drop("n_tokens").join(shards, "url")
@@ -116,7 +120,9 @@ def prepare_corpus(
     if output_format == "jsonl":
         final_path = os.path.join(out_root, "final_jsonl")
         writer.option("compression", "gzip").json(final_path)
-        out = spark.read.json(final_path)
+        # read back with the WRITER's schema: schema inference would cost a
+        # whole extra corpus pass and falls over on an empty final table
+        out = spark.read.schema(final.schema).json(final_path)
     elif output_format == "parquet":
         writer.parquet(final_path)
         out = spark.read.parquet(final_path)
@@ -129,6 +135,7 @@ def prepare_corpus(
         F.countDistinct("shard_id").alias("shards"),
         F.sum("n_chars_removed").alias("exsub_chars"),
     ).collect()[0]
+    d.unpersist()
     c.update(
         {
             "docs_kept": n_kept,

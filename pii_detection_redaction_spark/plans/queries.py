@@ -1078,7 +1078,7 @@ def q_budget_sample(spark, sf_dir):
     language is downsampled to rate budget/total_tokens derived FROM the
     corpus (en and fr bind, de fits whole, unbudgeted es/zh drop out). One
     (lang, sum) aggregation, then a zero-shuffle scan-side predicate; the
-    DuckDB oracle re-derives totals, thresholds (floor of one IEEE division
+    DuckDB oracle re-derives totals, thresholds (floor of double/double division
     — engine-exact) and the keep set independently."""
     from ..operators.sampling import token_budget_sample
     from ..operators.textstats import TOKEN_RE

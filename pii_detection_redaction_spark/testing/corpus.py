@@ -332,6 +332,31 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED, n_files: int = 1) -
     return path
 
 
+def _data_dir() -> str:
+    """The repo-level _data/ fixture cache (shared by every ensure_*)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    d = os.path.join(repo, "_data")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _pages_schema():
+    """The one pages interchange schema every fixture writes."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl table: pages + messy re-crawl records (URL-canonicalization material).
 # Kept SEPARATE from the pages corpus so the 47 existing golden/oracle gates
@@ -388,22 +413,13 @@ def ensure_crawl_parquet(n: int = N_ORACLE_CRAWL) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data = os.path.join(repo, "_data")
-    os.makedirs(data, exist_ok=True)
-    path = os.path.join(data, f"crawl_oracle_v{CORPUS_VERSION}_{n}.parquet")
+    path = os.path.join(_data_dir(), f"crawl_oracle_v{CORPUS_VERSION}_{n}.parquet")
     if not os.path.exists(path):
         df = crawl_df(n)
-        schema = pa.schema(
-            [
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us")),
-                ("html", pa.binary()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-            ]
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=_pages_schema(), preserve_index=False),
+            path,
         )
-        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
     return path
 
 
@@ -440,23 +456,14 @@ def ensure_batch_parquet(lo: int = N_BATCH_LO, hi: int = N_BATCH_HI) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data = os.path.join(repo, "_data")
-    os.makedirs(data, exist_ok=True)
-    path = os.path.join(data, f"batch_oracle_v{CORPUS_VERSION}_{lo}_{hi}.parquet")
+    path = os.path.join(
+        _data_dir(), f"batch_oracle_v{CORPUS_VERSION}_{lo}_{hi}.parquet"
+    )
     if not os.path.exists(path):
         df = batch_df(lo, hi)
-        schema = pa.schema(
-            [
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us")),
-                ("html", pa.binary()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-            ]
-        )
         pq.write_table(
-            pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
+            pa.Table.from_pandas(df, schema=_pages_schema(), preserve_index=False),
+            path,
         )
     return path
 
@@ -471,10 +478,7 @@ def ensure_warc_dir(n: int = N_ORACLE_PAGES, n_files: int = 8) -> str:
 
     from ..core.warc import build_response_record, write_warc
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data = os.path.join(repo, "_data")
-    os.makedirs(data, exist_ok=True)
-    path = os.path.join(data, f"warc_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
+    path = os.path.join(_data_dir(), f"warc_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
@@ -502,10 +506,7 @@ def ensure_jsonl_dir(n: int = N_ORACLE_PAGES, n_files: int = 8) -> str:
     import json as _json
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data = os.path.join(repo, "_data")
-    os.makedirs(data, exist_ok=True)
-    path = os.path.join(data, f"jsonl_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
+    path = os.path.join(_data_dir(), f"jsonl_oracle_v{CORPUS_VERSION}_{n}_{n_files}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
@@ -536,10 +537,7 @@ def ensure_pages_parquet(n: int = 500) -> str:
     THIS file, so the differential runs over byte-identical input."""
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data = os.path.join(repo, "_data")
-    os.makedirs(data, exist_ok=True)
-    path = os.path.join(data, f"pages_oracle_v{CORPUS_VERSION}_{n}.parquet")
+    path = os.path.join(_data_dir(), f"pages_oracle_v{CORPUS_VERSION}_{n}.parquet")
     if not os.path.exists(path):
         write_pages_parquet(path, n)
     return path

@@ -163,3 +163,49 @@ def test_compact_corpus_removes_cross_batch_near_dups(spark, tmp_path):
     assert len(fam) == 1  # exactly one family member survives
     # shard packing is fresh and consistent
     assert c["n_shards"] >= 1 and c["total_tokens"] > 0
+
+
+def test_ingest_content_gate_covers_prior_increments(spark, tmp_path):
+    """A page ingested by increment day2 and re-crawled by day3 under a NEW
+    canonical URL (content unchanged) must be skipped by the content gate —
+    which therefore has to cover prior increments' finals, not just the
+    base corpus. Also: re-ingesting day2's whole batch as day3 admits
+    nothing (the seen-URL registry spans increments)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_redaction_spark.plans.ingest import ingest_increment
+    from pii_detection_redaction_spark.testing.corpus import (
+        ensure_batch_parquet,
+        page_row,
+    )
+
+    root = str(tmp_path / "corpus")
+    prepare_corpus(spark, ensure_pages_parquet(), root)
+    c2 = ingest_increment(spark, ensure_batch_parquet(), root, "day2")
+    assert c2["docs_ingested"] > 0
+
+    # day3a: the same batch again — every canonical URL is now registered
+    c3 = ingest_increment(spark, ensure_batch_parquet(), root, "day3a")
+    assert c3["docs_ingested"] == 0 and c3["url_dups_skipped"] == c3["docs_kept"]
+
+    # day3b: one day2-ingested page under a brand-new URL, content identical
+    inc = spark.read.parquet(root + "/increments/day2/final")
+    some_url = sorted(r.url for r in inc.select("url").collect())[0]
+    i = int(some_url.rsplit("page-", 1)[1].split("?")[0])
+    r = page_row(i)
+    r["url"] = "https://moved.example.new/relocated-page"
+    df = pd.DataFrame([r])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    from pii_detection_redaction_spark.testing.corpus import _pages_schema
+
+    p = str(tmp_path / "day3b.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=_pages_schema(), preserve_index=False), p
+    )
+    c3b = ingest_increment(spark, p, root, "day3b")
+    assert c3b["docs_kept"] == 1
+    assert c3b["url_dups_skipped"] == 0  # genuinely new URL
+    assert c3b["content_dups_skipped"] == 1  # caught by the increment-aware gate
+    assert c3b["docs_ingested"] == 0
