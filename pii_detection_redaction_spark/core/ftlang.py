@@ -174,7 +174,13 @@ def predict(
     behavior is identical by construction."""
     if not text:
         return "und", 0.0
-    bag = bucket_counts(text)
+    # hash each n-gram size ONCE: the bag is the sum of per-size bags, and
+    # the evidence gate reuses the bigram bag instead of re-hashing every
+    # bigram of the document (this is the corpus-wide UDF hot path)
+    per_size = {n: bucket_counts(text, (n,)) for n in NGRAM_SIZES}
+    bag: Counter = Counter()
+    for b in per_size.values():
+        bag.update(b)
     if not bag:
         return "und", 0.0
     W, langs = m if m is not None else model()
@@ -185,7 +191,10 @@ def predict(
         c = np.fromiter((v for _, v in items), dtype=np.float64, count=len(items))
         return i, c
 
-    bi_idx, bi_cnt = _arrays(bucket_counts(text, (EVIDENCE_NGRAM,)))
+    evidence = per_size.get(EVIDENCE_NGRAM)
+    if evidence is None:
+        evidence = bucket_counts(text, (EVIDENCE_NGRAM,))
+    bi_idx, bi_cnt = _arrays(evidence)
     if bi_idx.size == 0:
         return "und", 0.0
     bi_seen = W[bi_idx].any(axis=1)

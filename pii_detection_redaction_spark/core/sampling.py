@@ -29,7 +29,13 @@ def hex_threshold(rate: float) -> str:
     """Keep-rate -> lexicographic hex threshold on the md5 prefix."""
     if rate >= 1.0:
         return "g"  # sorts above every hex digit: keep all
-    n = max(0, min(16**HEX_DIGITS, round(rate * 16**HEX_DIGITS)))
+    n = max(0, round(rate * 16**HEX_DIGITS))
+    if n >= 16**HEX_DIGITS:
+        # rate just under 1.0 rounds up to 16^d, whose hex spelling is one
+        # char LONGER ('10000') and lexicographically keeps only tickets
+        # starting '0' (~6%!) — the round-to-keep-all case must take the
+        # sentinel path like rate==1.0 does
+        return "g"
     return format(n, f"0{HEX_DIGITS}x")
 
 
@@ -72,6 +78,10 @@ def budget_threshold(budget: int, total: int) -> str:
     # by 1 ulp once operands exceed 2^53 (real 100-TB token totals), which
     # would flip floor() across engines at threshold-straddling values.
     n = math.floor((float(budget) / float(total)) * 16**HEX_DIGITS)
+    if n >= 16**HEX_DIGITS:
+        # float(budget)/float(total) can round to exactly 1.0 when the two
+        # huge totals are within 1 ulp — same 5-char-hex trap as above
+        return "g"
     return format(n, f"0{HEX_DIGITS}x")
 
 

@@ -49,15 +49,11 @@ def ngrams_col(text_col: Column, n: int = C.NGRAM_N) -> Column:
 
 
 def eval_ticket_col(id_col: Column) -> Column:
-    """Deterministic eval-slice membership (salted-hash ticket)."""
-    return (
-        F.substring(
-            F.md5(F.concat(F.lit(C.EVAL_SALT), id_col.cast("string"))),
-            1,
-            C.HEX_DIGITS,
-        )
-        < C.EVAL_THRESHOLD
-    )
+    """Deterministic eval-slice membership (the repo-wide salted-hash
+    ticket, spelled once in operators.sampling)."""
+    from .sampling import sample_hash_col
+
+    return sample_hash_col(id_col, salt=C.EVAL_SALT) < C.EVAL_THRESHOLD
 
 
 def flag_contaminated(
@@ -86,6 +82,8 @@ def flag_contaminated(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("g"),
     )
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "broadcast":
         eval_grams = F.broadcast(eval_grams)
     hits = (

@@ -27,12 +27,10 @@ from __future__ import annotations
 from typing import List, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
-
-from pyspark.sql import Column
 
 from ..core import hashing as H
 from ..core.quality import BOILERPLATE_MIN_DOCS
@@ -270,17 +268,45 @@ def simhash_near_pairs(
 # - the hot set is bounded by construction: every member occurs in
 #   >= min_docs docs, so |hot| <= total_lines / min_docs, and in practice a
 #   web corpus has a few thousand boilerplate lines — broadcast it.
-# - "join" strategy (default, general): line-level broadcast LEFT join marks
-#   is_hot with an O(1) hash probe per line, then one groupBy(id) shuffle
-#   reassembles the text. Robust for any hot-set size (AQE falls back to a
-#   shuffle join if the hot side outgrows the broadcast threshold); cost is
-#   one full-text shuffle.
+# - "join" strategy (default, general): line-level LEFT join marks is_hot,
+#   then one groupBy(id) shuffle reassembles the text. The hot side carries
+#   NO broadcast hint on purpose: a hint is mandatory (AQE never demotes
+#   it, so a pathological hot set would OOM the driver at broadcast time);
+#   unhinted, the planner broadcasts a small hot side on its own — and AQE
+#   converts the shuffle join INTO a broadcast join at runtime from the
+#   hot side's true size — while a huge one degrades safely to a shuffle
+#   join. Cost: one full-text shuffle.
 # - "array" strategy (shuffle-free fast path): collapse the hot set to a
 #   single array row, crossJoin(broadcast) it onto the ORIGINAL docs, and
 #   filter split(text) with a higher-order function — the document text
 #   never shuffles at all. Probe is O(|hot|) per line (Spark array_contains
 #   is a scan), so use it when the hot set is small (typical); equality of
 #   the two strategies is pytest-pinned.
+
+
+def _reassemble_unmarked(marked: DataFrame, id_col: str, flag_col: str) -> DataFrame:
+    """(id, text_clean, n_lines_removed) from a (id, pos, line, <flag>)
+    frame: one groupBy(id) shuffle, order restored by pos inside the array,
+    flagged lines dropped and counted. Shared by strip_boilerplate_lines
+    and dedup_lines_keep_first — the mark predicates differ, the
+    reassembly must not."""
+    sl = F.array_sort(F.collect_list(F.struct("pos", "line", flag_col)))
+    return (
+        marked.groupBy(id_col)
+        .agg(sl.alias("sl"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.filter("sl", lambda x: ~x[flag_col]), lambda x: x["line"]
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.size(F.filter("sl", lambda x: x[flag_col])).cast("long").alias(
+                "n_lines_removed"
+            ),
+        )
+    )
 
 
 def boilerplate_hot_set(
@@ -341,6 +367,8 @@ def strip_boilerplate_lines(
     every document, preserving the remaining lines (including blanks) in
     input order. ``n_lines_removed`` is 0-preserving: every input document
     yields exactly one output row, even when all its lines are removed."""
+    if strategy not in ("join", "array"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     hot = boilerplate_hot_set(df, id_col, text_col, min_docs)
 
     if strategy == "array":
@@ -358,26 +386,10 @@ def strip_boilerplate_lines(
     )
     key = F.trim(F.col("line"))
 
-    marked = lines.join(F.broadcast(hot), key == F.col("k"), "left").select(
+    marked = lines.join(hot, key == F.col("k"), "left").select(
         id_col, "pos", "line", F.col("k").isNotNull().alias("is_hot")
     )
-    sl = F.array_sort(F.collect_list(F.struct("pos", "line", "is_hot")))
-    return (
-        marked.groupBy(id_col)
-        .agg(sl.alias("sl"))
-        .select(
-            F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.filter("sl", lambda x: ~x["is_hot"]), lambda x: x["line"]
-                ),
-                "\n",
-            ).alias("text_clean"),
-            F.size(F.filter("sl", lambda x: x["is_hot"])).cast("long").alias(
-                "n_lines_removed"
-            ),
-        )
-    )
+    return _reassemble_unmarked(marked, id_col, "is_hot")
 
 
 def dedup_lines_keep_first(
@@ -421,21 +433,7 @@ def dedup_lines_keep_first(
             & ~((F.col("f.i") == F.col(id_col)) & (F.col("f.p") == F.col("pos")))
         ).alias("is_dup"),
     )
-    sl = F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup")))
-    return (
-        marked.groupBy(id_col)
-        .agg(sl.alias("sl"))
-        .select(
-            F.col(id_col),
-            F.array_join(
-                F.transform(F.filter("sl", lambda x: ~x["is_dup"]), lambda x: x["line"]),
-                "\n",
-            ).alias("text_clean"),
-            F.size(F.filter("sl", lambda x: x["is_dup"])).cast("long").alias(
-                "n_lines_removed"
-            ),
-        )
-    )
+    return _reassemble_unmarked(marked, id_col, "is_dup")
 
 
 # ---------------------------------------------------------------------------

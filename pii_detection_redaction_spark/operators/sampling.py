@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 from ..core import sampling as S
 
 
-def sample_hash_col(key_col: Column) -> Column:
-    """First HEX_DIGITS hex chars of md5(salt || key) — the sampling ticket."""
+def sample_hash_col(key_col: Column, salt: str = S.SAMPLE_SALT) -> Column:
+    """First HEX_DIGITS hex chars of md5(salt || key) — THE salted-hash
+    ticket expression (one Spark spelling for every consumer: stratified
+    and budget sampling here, the decontamination eval slice)."""
     return F.substring(
-        F.md5(F.concat(F.lit(S.SAMPLE_SALT), key_col.cast("string"))),
+        F.md5(F.concat(F.lit(salt), key_col.cast("string"))),
         1,
         S.HEX_DIGITS,
     )
@@ -66,11 +68,7 @@ def stratified_sample(
 def budget_ticket_col(key_col: Column) -> Column:
     """Budget-salted sampling ticket (distinct salt: a row's fate under the
     mixture sampler is independent of its fate under ``stratified_sample``)."""
-    return F.substring(
-        F.md5(F.concat(F.lit(S.BUDGET_SALT), key_col.cast("string"))),
-        1,
-        S.HEX_DIGITS,
-    )
+    return sample_hash_col(key_col, salt=S.BUDGET_SALT)
 
 
 def token_budget_sample(
@@ -137,6 +135,20 @@ def token_budget_sample_join(
         .select(
             strata_col,
             F.when(F.col("__total") <= F.col("__budget"), F.lit("g"))
+            .when(
+                # b/t can round to exactly 1.0 one ulp early: floor hits
+                # 16^d whose hex spelling is one char longer — must take
+                # the keep-all sentinel (mirrors core.budget_threshold)
+                F.floor(
+                    (
+                        F.col("__budget").cast("double")
+                        / F.col("__total").cast("double")
+                    )
+                    * scale
+                )
+                >= scale,
+                F.lit("g"),
+            )
             .otherwise(
                 F.format_string(
                     f"%0{S.HEX_DIGITS}x",

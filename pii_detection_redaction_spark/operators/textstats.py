@@ -90,7 +90,10 @@ def compression_stats(
             out.append(len(zlib.compress(raw, ZLIB_LEVEL)) if raw else 0)
         return pd.Series(out)
 
-    n_bytes = F.octet_length(F.col(text_col))
+    # coalesce: the UDF maps NULL text to 0 compressed bytes and the golden
+    # spec writes n_bytes=0 — octet_length(NULL) is NULL, which would fork
+    # the engines on any table with a NULL text row (one-spec rule)
+    n_bytes = F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
     zl = zlen_udf(F.col(text_col))
     return df.select(
         F.col(id_col),

@@ -1318,6 +1318,8 @@ b(lang, budget) AS (VALUES {values}),
 th AS (
   SELECT tot.lang,
     CASE WHEN total <= budget THEN 'g'
+         WHEN floor((CAST(budget AS DOUBLE) / CAST(total AS DOUBLE))
+                    * {scale}) >= {scale} THEN 'g'
          ELSE printf('%0{S.HEX_DIGITS}x',
                      CAST(floor((CAST(budget AS DOUBLE) / CAST(total AS DOUBLE))
                                 * {scale}) AS INTEGER))

@@ -42,7 +42,8 @@ _TOX_WORDS = tuple(w for w in TOXICITY_LEXICON if w in
 
 SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
-# bump on any generator change — cache keys (tests/_data, bench corpus) embed it
+# bump when an EXISTING generator's output changes — cache keys embed it;
+# purely additive fixtures (version+param-keyed filenames) don't require it
 CORPUS_VERSION = 8
 # size of the fixed planted-PII oracle corpus the pii_* catalog queries and
 # their DuckDB/golden oracles share (plans.queries._pages reads exactly this)

@@ -59,9 +59,16 @@ def test_spark_matches_python_spec(spark, strategy):
 
 
 def test_join_strategy_broadcasts_hot_set(spark):
+    """The hot side carries NO mandatory broadcast hint (a hint is never
+    demoted by AQE — a pathological hot set would OOM at broadcast time);
+    instead AQE converts the join to a broadcast at runtime from the hot
+    side's TRUE size. Executed plan must show that conversion happened."""
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    plan = strip_boilerplate_lines(df, min_docs=3)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # hot-set probe is map-side
+    out = strip_boilerplate_lines(df, min_docs=3)
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan  # AQE-converted, size-based
     assert "CartesianProduct" not in plan
 
 

@@ -366,3 +366,23 @@ def test_budget_threshold_properties(budget, total):
         # monotone: a bigger budget never keeps fewer rows
         t2 = budget_threshold(min(budget * 2, total), total)
         assert t2 == "g" or t2 >= t
+
+
+@given(st.floats(0.0, 1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_hex_threshold_never_widens(rate):
+    """Regression: rates just under 1.0 used to round to 16^d, whose hex
+    spelling is FIVE chars ('10000') — lexicographically keeping only ~6%
+    of 4-char tickets. The round-to-keep-all case must hit the sentinel."""
+    from pii_detection_redaction_spark.core.sampling import HEX_DIGITS, hex_threshold
+
+    t = hex_threshold(rate)
+    assert t == "g" or len(t) == HEX_DIGITS
+
+
+def test_hex_threshold_near_one_keeps_everything():
+    from pii_detection_redaction_spark.core.sampling import hex_threshold, keep_row
+
+    assert hex_threshold(0.999995) == "g"
+    kept = sum(keep_row(str(i), 0.999995) for i in range(2000))
+    assert kept == 2000
