@@ -92,6 +92,7 @@ HEADLINE = [
     "quality_funnel",
     "exsub_dedup",
     "token_shards",
+    "c4_line_filter",
 ]
 
 

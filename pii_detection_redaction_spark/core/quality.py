@@ -224,3 +224,31 @@ def strip_boilerplate(text: str, hot: set) -> Tuple[str, int]:
         else:
             kept.append(ln)
     return "\n".join(kept), removed
+
+
+# --- C4 line filter (Raffel et al. 2020 §2.2) -------------------------------
+# "We only retained lines that ended in a terminal punctuation mark" with a
+# minimum word count; lines containing '{' are code/JS debris. Line identity
+# uses the same ASCII-space trim as the other line operators. One spec for
+# the Spark JVM exprs (functions.quality.c4_line_filter_exprs), the DuckDB
+# oracle (plans.oracles), and this Python mirror.
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+
+
+def c4_keep_line(line: str) -> bool:
+    t = line.strip(" ")
+    return (
+        bool(t)
+        and t[-1] in C4_TERMINAL_PUNCT
+        and len(t.split()) >= C4_MIN_LINE_WORDS
+        and "{" not in t
+    )
+
+
+def c4_line_clean(text: str) -> Tuple[str, int]:
+    """(cleaned_text, n_lines_removed) under the C4 line rules."""
+    lines = text.split("\n")
+    kept = [ln for ln in lines if c4_keep_line(ln)]
+    return "\n".join(kept), len(lines) - len(kept)

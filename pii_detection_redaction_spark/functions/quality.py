@@ -200,3 +200,32 @@ def drop_reasons_column(lang_conf_col: str = "lang_conf", ppl_col: str = "ppl") 
     parts.append(F.when(F.col(ppl_col) > Q.MAX_PERPLEXITY, F.lit("perplexity")))
     arr = F.array(*parts)
     return F.filter(arr, lambda x: x.isNotNull())
+
+
+def c4_line_keep_cond(line):
+    """JVM keep-predicate for one line under the C4 rules (core.quality
+    spec): trimmed non-empty, ends in terminal punctuation, >= min words,
+    no '{' debris. ASCII-space trim == DuckDB trim == the mirror's
+    .strip(' ')."""
+    t = F.trim(line)
+    return (
+        (t != "")
+        & F.substring(t, -1, 1).isin(*Q.C4_TERMINAL_PUNCT)
+        & (F.regexp_count(t, F.lit(r"\S+")) >= Q.C4_MIN_LINE_WORDS)
+        & ~t.contains("{")
+    )
+
+
+def c4_filter_lines(
+    df, id_col: str = "url", text_col: str = "text"
+):
+    """(id, text_clean, n_lines_removed): the C4 line filter (Raffel et al.
+    2020 §2.2) as pure row-local JVM higher-order expressions — no shuffle,
+    no Python, whole-stage codegen; at 100 TB this runs at scan speed."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, c4_line_keep_cond)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_removed"),
+    )

@@ -895,6 +895,35 @@ ORDER BY host
 """
 
 
+def _c4_line_filter_sql() -> str:
+    """Same C4 line rules in a DuckDB list_filter lambda — trim/right/word
+    count/contains re-derived from the core.quality constants."""
+    from ..core import quality as Q
+    from .queries import oracle_pages_path
+
+    path = oracle_pages_path()
+    punct = ", ".join(f"'{p}'" for p in Q.C4_TERMINAL_PUNCT)
+    cond = (
+        "trim(x) <> '' AND right(trim(x), 1) IN (" + punct + ") "
+        f"AND len(regexp_extract_all(trim(x), '\\S+')) >= {Q.C4_MIN_LINE_WORDS} "
+        "AND NOT contains(trim(x), '{')"
+    )
+    return f"""
+WITH p AS (SELECT url, text FROM read_parquet('{path}')),
+l AS (
+  SELECT url,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x -> {cond}) AS kept
+  FROM p
+)
+SELECT url,
+       -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed
+FROM l ORDER BY url
+"""
+
+
 def _host_quota_sql() -> str:
     """Plain row_number window over everything — deliberately the naive
     single-path form of the quota, so the differential checks that the
@@ -1225,6 +1254,7 @@ def all_oracles() -> dict:
     d["line_dedup_pages"] = _line_dedup_pages_sql()
     d["host_rollup"] = _host_rollup_sql()
     d["host_quota"] = _host_quota_sql()
+    d["c4_line_filter"] = _c4_line_filter_sql()
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d["url_dedup"] = _url_dedup_sql()
     d["incremental_new"] = _incremental_new_sql()

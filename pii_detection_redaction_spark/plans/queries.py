@@ -925,6 +925,23 @@ def q_host_rollup(spark, sf_dir):
 HOST_CAP = 25
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line filter (Raffel et al. 2020 §2.2): keep only lines ending in
+    terminal punctuation with >= 3 words and no '{' debris — pure row-local
+    JVM higher-order exprs (functions.quality.c4_filter_lines), zero
+    shuffle/Python. Complements the two line DEDUP operators (CC-Net hot
+    set, C4 keep-first): this one is content-quality, not duplication."""
+    from ..functions.quality import c4_filter_lines
+
+    d = _pages(spark)
+    out = c4_filter_lines(d)
+    return out.select(
+        "url",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines_removed",
+    ).orderBy("url")
+
+
 def q_host_quota(spark, sf_dir):
     """Host-domination control (FineWeb-style per-host quota): keep at most
     HOST_CAP pages per host, preferring longer pages (length DESC, url ASC).
@@ -1234,6 +1251,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "host_rollup": q_host_rollup,
     "host_quota": q_host_quota,
+    "c4_line_filter": q_c4_line_filter,
     "url_dedup": q_url_dedup,
     "incremental_new": q_incremental_new,
     "warc_pages": q_warc_pages,

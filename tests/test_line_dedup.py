@@ -144,3 +144,34 @@ def test_keep_first_plan_is_skew_safe(spark):
     )
     assert plan.count("Window") == 0
     assert "partial_min" in plan  # map-side combine: the agg shuffle cannot skew
+
+
+# --- C4 line filter (content quality, not duplication) -----------------------
+
+
+def test_c4_line_filter_spec_and_spark_agree(spark):
+    from pii_detection_redaction_spark.core.quality import c4_line_clean
+    from pii_detection_redaction_spark.functions.quality import c4_filter_lines
+
+    rows = [
+        ("a", "Good sentence here.\nshort.\nno terminal punct\nvar x = { y }.\nFine line too!"),
+        ("b", 'He said "stop".\nQuoted ending works fine."\n\n   \nTab\twords count too.'),
+        ("c", ""),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = {r.url: (r.text_clean, r.n_lines_removed)
+           for r in c4_filter_lines(df).collect()}
+    for url, text in rows:
+        clean, removed = c4_line_clean(text)
+        assert got[url] == (clean, removed), url
+    # the rules actually bite each way
+    assert got["a"][0] == "Good sentence here.\nFine line too!"
+    assert got["c"] == ("", 1)  # one empty line, removed
+
+
+def test_c4_line_filter_plan_is_row_local(spark):
+    from pii_detection_redaction_spark.functions.quality import c4_filter_lines
+
+    df = spark.createDataFrame([("a", "x.")], ["url", "text"])
+    plan = c4_filter_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
