@@ -93,6 +93,7 @@ HEADLINE = [
     "exsub_dedup",
     "token_shards",
     "c4_line_filter",
+    "semantic_outliers",
 ]
 
 

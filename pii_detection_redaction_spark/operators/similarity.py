@@ -311,3 +311,50 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# --- semantic outlier filtering (centroid distance) ---------------------------
+
+# catalog-query threshold: docs whose embedding's cosine to the corpus
+# centroid falls below this are domain outliers (~10% of the synthetic
+# embeddings table) — the SemDeDup/SSL-prototype-style semantic filter
+SEM_OUTLIER_MIN = -0.10
+
+
+def centroid_cosines(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cos_centroid): every vector's cosine to the corpus centroid —
+    the semantic-quality signal behind SemDeDup-style domain filtering
+    ("drop documents far from the corpus's semantic mass").
+
+    Scale: the centroid is ONE (pos, value) explode + per-position avg —
+    map-side partials, shuffle of dim x n_partitions partial rows, driver
+    collect bounded by the DIMENSION (like the IVF centroid collect), never
+    by corpus size. It then folds into the cosine expression as literals,
+    so the scoring pass is row-local JVM (promote-to-double before
+    multiply, same discipline as ``_dot``) with no second shuffle. The
+    DuckDB oracle recomputes the centroid itself — the avg is cross-engine
+    stable far below the 6dp rounding."""
+    cen_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    cen = [float(r.m) for r in sorted(cen_rows, key=lambda r: r.pos)]
+    cen_arr = F.array(*[F.lit(m) for m in cen])
+    # centroid norm: computed left-to-right from the collected values —
+    # the same sequential order DuckDB's list_sum uses
+    import math
+
+    acc = 0.0
+    for m in cen:
+        acc += m * m
+    nc = math.sqrt(acc)  # IEEE sqrt, == DuckDB sqrt (pow(x,0.5) is NOT)
+    dot = _dot(F.col(vec_col), cen_arr)
+    na = _norm(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        _cosine_from(dot, na, F.lit(nc)).alias("cos_centroid"),
+    )

@@ -924,6 +924,36 @@ FROM l ORDER BY url
 """
 
 
+def _semantic_outliers_sql() -> str:
+    """Centroid recomputed relationally (per-position avg over the same
+    64-dim table the ANN oracles hardcode), cosine in the same
+    dot/(na*nc) association, outlier flag on the unrounded value."""
+    from ..operators.similarity import SEM_OUTLIER_MIN
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (
+  SELECT pos, avg(CAST(embedding[pos] AS DOUBLE)) AS m
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+  GROUP BY pos
+),
+ca AS (SELECT list(m ORDER BY pos) AS cen FROM c),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(embedding[i] AS DOUBLE) * cen[i])) /
+    (sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> cen[i] * cen[i]))))
+      AS cos
+  FROM e, ca
+)
+SELECT vec_id, round(cos, 6) AS cos_centroid,
+       cos < {SEM_OUTLIER_MIN} AS is_outlier
+FROM s ORDER BY vec_id
+"""
+
+
 def _host_quota_sql() -> str:
     """Plain row_number window over everything — deliberately the naive
     single-path form of the quota, so the differential checks that the
@@ -1255,6 +1285,7 @@ def all_oracles() -> dict:
     d["host_rollup"] = _host_rollup_sql()
     d["host_quota"] = _host_quota_sql()
     d["c4_line_filter"] = _c4_line_filter_sql()
+    d["semantic_outliers"] = _semantic_outliers_sql()
     d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
     d["url_dedup"] = _url_dedup_sql()
     d["incremental_new"] = _incremental_new_sql()

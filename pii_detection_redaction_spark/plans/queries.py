@@ -599,6 +599,23 @@ def q_near_dup_components(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_semantic_outliers(spark, sf_dir):
+    """SemDeDup-style semantic domain filter: every embedding's cosine to
+    the corpus centroid, with outliers flagged below SEM_OUTLIER_MIN (~10%
+    of the table). Centroid = one explode+avg (driver collect bounded by
+    the dimension); scoring is row-local JVM. The DuckDB oracle recomputes
+    the centroid itself from the same parquet."""
+    from ..operators.similarity import SEM_OUTLIER_MIN, centroid_cosines
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = centroid_cosines(e)
+    return out.select(
+        "vec_id",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        (F.col("cos_centroid") < SEM_OUTLIER_MIN).alias("is_outlier"),
+    ).orderBy("vec_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors 0-4 (exact ANN baseline)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1233,6 +1250,7 @@ QUERIES = {
     "jaccard_consecutive": q_jaccard_consecutive,
     "near_dup_components": q_near_dup_components,
     "embedding_topk": q_embedding_topk,
+    "semantic_outliers": q_semantic_outliers,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ivf_topk": q_embedding_ivf_topk,

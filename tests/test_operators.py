@@ -868,3 +868,32 @@ def test_token_shards_plan_single_payload_exchange(spark):
     plan = token_shards(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" in plan
+
+
+# --- semantic outlier filtering -----------------------------------------------
+
+
+def test_centroid_cosines_matches_numpy(spark):
+    import numpy as np
+
+    from pii_detection_redaction_spark.operators.similarity import centroid_cosines
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cos_centroid for r in centroid_cosines(df).collect()}
+    cen = vecs.astype("float64").mean(axis=0)
+    for i in range(40):
+        v = vecs[i].astype("float64")
+        want = float(v @ cen / (np.linalg.norm(v) * np.linalg.norm(cen)))
+        assert abs(got[i] - want) < 1e-9, i
+
+
+def test_centroid_cosines_zero_vector_is_null(spark):
+    from pii_detection_redaction_spark.operators.similarity import centroid_cosines
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cos_centroid for r in centroid_cosines(df).collect()}
+    assert got[1] is None and got[0] is not None
