@@ -236,19 +236,26 @@ def strip_boilerplate(text: str, hot: set) -> Tuple[str, int]:
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 3
 
+# ASCII \S: Java regex and RE2 treat only ASCII whitespace as \s, so a
+# NBSP-joined run is ONE word in all three engines — Python's default
+# Unicode \s (and str.split()) would fork on exactly that input
+_c4_word_re = re.compile(r"\S+", re.ASCII)
+
 
 def c4_keep_line(line: str) -> bool:
     t = line.strip(" ")
     return (
         bool(t)
         and t[-1] in C4_TERMINAL_PUNCT
-        and len(t.split()) >= C4_MIN_LINE_WORDS
+        and len(_c4_word_re.findall(t)) >= C4_MIN_LINE_WORDS
         and "{" not in t
     )
 
 
 def c4_line_clean(text: str) -> Tuple[str, int]:
-    """(cleaned_text, n_lines_removed) under the C4 line rules."""
-    lines = text.split("\n")
+    """(cleaned_text, n_lines_removed) under the C4 line rules; NULL/None
+    text behaves as the empty string (one empty line, removed) — matching
+    the engines' coalesce."""
+    lines = (text or "").split("\n")
     kept = [ln for ln in lines if c4_keep_line(ln)]
     return "\n".join(kept), len(lines) - len(kept)

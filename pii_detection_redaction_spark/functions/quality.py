@@ -222,7 +222,8 @@ def c4_filter_lines(
     """(id, text_clean, n_lines_removed): the C4 line filter (Raffel et al.
     2020 §2.2) as pure row-local JVM higher-order expressions — no shuffle,
     no Python, whole-stage codegen; at 100 TB this runs at scan speed."""
-    lines = F.split(F.col(text_col), "\n")
+    # coalesce: NULL text behaves as '' in all three engines (one-spec rule)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     kept = F.filter(lines, c4_line_keep_cond)
     return df.select(
         F.col(id_col),

@@ -13,10 +13,11 @@ the corpus has never seen. "Seen" is tested at two levels:
    typical increment is mostly genuinely-new URLs, and those skip the
    verify join entirely; only the maybe-seen sliver (true re-crawls + the
    small FP tail) is verified exactly.
-2. Content level — md5 of the scrubbed text against EVERY retained table
-   (base final + prior increments' finals: checking only the base would
-   re-admit the same moved-URL content once per increment). Anti-join on
-   the 32-byte hash; neither side's text payload moves.
+2. Content level — md5 of the scrubbed text against the same
+   processed-ever registry (PRE-exsub text on both sides, like-for-like:
+   hashing against the excised retained copies would re-admit moved-URL
+   re-crawls of exsub-touched docs). Anti-join on the 32-byte hash;
+   neither side's text payload moves.
 
 New docs are exact-deduped and exact-substring-excised WITHIN the
 increment and written under
@@ -45,29 +46,32 @@ from .dedup_pass import near_dedup_df
 from .pipeline import PipelineConfig, read_output, run_pipeline
 
 
-def _seen_url_roots(corpus_root: str, exclude: str) -> list:
-    """Scrub-store roots holding every URL ever processed: the base corpus
-    plus prior increments (minus the one being built)."""
-    import glob as _glob
-
-    roots = [os.path.join(corpus_root, "scrub")]
-    for r in sorted(_glob.glob(os.path.join(corpus_root, "increments", "*", "scrub"))):
-        if os.path.basename(os.path.dirname(r)) != exclude:
-            roots.append(r)
-    return roots
-
-
-def _retained_final_paths(corpus_root: str, exclude: str) -> list:
-    """Parquet paths of every RETAINED table: the base final plus prior
-    increments' finals (minus the one being built) — the content-hash
-    registry must cover all of them, or identical content re-crawled under
-    a new URL would be admitted once per increment."""
-    import glob as _glob
-
-    paths = [os.path.join(corpus_root, "final")]
-    for p in sorted(_glob.glob(os.path.join(corpus_root, "increments", "*", "final"))):
-        if os.path.basename(os.path.dirname(p)) != exclude:
-            paths.append(p)
+def _increment_paths(
+    spark: SparkSession, corpus_root: str, subdir: str, exclude: str = ""
+) -> list:
+    """``<corpus_root>/<subdir>`` plus every
+    ``<corpus_root>/increments/<name>/<subdir>`` (minus ``exclude``),
+    listed through the Hadoop FileSystem API — NOT a local glob, so the
+    documented object-store roots (s3://, hdfs://) enumerate correctly
+    instead of silently returning nothing and shrinking the registries /
+    dropping increments from compaction."""
+    jvm = spark._jvm
+    base = f"{corpus_root}/{subdir}"
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        f"{corpus_root}/increments/*/{subdir}"
+    )
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    paths = [base]
+    for status in sorted(
+        fs.globStatus(pattern) or [], key=lambda s: str(s.getPath())
+    ):
+        p = status.getPath()
+        if p.getParent().getName() != exclude:
+            sp = str(p)
+            if sp.startswith("file:"):
+                # plain local path for the snapshot store's os-level reads
+                sp = p.toUri().getPath()
+            paths.append(sp)
     return paths
 
 
@@ -81,10 +85,6 @@ def ingest_increment(
     shard_tokens: int = SHARD_TOKENS,
 ) -> Dict[str, int]:
     inc_root = os.path.join(corpus_root, "increments", name)
-    history = None
-    for p in _retained_final_paths(corpus_root, exclude=name):
-        part = spark.read.parquet(p).select("url", "scrubbed_text")
-        history = part if history is None else history.unionByName(part)
 
     # 1) quality + scrub the increment only (own resumable snapshot store)
     c = dict(
@@ -99,13 +99,20 @@ def ingest_increment(
     kept = read_output(spark, os.path.join(inc_root, "scrub")).filter(F.col("keep"))
     n_kept = kept.count()
 
-    # 2) URL-level admission (Bloom-gated exact verdict) against every URL
-    # ever processed — kept, dropped, or deduped away
-    seen_urls = None
-    for root in _seen_url_roots(corpus_root, exclude=name):
-        part = read_output(spark, root).select("url")
-        seen_urls = part if seen_urls is None else seen_urls.unionByName(part)
-    hist_keys = seen_urls.select(canonical_url_col().alias("__key"))
+    # the processed-ever registry: (url, scrubbed_text) of every doc the
+    # base corpus and prior increments SCRUBBED — kept, dropped, or deduped
+    # away. The content hashes deliberately come from here (PRE-exsub text)
+    # and not from the retained finals: the batch's scrubbed_text is also
+    # pre-exsub, so the comparison is like-for-like — hashing against the
+    # excised retained copy would silently re-admit a moved-URL re-crawl of
+    # any document exsub touched.
+    reg = None
+    for root in _increment_paths(spark, corpus_root, "scrub", exclude=name):
+        part = read_output(spark, root).select("url", "scrubbed_text")
+        reg = part if reg is None else reg.unionByName(part)
+
+    # 2) URL-level admission (Bloom-gated exact verdict)
+    hist_keys = reg.select(canonical_url_col().alias("__key"))
     batch = kept.withColumn("__key", canonical_url_col())
     new = (
         incremental_new(batch, hist_keys, key_col="__key")
@@ -114,12 +121,16 @@ def ingest_increment(
     )
     n_new_url = new.count()
 
-    # 3) content-level admission (page moved to a new URL unchanged)
-    hist_md5 = history.select(F.md5("scrubbed_text").alias("__md5")).distinct()
+    # 3) content-level admission (page moved to a new URL unchanged);
+    # persist: the admission chain (Bloom UDF + two joins) feeds this
+    # count, both dedup stages, and the write — without it the chain
+    # re-runs for every downstream action
+    hist_md5 = reg.select(F.md5("scrubbed_text").alias("__md5")).distinct()
     new = (
         new.withColumn("__md5", F.md5("scrubbed_text"))
         .join(hist_md5, "__md5", "left_anti")
         .drop("__md5")
+        .persist()
     )
     n_new = new.count()
 
@@ -161,6 +172,7 @@ def ingest_increment(
     )
     n_final = spark.read.parquet(out_path).count()
     final_inc.unpersist()
+    new.unpersist()
     c.update(
         {
             "docs_kept": n_kept,
@@ -192,11 +204,7 @@ def compact_corpus(
     and write a fresh corpus under ``<corpus_root>/compacted/<name>/final``.
     Non-destructive: the caller swaps roots when satisfied.
     """
-    import glob as _glob
-
-    paths = [os.path.join(corpus_root, "final")] + sorted(
-        _glob.glob(os.path.join(corpus_root, "increments", "*", "final"))
-    )
+    paths = _increment_paths(spark, corpus_root, "final")
     union = None
     for p in paths:
         part = spark.read.parquet(p)

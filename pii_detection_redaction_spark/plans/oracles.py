@@ -909,7 +909,7 @@ def _c4_line_filter_sql() -> str:
         "AND NOT contains(trim(x), '{')"
     )
     return f"""
-WITH p AS (SELECT url, text FROM read_parquet('{path}')),
+WITH p AS (SELECT url, coalesce(text, '') AS text FROM read_parquet('{path}')),
 l AS (
   SELECT url,
     string_split(text, chr(10)) AS lines,
@@ -949,7 +949,9 @@ s AS (
   FROM e, ca
 )
 SELECT vec_id, round(cos, 6) AS cos_centroid,
-       cos < {SEM_OUTLIER_MIN} AS is_outlier
+       -- flag on the ROUNDED value: the unrounded cosine carries
+       -- engine-specific summation-order noise in the last ulps
+       round(cos, 6) < {SEM_OUTLIER_MIN} AS is_outlier
 FROM s ORDER BY vec_id
 """
 

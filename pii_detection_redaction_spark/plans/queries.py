@@ -609,10 +609,14 @@ def q_semantic_outliers(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     out = centroid_cosines(e)
+    # flag on the ROUNDED cosine (catalog convention): the unrounded value
+    # carries engine-specific summation-order noise in the last ulps, which
+    # near the threshold could flip the boolean in one engine only
+    cos6 = F.round("cos_centroid", 6)
     return out.select(
         "vec_id",
-        F.round("cos_centroid", 6).alias("cos_centroid"),
-        (F.col("cos_centroid") < SEM_OUTLIER_MIN).alias("is_outlier"),
+        cos6.alias("cos_centroid"),
+        (cos6 < SEM_OUTLIER_MIN).alias("is_outlier"),
     ).orderBy("vec_id")
 
 

@@ -157,13 +157,18 @@ def test_c4_line_filter_spec_and_spark_agree(spark):
         ("a", "Good sentence here.\nshort.\nno terminal punct\nvar x = { y }.\nFine line too!"),
         ("b", 'He said "stop".\nQuoted ending works fine."\n\n   \nTab\twords count too.'),
         ("c", ""),
+        # NBSP joins a run in ASCII \S (all three engines): 1 word -> drop
+        ("d", "Un\u00a0deux\u00a0trois.\nPlain three words."),
+        ("e", None),  # NULL text == '' (coalesced in every engine)
     ]
-    df = spark.createDataFrame(rows, ["url", "text"])
+    df = spark.createDataFrame(rows, "url string, text string")
     got = {r.url: (r.text_clean, r.n_lines_removed)
            for r in c4_filter_lines(df).collect()}
     for url, text in rows:
         clean, removed = c4_line_clean(text)
         assert got[url] == (clean, removed), url
+    assert got["d"][0] == "Plain three words."  # NBSP run counted as 1 word
+    assert got["e"] == ("", 1)
     # the rules actually bite each way
     assert got["a"][0] == "Good sentence here.\nFine line too!"
     assert got["c"] == ("", 1)  # one empty line, removed
