@@ -147,7 +147,7 @@ def parse_warc(data: bytes) -> Iterator[WarcRecord]:
                 raise WarcFormatError(f"bad HTTP status line at byte {pos}")
             status = int(parts[1])
             ctype = dict(_parse_headers(hdrs, "HTTP", pos)).get("content-type")
-            payload = block[he + 4 : block_end]
+            payload = block[he + 4 :]
         yield WarcRecord(
             record_id=headers.get("warc-record-id", ""),
             warc_type=headers.get("warc-type", ""),

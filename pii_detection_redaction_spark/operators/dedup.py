@@ -382,7 +382,13 @@ def strip_boilerplate_lines(
         )
 
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        F.col(id_col),
+        # coalesce: NULL text behaves as '' (one blank kept line) so every
+        # input document yields exactly one output row — same rule as
+        # functions.quality.c4_filter_lines and the DuckDB oracles
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line")
     )
     key = F.trim(F.col("line"))
 
@@ -416,7 +422,13 @@ def dedup_lines_keep_first(
     reassembly shuffles (id, pos, line, flag). Output preserves every
     input document (possibly with empty text_clean)."""
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        F.col(id_col),
+        # coalesce: NULL text behaves as '' (one blank kept line) so every
+        # input document yields exactly one output row — same rule as
+        # functions.quality.c4_filter_lines and the DuckDB oracles
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line")
     )
     key = F.trim(F.col("line"))
     firsts = (

@@ -927,7 +927,10 @@ FROM l ORDER BY url
 def _semantic_outliers_sql() -> str:
     """Centroid recomputed relationally (per-position avg over the same
     64-dim table the ANN oracles hardcode), cosine in the same
-    dot/(na*nc) association, outlier flag on the unrounded value."""
+    dot/(na*nc) association, outlier flag on the 6dp-ROUNDED cosine (the
+    unrounded value carries engine-specific summation-order noise in the
+    last ulps, which near the threshold could flip the flag in one engine
+    only — same convention as the Spark query)."""
     from ..operators.similarity import SEM_OUTLIER_MIN
 
     return f"""

@@ -65,6 +65,16 @@ def prepare_corpus(
     c = dict(run_pipeline(spark, input_path, scrub_root, cfg,
                           input_format=input_format))
     kept = read_output(spark, scrub_root).filter(F.col("keep"))
+    # resume guard: snapshot groups committed by a prior run with a
+    # different classifier setting would lack quality_prob and the union
+    # would silently mix schemas — refuse with a clear message instead
+    if quality_threshold is not None and "quality_prob" not in kept.columns:
+        raise ValueError(
+            f"quality_threshold set but committed snapshots under "
+            f"{scrub_root!r} carry no quality_prob column (they were "
+            f"written with quality_classifier=False); re-run with a fresh "
+            f"out_root or delete the stale snapshots"
+        )
 
     # 1b) optional model gate ON TOP of the frozen rule keep/drop: drop kept
     # docs the fastText-architecture classifier scores under the threshold
@@ -118,11 +128,16 @@ def prepare_corpus(
     final = d.drop("n_tokens").join(shards, "url")
     writer = final.repartition(F.col("shard_id")).write.mode("overwrite")
     if output_format == "jsonl":
-        final_path = os.path.join(out_root, "final_jsonl")
-        writer.option("compression", "gzip").json(final_path)
-        # read back with the WRITER's schema: schema inference would cost a
-        # whole extra corpus pass and falls over on an empty final table
-        out = spark.read.schema(final.schema).json(final_path)
+        # gzip JSONL for trainers that consume text dumps — but ALWAYS
+        # write the parquet final/ too: the ingest/compact registry
+        # enumerates <root>/final and increments/*/final, so a jsonl-only
+        # corpus would silently contribute nothing to compaction
+        jsonl_path = os.path.join(out_root, "final_jsonl")
+        writer.option("compression", "gzip").json(jsonl_path)
+        final.repartition(F.col("shard_id")).write.mode(
+            "overwrite"
+        ).parquet(final_path)
+        out = spark.read.parquet(final_path)
     elif output_format == "parquet":
         writer.parquet(final_path)
         out = spark.read.parquet(final_path)

@@ -985,8 +985,11 @@ def q_url_dedup(spark, sf_dir):
     many records collapsed. One shuffle (window on canonical_url); the
     DuckDB oracle re-derives the canonical form from the same spec constants
     over the same parquet."""
+    # no repartition before the operator: the window on canonical_url is
+    # itself the (single) shuffle that spreads work across the cluster; a
+    # pre-repartition would move every row twice. Scan granularity at scale
+    # is spark.sql.files.maxPartitionBytes' job, not a forced Exchange.
     d = spark.read.parquet(oracle_crawl_path()).select("url", "warc_ts")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
     out = W.dedup_latest_crawl(d)
     return out.select(
         "canonical_url",

@@ -196,3 +196,16 @@ def test_pipeline_quality_classifier_fused(spark, pages_small):
     assert {u: r.keep for u, r in got.items()} == base_keep
     for u, r in list(got.items())[:50]:
         assert r.quality_prob == predict_quality(r.text or "")
+
+
+def test_url_dedup_query_single_exchange(spark, sf001_dir):
+    """The CATALOG url_dedup query moves every row exactly once (the window
+    shuffle on canonical_url) — r03's extra repartition-for-local-parallelism
+    is gone; scan granularity at scale belongs to maxPartitionBytes/AQE."""
+    from pii_detection_redaction_spark.plans.queries import q_url_dedup
+
+    plan = q_url_dedup(spark, sf001_dir)._jdf.queryExecution().executedPlan().toString()
+    # exactly one hash shuffle (the window); the only other Exchange is the
+    # rangepartitioning of the catalog's deterministic ORDER BY
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") == 2, plan
