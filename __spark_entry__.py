@@ -6,17 +6,22 @@ documents table; ``queries``/``oracle_sql`` expose the full operator catalog
 DuckDB differential check at sf0.01.
 
 Every catalog query carries a value-level oracle. SQL-expressible queries
-are re-derived independently in DuckDB SQL; the non-SQL-expressible five
-(full regex bank with context boost + conflict resolution, LM perplexity:
-``pii_detections``, ``pii_entity_counts``, ``pii_scrub``,
-``pii_scrub_pages``, ``quality_pipeline``) are value-gated via golden
+are re-derived independently in DuckDB SQL; the non-SQL-expressible parts
+(full regex bank with context boost + conflict resolution, LM perplexity,
+trained classifier matrices, the deflate codec) are value-gated via golden
 parquets computed by the pure-Python oracle library over the same
 deterministic inputs (``testing.goldens`` — zero Spark code) and read back
-with ``read_parquet``. ``pii_subset_counts`` additionally re-counts the
-bank's RE2-expressible subset with the bank's own regexes in SQL, and the
-LSH/IVF ANN paths carry full arithmetic oracles (hyperplanes / centroid
-picks embedded as SQL literals). The documents-table goldens assume the
-driver's sf0.01 differential scale (override: ``SPARK_GRAFT_ORACLE_SF_DIR``).
+with ``read_parquet``. ``pii_counts`` additionally re-counts the bank's
+RE2-expressible subset with the bank's own regexes in SQL, and the LSH/IVF
+ANN paths carry full arithmetic oracles (hyperplanes / centroid picks
+embedded as SQL literals).
+
+The catalog is consolidated to 49 entries (the driver verifies at most 50
+per round — r03 recorded exactly the first 50 of 64): related operators
+share one gated entry as a tagged union or join of the individually-
+verified components (see plans/queries.py's consolidation note). The
+documents-table goldens assume the driver's sf0.01 differential scale
+(override: ``SPARK_GRAFT_ORACLE_SF_DIR``).
 """
 
 from __future__ import annotations

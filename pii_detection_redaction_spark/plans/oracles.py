@@ -1180,63 +1180,277 @@ ORDER BY p.url
 """
 
 
-def _golden_oracles(sf_dir: str) -> dict:
-    """Value oracles for the non-SQL-expressible queries: the pure-Python
-    oracle's output is materialized as golden parquet (``testing.goldens``)
-    and DuckDB simply reads it back — independent of every Spark code path
-    by construction. ``pii_entity_counts`` is additionally re-aggregated in
-    SQL from the detections golden rather than stored, so the GROUP BY
-    itself is cross-checked. Documents-table goldens are computed from
+def _sub(sql: str) -> str:
+    """Wrap a full SELECT (CTEs and ORDER BY included — both are legal in
+    DuckDB subqueries) so component oracles compose into the consolidated
+    catalog entries by union/join without CTE-name collisions."""
+    return "(" + sql + ")"
+
+
+def _golden_paths(sf_dir: str) -> dict:
+    """Materialize every golden parquet the catalog needs (pure-Python
+    oracle outputs — ``testing.goldens``, zero Spark code) and return their
+    absolute paths. Documents-table goldens are computed from
     ``{sf_dir}/documents.parquet`` — the driver contract runs the
     differential at sf0.01 (``goldens.DEFAULT_ORACLE_SF_DIR``); the pytest
     differential overrides via ``SPARK_GRAFT_ORACLE_SF_DIR``."""
     from ..testing import goldens as G
 
-    det = G.golden_pii_detections()
-    exsub = G.golden_exsub()
-    scrub_pages = G.golden_pii_scrub_pages()
-    scrub_docs = G.golden_pii_scrub(sf_dir)
-    qp = G.golden_quality_pipeline(sf_dir)
-    comp = G.golden_doc_compression(sf_dir)
-    ftl = G.golden_ftlang(sf_dir)
-    ftq = G.golden_ftquality(sf_dir)
     return {
-        "ftlang_documents": f"""
-SELECT doc_id, ft_lang, ft_prob
-FROM read_parquet('{ftl}') ORDER BY doc_id
-""",
+        "det": G.golden_pii_detections(),
+        "exsub": G.golden_exsub(),
+        "scrub_pages": G.golden_pii_scrub_pages(),
+        "scrub_docs": G.golden_pii_scrub(sf_dir),
+        "qp": G.golden_quality_pipeline(sf_dir),
+        "comp": G.golden_doc_compression(sf_dir),
+        "ftl": G.golden_ftlang(sf_dir),
+        "ftq": G.golden_ftquality(sf_dir),
+    }
+
+
+# --- consolidated-entry builders (compose the component oracles above) -----
+
+
+def _format_pages_sql() -> str:
+    return f"""
+SELECT 'warc' AS fmt, url, warc_ts, http_status, n_bytes, payload_md5,
+       CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS VARCHAR) AS lang
+FROM {_sub(_warc_pages_sql())} w
+UNION ALL
+SELECT 'jsonl', url, warc_ts, CAST(NULL AS INTEGER), n_bytes, payload_md5,
+       text_md5, lang
+FROM {_sub(_jsonl_pages_sql())} j
+ORDER BY fmt, url
+"""
+
+
+def _sampled_documents_sql() -> str:
+    return f"""
+SELECT 'stratified' AS method, doc_id, lang, CAST(NULL AS INTEGER) AS n_tokens
+FROM {_sub(_hash_sample_sql())} h
+UNION ALL
+SELECT 'token_budget', doc_id, lang, n_tokens
+FROM {_sub(_budget_sample_sql())} b
+ORDER BY method, doc_id
+"""
+
+
+def _doc_token_stats_joined_sql(comp_path: str) -> str:
+    return f"""
+SELECT t.doc_id, t.n_chars, t.n_words, t.n_tokens,
+       c.n_bytes, c.compression_ratio
+FROM {_sub(ORACLE_SQL["doc_token_stats"])} t
+JOIN read_parquet('{comp_path}') c USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def _page_signals_sql() -> str:
+    return f"""
+SELECT c.url, c.clean_md5 AS c4_clean_md5,
+       c.n_lines_removed AS c4_lines_removed,
+       r.dup_line_char_frac, r.top_bigram_char_frac, r.top_trigram_char_frac
+FROM {_sub(_c4_line_filter_sql())} c
+JOIN {_sub(_doc_repetition_metrics_sql())} r USING (url)
+ORDER BY c.url
+"""
+
+
+def _langid_joined_sql(ftl_path: str) -> str:
+    return f"""
+SELECT l.doc_id, l.lang_pred, l.lang_conf, f.ft_lang, f.ft_prob
+FROM {_sub(_langid_sql())} l
+JOIN read_parquet('{ftl_path}') f USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
+def _doc_quality_flags_joined_sql(ftq_path: str) -> str:
+    return f"""
+SELECT f.*, q.quality_prob, q.quality_label
+FROM {_sub(ORACLE_SQL["doc_quality_flags"])} f
+JOIN read_parquet('{ftq_path}') q USING (doc_id)
+ORDER BY f.doc_id
+"""
+
+
+def _scrub_documents_sql(scrub_docs_path: str) -> str:
+    return f"""
+SELECT s.doc_id, s.scrubbed_text, CAST(s.n_entities AS INTEGER) AS n_entities,
+       t.tox_hits, t.rule_toxicity, t.masked_md5
+FROM read_parquet('{scrub_docs_path}') s
+JOIN {_sub(ORACLE_SQL["toxicity_scrub"])} t USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def _pii_counts_sql(det_path: str) -> str:
+    """'bank' rows: the full-bank golden re-aggregated in SQL (the GROUP BY
+    itself is cross-checked, url='' marks corpus-level); 'sql_subset' rows:
+    DuckDB re-counts per page with the bank's own regex strings."""
+    return f"""
+SELECT 'bank' AS scope, '' AS url, entity_type, count(*) AS n
+FROM read_parquet('{det_path}')
+GROUP BY entity_type
+UNION ALL
+SELECT 'sql_subset', url, entity_type, n
+FROM {_sub(_pii_subset_counts_sql())} s
+ORDER BY scope, url, entity_type
+"""
+
+
+def _line_dedup_both_sql() -> str:
+    return f"""
+SELECT a.url, a.text_clean AS ccnet_text_clean,
+       a.n_lines_removed AS ccnet_lines_removed,
+       b.text_clean AS c4first_text_clean,
+       b.n_lines_removed AS c4first_lines_removed
+FROM {_sub(_line_dedup_pages_sql())} a
+JOIN {_sub(_c4_line_dedup_sql())} b USING (url)
+ORDER BY a.url
+"""
+
+
+def _doc_fingerprints_joined_sql() -> str:
+    return f"""
+SELECT f.doc_id, f.content_md5, f.fingerprint, s.simhash
+FROM {_sub(ORACLE_SQL["doc_fingerprints"])} f
+LEFT JOIN {_sub(ORACLE_SQL["simhash"])} s USING (doc_id)
+ORDER BY f.doc_id
+"""
+
+
+def _embedding_topk_methods_sql() -> str:
+    return f"""
+SELECT 'brute' AS method, query_id, vec_id, cosine, rank
+FROM {_sub(ORACLE_SQL["embedding_topk"])} b
+UNION ALL
+SELECT 'lsh', query_id, vec_id, cosine, rank
+FROM {_sub(_lsh_topk_sql())} l
+UNION ALL
+SELECT 'ivf', query_id, vec_id, cosine, rank
+FROM {_sub(_ivf_topk_sql())} i
+ORDER BY method, query_id, rank
+"""
+
+
+def _near_dup_lsh_sql() -> str:
+    """The bucketed near-dup pair set re-derived: the bucket key is plain
+    arithmetic — sign bits of dot(embedding, hyperplane_i) with the SAME
+    deterministic seeded hyperplanes embedded as literals (core.hashing.
+    lsh_hyperplanes, seed 42, the exact planes operators.similarity.
+    cosine_near_dup_lsh uses) — candidates are same-bucket pairs only, then
+    the exact rounded cosine filters."""
+    from ..core.hashing import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim=64, nbits=4)
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_lit('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH it AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_ND_DOT} / ({_ND_ANORM} * {_ND_BNORM}), 6) AS cosine
+  FROM it a JOIN it b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.40 ORDER BY id_a, id_b
+"""
+
+
+def _embedding_near_dup_methods_sql() -> str:
+    return f"""
+SELECT 'exact' AS method, id_a, id_b, cosine
+FROM {_sub(ORACLE_SQL["embedding_near_dup"])} e
+UNION ALL
+SELECT 'lsh', id_a, id_b, cosine
+FROM {_sub(_near_dup_lsh_sql())} l
+ORDER BY method, id_a, id_b
+"""
+
+
+def _multimodal_joined_sql() -> str:
+    from ..operators.multimodal import FAKE_DIM_MAX as _D
+
+    fcols = ", ".join(f"fe.f{i}" for i in range(_D))
+    return f"""
+SELECT fr.media_id, fr.frame_idx, fr.resize_scale, fr.target_w, fr.target_h,
+       fe.payload_md5, fe.n_bytes, {fcols}
+FROM {_sub(ORACLE_SQL["multimodal_frames"])} fr
+JOIN {_sub(_multimodal_sql())} fe USING (media_id)
+ORDER BY fr.media_id, fr.frame_idx
+"""
+
+
+_NATION_PROFILE_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+                  round(sum(s_acctbal), 2) AS total_acctbal
+           FROM supplier GROUP BY 1),
+     cov AS (
+       SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+              coalesce(n_customers, 0) AS n_customers,
+              coalesce(n_suppliers, 0) AS n_suppliers,
+              coalesce(total_acctbal, 0.0) AS total_acctbal
+       FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+SELECT cov.nationkey, n.n_name, cov.n_customers, cov.n_suppliers,
+       cov.total_acctbal
+FROM cov LEFT JOIN nation n ON cov.nationkey = n.n_nationkey
+ORDER BY cov.nationkey
+"""
+
+_CUSTOMER_ORDER_EXTREMES_SQL = """
+SELECT 'top10' AS kind, c_custkey, c_name, revenue, n_orders FROM (
+  SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+  ORDER BY revenue DESC, c_custkey LIMIT 10)
+UNION ALL
+SELECT 'no_orders', c_custkey, c_name, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY kind, c_custkey
+"""
+
+
+def all_oracles() -> dict:
+    """Oracle map for EXACTLY the catalog entries (plans.queries.QUERIES) —
+    every entry carries a value-level oracle. Assembled here rather than at
+    module import: building the golden-backed entries materializes the
+    oracle/golden parquets (so DuckDB's read_parquet always finds them) and
+    bakes in absolute paths — a filesystem side effect importers of this
+    module must not pay. Consolidated entries compose the same component
+    oracles that were individually driver-verified through r03."""
+    from ..testing.goldens import oracle_sf_dir
+
+    g = _golden_paths(oracle_sf_dir())
+    return {
+        "format_pages": _format_pages_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "incremental_new": _incremental_new_sql(),
         "exsub_dedup": f"""
 SELECT url, clean_md5, n_chars_removed, n_dup_windows
-FROM read_parquet('{exsub}') ORDER BY url
+FROM read_parquet('{g["exsub"]}') ORDER BY url
 """,
-        "ftquality_documents": f"""
-SELECT doc_id, quality_prob, quality_label
-FROM read_parquet('{ftq}') ORDER BY doc_id
-""",
-        "doc_compression": f"""
-SELECT doc_id, n_bytes, compression_ratio
-FROM read_parquet('{comp}') ORDER BY doc_id
-""",
-        "pii_detections": f"""
-SELECT url, entity_type, CAST("start" AS INTEGER) AS "start",
-       CAST("end" AS INTEGER) AS "end", score, pattern_name
-FROM read_parquet('{det}') ORDER BY url, "start", "end", entity_type
-""",
-        "pii_entity_counts": f"""
-SELECT entity_type, count(*) AS n
-FROM read_parquet('{det}') GROUP BY entity_type ORDER BY entity_type
-""",
-        "pii_scrub_pages": f"""
-SELECT url, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
-FROM read_parquet('{scrub_pages}') ORDER BY url
-""",
-        "pii_scrub": f"""
-SELECT doc_id, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
-FROM read_parquet('{scrub_docs}') ORDER BY doc_id
-""",
-        "quality_pipeline": f"""
-SELECT doc_id, lang_pred, ppl, keep
-FROM read_parquet('{qp}') ORDER BY doc_id
+        "sampled_documents": _sampled_documents_sql(),
+        "token_shards": ORACLE_SQL["token_shards"],
+        # NOT a parquet read-back: DuckDB re-runs the NTILE window itself
+        # over the golden (lang_pred, ppl) columns, so Spark's window
+        # arithmetic is checked against an independent implementation
+        "ppl_buckets": f"""
+WITH r AS (
+  SELECT doc_id, lang_pred, ppl,
+         ntile(3) OVER (PARTITION BY lang_pred ORDER BY ppl, doc_id) AS nt
+  FROM read_parquet('{g["qp"]}')
+)
+SELECT doc_id, lang_pred, ppl,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM r ORDER BY doc_id
 """,
         # NOT a parquet read-back: re-joined against the SQL token expression
         # and re-aggregated in DuckDB, so the GROUP BY itself is checked
@@ -1254,52 +1468,62 @@ SELECT q.lang_pred,
              / count(*), 6) AS keep_rate,
        CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
        round(avg(CASE WHEN q.keep THEN q.ppl END), 2) AS kept_ppl_avg
-FROM read_parquet('{qp}') q JOIN toks t USING (doc_id)
+FROM read_parquet('{g["qp"]}') q JOIN toks t USING (doc_id)
 GROUP BY q.lang_pred
 ORDER BY q.lang_pred
 """,
-        # NOT a parquet read-back: DuckDB re-runs the NTILE window itself
-        # over the golden (lang_pred, ppl) columns, so Spark's window
-        # arithmetic is checked against an independent implementation
-        "ppl_buckets": f"""
-WITH r AS (
-  SELECT doc_id, lang_pred, ppl,
-         ntile(3) OVER (PARTITION BY lang_pred ORDER BY ppl, doc_id) AS nt
-  FROM read_parquet('{qp}')
-)
-SELECT doc_id, lang_pred, ppl,
-       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-         AS ppl_bucket
-FROM r ORDER BY doc_id
+        "quality_pipeline": f"""
+SELECT doc_id, lang_pred, ppl, keep
+FROM read_parquet('{g["qp"]}') ORDER BY doc_id
 """,
+        "page_signals": _page_signals_sql(),
+        "doc_token_stats": _doc_token_stats_joined_sql(g["comp"]),
+        "langid_documents": _langid_joined_sql(g["ftl"]),
+        "doc_quality_flags": _doc_quality_flags_joined_sql(g["ftq"]),
+        "doc_quality_agg": ORACLE_SQL["doc_quality_agg"],
+        "quality_funnel": ORACLE_SQL["quality_funnel"],
+        "scrub_documents": _scrub_documents_sql(g["scrub_docs"]),
+        "pii_detections": f"""
+SELECT url, entity_type, CAST("start" AS INTEGER) AS "start",
+       CAST("end" AS INTEGER) AS "end", score, pattern_name
+FROM read_parquet('{g["det"]}') ORDER BY url, "start", "end", entity_type
+""",
+        "pii_counts": _pii_counts_sql(g["det"]),
+        "pii_scrub_pages": f"""
+SELECT url, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
+FROM read_parquet('{g["scrub_pages"]}') ORDER BY url
+""",
+        "line_dedup_pages": _line_dedup_both_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "host_rollup": _host_rollup_sql(),
+        "host_quota": _host_quota_sql(),
+        "doc_fingerprints": _doc_fingerprints_joined_sql(),
+        "exact_dup_keepers": ORACLE_SQL["exact_dup_keepers"],
+        "minhash_bands": ORACLE_SQL["minhash_bands"],
+        "jaccard_consecutive": ORACLE_SQL["jaccard_consecutive"],
+        "near_dup_components": ORACLE_SQL["near_dup_components"],
+        "embedding_topk": _embedding_topk_methods_sql(),
+        "embedding_near_dup": _embedding_near_dup_methods_sql(),
+        "semantic_outliers": _semantic_outliers_sql(),
+        "multimodal": _multimodal_joined_sql(),
+        "severity_rollup": ORACLE_SQL["severity_rollup"],
+        "events_asof_attribution": ORACLE_SQL["events_asof_attribution"],
+        "acctbal_range_join": ORACLE_SQL["acctbal_range_join"],
+        "pricing_summary": ORACLE_SQL["pricing_summary"],
+        "customer_order_extremes": _CUSTOMER_ORDER_EXTREMES_SQL,
+        "region_revenue": ORACLE_SQL["region_revenue"],
+        "nation_profile": _NATION_PROFILE_SQL,
+        "promo_revenue": ORACLE_SQL["promo_revenue"],
+        "rolling_revenue": ORACLE_SQL["rolling_revenue"],
+        "order_rank_per_customer": ORACLE_SQL["order_rank_per_customer"],
+        "sales_cube": ORACLE_SQL["sales_cube"],
+        "segment_setops": ORACLE_SQL["segment_setops"],
+        "events_hourly": ORACLE_SQL["events_hourly"],
+        "events_sessionized": ORACLE_SQL["events_sessionized"],
+        "events_json": ORACLE_SQL["events_json"],
+        "event_transitions": ORACLE_SQL["event_transitions"],
+        "events_pivot": ORACLE_SQL["events_pivot"],
     }
-
-
-def all_oracles() -> dict:
-    """Full oracle map — every catalog query carries a value-level oracle.
-    ``pii_subset_counts`` and the golden-backed entries are assembled here
-    rather than at module import: building them materializes the oracle /
-    golden parquets (so DuckDB's read_parquet always finds them) and bakes
-    in absolute paths — a filesystem side effect importers of this module
-    must not pay."""
-    from ..testing.goldens import oracle_sf_dir
-
-    d = dict(ORACLE_SQL)
-    d["pii_subset_counts"] = _pii_subset_counts_sql()
-    d["line_dedup_pages"] = _line_dedup_pages_sql()
-    d["host_rollup"] = _host_rollup_sql()
-    d["host_quota"] = _host_quota_sql()
-    d["c4_line_filter"] = _c4_line_filter_sql()
-    d["semantic_outliers"] = _semantic_outliers_sql()
-    d["doc_repetition_metrics"] = _doc_repetition_metrics_sql()
-    d["url_dedup"] = _url_dedup_sql()
-    d["incremental_new"] = _incremental_new_sql()
-    d["warc_pages"] = _warc_pages_sql()
-    d["jsonl_pages"] = _jsonl_pages_sql()
-    d["c4_line_dedup"] = _c4_line_dedup_sql()
-    d["decontaminate"] = _decontaminate_sql()
-    d.update(_golden_oracles(oracle_sf_dir()))
-    return d
 
 
 def _mm_u16(src: str, i: int) -> str:
