@@ -40,6 +40,12 @@ class Snapshot:
     group_ids: List[int]
     data_paths: List[str]
     counters: Dict[str, int] = field(default_factory=dict)
+    # a checkpoint manifest carries the MERGED state of all its ancestors
+    # (compact_manifests): readers resolve the latest checkpoint plus its
+    # descendants, so every older manifest is superseded and expirable.
+    # Manifests written before this field existed deserialize with the
+    # default — they are ordinary (non-checkpoint) snapshots.
+    checkpoint: bool = False
 
 
 class SnapshotStore:
@@ -61,15 +67,27 @@ class SnapshotStore:
         out.sort(key=lambda s: s.snapshot_id)
         return out
 
+    def live_snapshots(self) -> List[Snapshot]:
+        """The snapshots that define current table state: the latest
+        checkpoint (which carries the merged state of everything before it)
+        plus every later snapshot. With no checkpoint, all snapshots are
+        live. Everything before the latest checkpoint is superseded —
+        readable history until ``expire_snapshots`` garbage-collects it."""
+        snaps = self.snapshots()
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].checkpoint:
+                return snaps[i:]
+        return snaps
+
     def committed_groups(self) -> Set[int]:
-        return {g for s in self.snapshots() for g in s.group_ids}
+        return {g for s in self.live_snapshots() for g in s.group_ids}
 
     def data_paths(self) -> List[str]:
-        return [p for s in self.snapshots() for p in s.data_paths]
+        return [p for s in self.live_snapshots() for p in s.data_paths]
 
     def counters(self) -> Dict[str, int]:
         total: Dict[str, int] = {}
-        for s in self.snapshots():
+        for s in self.live_snapshots():
             for k, v in s.counters.items():
                 total[k] = total.get(k, 0) + v
         return total
@@ -79,7 +97,11 @@ class SnapshotStore:
 
     # -- committing -------------------------------------------------------
     def commit(
-        self, group_ids: List[int], data_paths: List[str], counters: Dict[str, int]
+        self,
+        group_ids: List[int],
+        data_paths: List[str],
+        counters: Dict[str, int],
+        checkpoint: bool = False,
     ) -> Snapshot:
         snaps = self.snapshots()
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
@@ -89,6 +111,7 @@ class SnapshotStore:
             group_ids=sorted(group_ids),
             data_paths=sorted(data_paths),
             counters=dict(counters),
+            checkpoint=checkpoint,
         )
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
@@ -117,3 +140,72 @@ class SnapshotStore:
         finally:
             os.close(dfd)
         return snap
+
+    # -- lifecycle (Iceberg expire-snapshots / rewrite-manifests analogs) --
+    def compact_manifests(self) -> Snapshot:
+        """Merge current table state into ONE checkpoint manifest (Iceberg
+        rewrite_manifests analog): a long-lived table otherwise accumulates
+        one manifest per commit, and every read/resume lists and parses all
+        of them. Publishing uses the same fsync+link CAS as commit, so a
+        crash mid-compaction leaves the old manifests authoritative and the
+        retry publishes under the next id. Ancestors stay on disk (and
+        readable as history) until ``expire_snapshots``."""
+        live = self.live_snapshots()
+        if not live:
+            raise FileNotFoundError(f"nothing to compact under {self.root}")
+        return self.commit(
+            group_ids=sorted({g for s in live for g in s.group_ids}),
+            data_paths=sorted({p for s in live for p in s.data_paths}),
+            counters=self.counters(),
+            checkpoint=True,
+        )
+
+    def expire_snapshots(self) -> int:
+        """Delete the manifest FILES superseded by the latest checkpoint
+        (Iceberg expire_snapshots analog). Data directories are untouched —
+        every live group is referenced by the checkpoint. Safe in any crash
+        order: readers resolve state from the latest checkpoint onward, so
+        a half-finished expiry only leaves extra (ignored) history files.
+        Returns the number of manifests removed."""
+        live_ids = {s.snapshot_id for s in self.live_snapshots()}
+        removed = 0
+        for name in sorted(os.listdir(self.snap_dir)):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            sid = int(name[len("manifest-"):-len(".json")])
+            if sid not in live_ids:
+                os.unlink(os.path.join(self.snap_dir, name))
+                removed += 1
+        return removed
+
+    def remove_orphans(self, min_age_s: float = 3600.0) -> List[str]:
+        """Delete data/group=* directories no live manifest references
+        (Iceberg remove_orphan_files analog): the leftovers of a run that
+        crashed after writing a group but before publishing its manifest.
+        ``min_age_s`` guards against deleting an IN-FLIGHT writer's
+        directory — only dirs whose newest file is older than the window
+        are collected (Iceberg's older_than, same rationale). Returns the
+        removed paths."""
+        import shutil
+        import time
+
+        live = {os.path.normpath(p) for p in self.data_paths()}
+        data_dir = os.path.join(self.root, "data")
+        removed = []
+        now = time.time()
+        for name in sorted(os.listdir(data_dir)):
+            path = os.path.join(data_dir, name)
+            if not os.path.isdir(path) or os.path.normpath(path) in live:
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _dn, fs in os.walk(path)
+                    for f in fs
+                ),
+                default=os.path.getmtime(path),
+            )
+            if now - newest >= min_age_s:
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed

@@ -542,3 +542,104 @@ def ensure_pages_parquet(n: int = 500) -> str:
     if not os.path.exists(path):
         write_pages_parquet(path, n)
     return path
+
+
+def write_host_variant_pages_parquet(
+    path: str,
+    n: int,
+    hosts: str = "hot",
+    hot_frac: float = 0.4,
+    seed: int = SEED,
+    n_files: int = 1,
+) -> str:
+    """The pages corpus with a CONTROLLED host distribution (additive
+    fixture — bench skew evidence, see bench.py run_skew_bench):
+
+    - ``hosts='uniform'``: round-robin over the 20 corpus hosts (max host
+      share 5% — the no-skew baseline);
+    - ``hosts='hot'``: one planted host owns ``hot_frac`` of the rows (the
+      Zipf-head stress case; deterministic — rows i < n*hot_frac move).
+
+    Only the url's authority changes; text/html payloads are byte-identical
+    to ``write_pages_parquet`` of the same (n, seed), so timing differences
+    between the two variants isolate the host-distribution effect."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pages_df(n, seed)
+    if hosts == "uniform":
+        urls = [f"https://{HOSTS[i % len(HOSTS)]}/page-{i}" for i in range(n)]
+    elif hosts == "hot":
+        k = int(n * hot_frac)
+        urls = [
+            f"https://hot00.example.com/page-{i}" if i < k
+            else f"https://{HOSTS[i % len(HOSTS)]}/page-{i}"
+            for i in range(n)
+        ]
+    else:
+        raise ValueError(f"unknown hosts variant {hosts!r}")
+    df = df.assign(url=urls)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),  # Spark rejects NANOS parquet
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    if n_files == 1:
+        pq.write_table(table, path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    step = (n + n_files - 1) // n_files
+    for f in range(n_files):
+        pq.write_table(
+            table.slice(f * step, step),
+            os.path.join(path, f"part-{f:04d}.parquet"),
+        )
+    return path
+
+
+def write_wide_csv(path: str, n_rows: int, n_files: int = 8, seed: int = SEED) -> str:
+    """A 10-column PII-bearing CSV at bench scale (additive fixture — the
+    csv_redactor surface's scale evidence): person/contact/account fields
+    drawn from the same deterministic generators as the pages corpus, plus
+    a free-text notes cell. Written as n_files shards so the scan (and the
+    one-Exchange reassembly) actually parallelizes."""
+    import csv as _csv
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    cols = ["record_id", "name", "email", "phone", "tfn", "address",
+            "company", "signup_date", "ip", "notes"]
+    step = (n_rows + n_files - 1) // n_files
+    for f in range(n_files):
+        rows = []
+        for i in range(f * step, min((f + 1) * step, n_rows)):
+            rng = random.Random(seed * 7_000_003 + i)
+            first = rng.choice(FIRST_NAMES)
+            last = rng.choice(SURNAMES)
+            host = _pick_host(rng)
+            rows.append([
+                str(i),
+                f"{first} {last}",
+                f"{first.lower()}.{last.lower()}{i}@{host}",
+                f"04{rng.randrange(10**8):08d}",
+                f"{rng.randrange(10**9):09d}" if i % 3 == 0 else "",
+                f"{rng.randrange(1, 400)} {rng.choice(SURNAMES)} St",
+                f"{rng.choice(SURNAMES)} Pty Ltd",
+                f"202{rng.randrange(0, 6)}-{rng.randrange(1, 13):02d}-"
+                f"{rng.randrange(1, 29):02d}",
+                f"10.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}",
+                f"met with {rng.choice(FIRST_NAMES)} about the contract"
+                if i % 2 else "no follow-up needed",
+            ])
+        with open(os.path.join(path, f"part-{f:04d}.csv"), "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(cols)
+            w.writerows(rows)
+    return path

@@ -376,3 +376,97 @@ def test_corpus_near_dup_families(spark, pages_small):
     ver = jaccard_verify_pairs(fam, cand, id_col="url", text_col="text",
                                threshold=0.8)
     assert ver.count() == 3  # full 3-clique of verified near-dup pairs
+
+
+# --- snapshot lifecycle (expire / compact / orphan GC) -----------------------
+
+
+def test_manifest_compaction_preserves_state():
+    """compact_manifests merges N manifests into ONE checkpoint with
+    identical table state (groups, paths, counters); expire_snapshots then
+    removes only the superseded files and nothing observable changes."""
+    import tempfile
+
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    with tempfile.TemporaryDirectory() as root:
+        store = SnapshotStore(root)
+        for gid in range(3):
+            store.commit([gid], [store.group_path(gid)], {"docs": 10 + gid})
+        before = (store.committed_groups(), store.data_paths(), store.counters())
+
+        cp = store.compact_manifests()
+        assert cp.checkpoint and cp.snapshot_id == 4
+        after = (store.committed_groups(), sorted(store.data_paths()),
+                 store.counters())
+        assert after == (before[0], sorted(before[1]), before[2])
+
+        assert store.expire_snapshots() == 3
+        assert [s.snapshot_id for s in store.snapshots()] == [4]
+        assert (store.committed_groups(), store.counters()) == (
+            before[0], before[2])
+
+        # post-checkpoint commits append normally and a re-compaction
+        # folds them into the next checkpoint
+        store.commit([7], [store.group_path(7)], {"docs": 1})
+        assert store.counters()["docs"] == 34
+        store.compact_manifests()
+        store.expire_snapshots()
+        assert len(store.snapshots()) == 1
+        assert store.counters()["docs"] == 34
+
+
+def test_remove_orphans_age_guard():
+    """Orphan GC removes only UNreferenced group dirs older than the age
+    window: a live group and a fresh (possibly in-flight) dir survive."""
+    import tempfile
+
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    with tempfile.TemporaryDirectory() as root:
+        store = SnapshotStore(root)
+        for gid in (0, 1):
+            os.makedirs(store.group_path(gid))
+            with open(os.path.join(store.group_path(gid), "part-0.parquet"), "w") as f:
+                f.write("x")
+        store.commit([0], [store.group_path(0)], {})
+
+        # group 1 is orphaned but FRESH -> kept under the default window
+        assert store.remove_orphans() == []
+        # with the window at zero it is collected; the live group survives
+        assert store.remove_orphans(min_age_s=0.0) == [store.group_path(1)]
+        assert os.path.isdir(store.group_path(0))
+
+
+def test_resume_after_expiry(spark, pages_small, tmp_path):
+    """GC safety: a partially-committed run whose manifests were compacted
+    and expired still resumes exactly — the checkpoint carries the committed
+    group set, so only the missing groups are reprocessed and the final
+    counters equal a clean full run's."""
+    import json
+
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    ref = str(tmp_path / "ref_out")
+    full = run_pipeline(spark, pages_small, ref, CFG)
+
+    out = str(tmp_path / "gc_out")
+    run_pipeline(spark, pages_small, out, CFG)
+    # simulate the crash AFTER two commits: drop the last two snapshots +
+    # their data dirs (groups 2 and 3 never committed)
+    manifests = sorted(glob.glob(os.path.join(out, "_snapshots", "manifest-*.json")))
+    for m in manifests[-2:]:
+        with open(m) as f:
+            d = json.load(f)
+        os.remove(m)
+        for p in d["data_paths"]:
+            shutil.rmtree(p)
+
+    store = SnapshotStore(out)
+    store.compact_manifests()
+    assert store.expire_snapshots() == 2
+    assert store.committed_groups() == {0, 1}
+
+    resumed = run_pipeline(spark, pages_small, out, CFG)
+    assert resumed == full
+    assert read_output(spark, out).count() == read_output(spark, ref).count()
