@@ -68,16 +68,14 @@ def repetition_stats(
     )
 
 
-def compression_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, n_bytes, compression_ratio): deflate ratio per doc
-    (core.quality.compression_ratio spec, zlib level pinned there).
-
-    Only the compressed byte COUNT crosses the Arrow boundary (one int64 per
-    doc); n_bytes is JVM octet_length and the division happens JVM-side, so
-    the UDF payload is minimal and the compression work is embarrassingly
-    parallel row-local CPU — exactly what executors scale linearly on."""
+def compression_cols(text_col):
+    """(n_bytes, compression_ratio) column pair for ``text_col`` — the
+    composable form of ``compression_stats``, so a catalog query can fuse
+    the codec signal into a wider single-pass select (no join/Exchange).
+    Only the compressed byte COUNT crosses the Arrow boundary (one int64
+    per doc); n_bytes is JVM octet_length and the division happens
+    JVM-side, so the UDF payload is minimal and the compression work is
+    embarrassingly parallel row-local CPU."""
     import zlib
 
     from ..core.quality import ZLIB_LEVEL
@@ -93,14 +91,25 @@ def compression_stats(
     # coalesce: the UDF maps NULL text to 0 compressed bytes and the golden
     # spec writes n_bytes=0 — octet_length(NULL) is NULL, which would fork
     # the engines on any table with a NULL text row (one-spec rule)
-    n_bytes = F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
-    zl = zlen_udf(F.col(text_col))
+    n_bytes = F.coalesce(F.octet_length(text_col), F.lit(0))
+    zl = zlen_udf(text_col)
+    ratio = (
+        F.when(n_bytes > 0, zl.cast("double") / n_bytes).otherwise(F.lit(0.0))
+    )
+    return n_bytes.cast("long"), ratio
+
+
+def compression_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bytes, compression_ratio): deflate ratio per doc
+    (core.quality.compression_ratio spec, zlib level pinned there) — the
+    frame form of ``compression_cols``."""
+    n_bytes, ratio = compression_cols(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_bytes.cast("long").alias("n_bytes"),
-        F.when(n_bytes > 0, zl.cast("double") / n_bytes)
-        .otherwise(F.lit(0.0))
-        .alias("compression_ratio"),
+        n_bytes.alias("n_bytes"),
+        ratio.alias("compression_ratio"),
     )
 
 

@@ -417,9 +417,14 @@ def q_doc_quality_flags(spark, sf_dir):
     the prob is rounded 6dp for the value hash."""
     from ..core.ftquality import QUALITY_THRESHOLD
 
-    d = _t(spark, sf_dir, "documents")
-    out = add_quality_columns(d, "text", "lang")
-    flags = out.select(
+    d = _t_wide(spark, sf_dir, "documents")
+    fq = make_ftquality_udf(spark)
+    # single pass: add_quality_columns keeps text, so the classifier UDF
+    # rides the same projection — no two-branch self-join shuffle
+    out = add_quality_columns(d, "text", "lang").withColumn(
+        "qp", fq(F.col("text"))
+    )
+    return out.select(
         "doc_id",
         "n_words",
         F.round("mean_word_len", 6).alias("mean_word_len"),
@@ -429,18 +434,9 @@ def q_doc_quality_flags(spark, sf_dir):
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
         *[F.col(f"rule_{n}").alias(f"rule_{n}") for n in Q.RULE_NAMES],
         "rules_pass",
-    )
-    fq = make_ftquality_udf(spark)
-    model = (
-        _t_wide(spark, sf_dir, "documents")
-        .withColumn("qp", fq(F.col("text")))
-        .select(
-            "doc_id",
-            F.round(F.col("qp"), 6).alias("quality_prob"),
-            (F.col("qp") >= QUALITY_THRESHOLD).alias("quality_label"),
-        )
-    )
-    return flags.join(model, "doc_id").orderBy("doc_id")
+        F.round(F.col("qp"), 6).alias("quality_prob"),
+        (F.col("qp") >= QUALITY_THRESHOLD).alias("quality_label"),
+    ).orderBy("doc_id")
 
 
 def q_quality_funnel(spark, sf_dir):
@@ -495,21 +491,20 @@ def q_doc_token_stats(spark, sf_dir):
     (operators.textstats.compression_stats — only the compressed byte count
     crosses Arrow). One catalog entry, two operators, both value-gated: the
     counts against DuckDB SQL, the codec against the golden parquet."""
-    d = _t(spark, sf_dir, "documents")
-    comp = TS.compression_stats(_t_wide(spark, sf_dir, "documents"))
-    return (
-        TS.token_stats(d)
-        .join(comp, "doc_id")
-        .select(
-            "doc_id",
-            "n_chars",
-            "n_words",
-            "n_tokens",
-            "n_bytes",
-            F.round("compression_ratio", 6).alias("compression_ratio"),
-        )
-        .orderBy("doc_id")
-    )
+    d = _t_wide(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_bytes, ratio = TS.compression_cols(text)
+    # single pass — counts and the codec signal come out of ONE projection
+    # over one scan (a two-branch self-join here would shuffle the whole
+    # documents table at scale for no reason)
+    return d.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        F.regexp_count(text, F.lit(r"\S+")).alias("n_words"),
+        F.regexp_count(text, F.lit(TOKEN_RE)).alias("n_tokens"),
+        n_bytes.alias("n_bytes"),
+        F.round(ratio, 6).alias("compression_ratio"),
+    ).orderBy("doc_id")
 
 
 def q_langid_documents(spark, sf_dir):
@@ -519,18 +514,24 @@ def q_langid_documents(spark, sf_dir):
     (hashed char n-grams against a driver-trained broadcast matrix — golden
     parquet gate, a trained model is not re-derivable in ANSI SQL)."""
     d = _t_wide(spark, sf_dir, "documents")
-    out = TS.language_id(d)
+    lid = make_langid_udf()
     ft = make_ftlang_udf(spark)
-    ftd = d.withColumn("ft", ft(F.col("text"))).select(
-        "doc_id",
-        F.col("ft.lang").alias("ft_lang"),
-        F.round(F.col("ft.prob"), 6).alias("ft_prob"),
-    )
+    # single pass: both Arrow UDFs evaluate in ONE projection (Spark fuses
+    # adjacent Python UDFs into one ArrowEvalPython node — text crosses the
+    # Arrow boundary once); a two-branch self-join would shuffle instead
     return (
-        out.select(
-            "doc_id", "lang_pred", F.round("lang_conf", 6).alias("lang_conf")
+        d.select(
+            "doc_id",
+            lid(F.col("text")).alias("lid"),
+            ft(F.col("text")).alias("ft"),
         )
-        .join(ftd, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lid.lang").alias("lang_pred"),
+            F.round(F.col("lid.conf"), 6).alias("lang_conf"),
+            F.col("ft.lang").alias("ft_lang"),
+            F.round(F.col("ft.prob"), 6).alias("ft_prob"),
+        )
         .orderBy("doc_id")
     )
 
@@ -685,7 +686,10 @@ def q_embedding_topk(spark, sf_dir):
     centroid-probed top-5 (deterministic centroid picks re-derived in SQL).
     LSH/IVF are the 100-TB paths; recall vs brute force is additionally
     asserted in pytest."""
-    e = _t(spark, sf_dir, "embeddings")
+    # _t_wide: BroadcastNestedLoop/broadcast joins inherit the LEFT side's
+    # partitioning — a single small parquet file would run the whole O(n*q)
+    # scoring as ONE task (measured 83s -> ~4s at sf0.1 for the near-dup)
+    e = _t_wide(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -715,7 +719,7 @@ def q_embedding_near_dup(spark, sf_dir):
     oracle replays the bucket arithmetic with the same seeded hyperplanes as
     SQL literals, so the bucketed pair set itself is cross-engine-checked
     (threshold is corpus-relative — this table's max pairwise cosine ≈0.51)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")  # see q_embedding_topk note
 
     def tag(df: DataFrame, m: str) -> DataFrame:
         return df.select(F.lit(m).alias("method"), "id_a", "id_b", "cosine")
@@ -1406,16 +1410,22 @@ def q_page_signals(spark, sf_dir):
     Gopher repetition metrics (dup-line char fraction, top bi/tri-gram char
     fraction; operators.textstats.repetition_stats). All pure row-local JVM
     higher-order expressions — zero shuffle before the catalog ORDER BY."""
-    from ..functions.quality import c4_filter_lines
+    from ..functions.quality import c4_line_keep_cond, repetition_metric_columns
 
     d = _pages(spark)
-    c4 = c4_filter_lines(d).select(
+    # single pass: the C4 filter exprs and the repetition metrics share one
+    # projection over one scan (both are row-local higher-order exprs) —
+    # no two-branch self-join shuffle. Same line/coalesce spelling as
+    # functions.quality.c4_filter_lines (one-spec rule).
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    kept = F.filter(lines, c4_line_keep_cond)
+    rep = repetition_metric_columns(F.col("text"))
+    return d.select(
         "url",
-        F.md5("text_clean").alias("c4_clean_md5"),
-        F.col("n_lines_removed").alias("c4_lines_removed"),
-    )
-    rep = TS.repetition_stats(d, id_col="url")
-    return c4.join(rep, "url").orderBy("url")
+        F.md5(F.array_join(kept, "\n")).alias("c4_clean_md5"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("c4_lines_removed"),
+        *[F.round(v, 6).alias(k) for k, v in rep.items()],
+    ).orderBy("url")
 
 
 def q_scrub_documents(spark, sf_dir):
@@ -1427,21 +1437,23 @@ def q_scrub_documents(spark, sf_dir):
     d = _t_wide(spark, sf_dir, "documents")
     detect = make_detect_udf()
     scrub = make_scrub_udf()
-    pii = d.withColumn("detections", detect(F.col("text"))).select(
-        "doc_id",
-        scrub(F.col("text"), F.col("detections")).alias("scrubbed_text"),
-        F.size("detections").alias("n_entities"),
-    )
     hits = F.regexp_count("text", F.lit(TOXICITY_REGEX))
-    tox = d.select(
-        "doc_id",
-        hits.alias("tox_hits"),
-        (hits <= MAX_TOXICITY_HITS).alias("rule_toxicity"),
-        F.md5(
-            F.regexp_replace(F.col("text"), TOXICITY_REGEX, TOXIC_MASK)
-        ).alias("masked_md5"),
+    # single pass: the PII detect/scrub UDFs and the JVM toxicity columns
+    # share one projection over one scan — no two-branch self-join shuffle
+    return (
+        d.withColumn("detections", detect(F.col("text")))
+        .select(
+            "doc_id",
+            scrub(F.col("text"), F.col("detections")).alias("scrubbed_text"),
+            F.size("detections").alias("n_entities"),
+            hits.alias("tox_hits"),
+            (hits <= MAX_TOXICITY_HITS).alias("rule_toxicity"),
+            F.md5(
+                F.regexp_replace(F.col("text"), TOXICITY_REGEX, TOXIC_MASK)
+            ).alias("masked_md5"),
+        )
+        .orderBy("doc_id")
     )
-    return pii.join(tox, "doc_id").orderBy("doc_id")
 
 
 def q_pii_counts(spark, sf_dir):

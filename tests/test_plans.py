@@ -209,3 +209,24 @@ def test_url_dedup_query_single_exchange(spark, sf001_dir):
     # rangepartitioning of the catalog's deterministic ORDER BY
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_fused_catalog_queries_have_no_join_shuffle(spark, sf001_dir):
+    """The consolidated per-doc queries compute BOTH component column sets
+    in one projection over one scan: no hash Exchange anywhere in the plan
+    (the only Exchanges are _t_wide's explicit round-robin spread and the
+    catalog ORDER BY's rangepartitioning). A two-branch self-join spelling
+    would shuffle the whole table at 100 TB for nothing."""
+    from pii_detection_redaction_spark.plans.queries import (
+        q_doc_quality_flags,
+        q_doc_token_stats,
+        q_langid_documents,
+        q_page_signals,
+        q_scrub_documents,
+    )
+
+    for q in (q_doc_token_stats, q_langid_documents, q_doc_quality_flags,
+              q_scrub_documents, q_page_signals):
+        plan = q(spark, sf001_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (q.__name__, plan)
+        assert "Join" not in plan, (q.__name__, plan)
