@@ -178,15 +178,21 @@ def run_aux_benches(sf: float) -> dict:
     base = os.path.join(REPO, "_data")
     paths = {}
     for variant in ("uniform", "hot"):
+        # filenames embed every generation param (CLAUDE.md fixture rule):
+        # changing a default must mint a new cache path, not reuse stale data
         p = os.path.join(
-            base, f"pages_v{CORPUS_VERSION}_sf{sf}_{variant}hosts"
+            base,
+            f"pages_v{CORPUS_VERSION}_sf{sf}_{variant}hosts_f40_32f_{n}",
         )
         if not os.path.exists(p):
             write_host_variant_pages_parquet(p, n, hosts=variant, n_files=32)
         paths[variant] = p
-    csv_path = os.path.join(base, f"wide_csv_v{CORPUS_VERSION}_sf{sf}")
+    n_csv = max(1000, n // 2)
+    csv_path = os.path.join(
+        base, f"wide_csv_v{CORPUS_VERSION}_sf{sf}_{n_csv}r_32f"
+    )
     if not os.path.exists(csv_path):
-        write_wide_csv(csv_path, max(1000, n // 2), n_files=32)
+        write_wide_csv(csv_path, n_csv, n_files=32)
 
     out = {"hot_host_frac": 0.4, "skew": {}}
     spark = build_session(app_name="bench-aux", master=f"local[{CPUS}]",
@@ -224,7 +230,7 @@ def run_aux_benches(sf: float) -> dict:
         n_det = res["summary"].agg(F.sum("n_detections")).collect()[0][0]
         out["csv_redact"] = {
             "seconds": round(time.perf_counter() - t0, 3),
-            "rows": max(1000, n // 2),
+            "rows": n_csv,
             "cols": 10,
             "detections": int(n_det or 0),
         }
@@ -526,7 +532,10 @@ def main() -> None:
         aux = run_aux_benches(sf)
         result["skew"] = aux["skew"]
         result["csv_redact"] = aux["csv_redact"]
-        total += aux["csv_redact"]["seconds"] + sum(aux["skew"].values())
+        total += aux["csv_redact"]["seconds"] + sum(
+            v for k, v in aux["skew"].items()
+            if k != "bucket_max_over_mean_hot"  # ratio, not seconds
+        )
         print(f"  aux: {aux}", file=sys.stderr)
 
     if not skip_scaling:

@@ -23,15 +23,22 @@ from ..functions.udfs import make_langid_udf
 TOKEN_RE = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]"
 
 
+def token_stat_cols(text) -> dict:
+    """{n_chars, n_words, n_tokens} column map for ``text`` — the ONE
+    spelling of the count expressions (all regexp_count, codegen'd),
+    shared by the frame form below and the fused catalog entry."""
+    return {
+        "n_chars": F.length(text),
+        "n_words": F.regexp_count(text, F.lit(r"\S+")),
+        "n_tokens": F.regexp_count(text, F.lit(TOKEN_RE)),
+    }
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace words, BPE-ish tokens, chars — all regexp_count, codegen'd."""
-    text = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        F.length(text).alias("n_chars"),
-        F.regexp_count(text, F.lit(r"\S+")).alias("n_words"),
-        F.regexp_count(text, F.lit(TOKEN_RE)).alias("n_tokens"),
-    )
+    """Whitespace words, BPE-ish tokens, chars (frame form of
+    ``token_stat_cols``)."""
+    cols = token_stat_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
 
 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -768,7 +768,12 @@ def _line_dedup_pages_sql() -> str:
 
     path = oracle_pages_path()
     return f"""
-WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+WITH pages AS (
+  -- coalesce: NULL text behaves as '' (one blank kept line) so every input
+  -- document yields exactly one output row — same rule as the Spark
+  -- operators and functions.quality.c4_filter_lines (one-spec rule)
+  SELECT url, coalesce(text, '') AS text FROM read_parquet('{path}')
+),
 lines AS (
   SELECT url,
          unnest(string_split(text, chr(10))) AS line,
@@ -801,7 +806,10 @@ def _c4_line_dedup_sql() -> str:
 
     path = oracle_pages_path()
     return f"""
-WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+WITH pages AS (
+  -- coalesce: see _line_dedup_pages_sql (one-spec NULL-text rule)
+  SELECT url, coalesce(text, '') AS text FROM read_parquet('{path}')
+),
 lines AS (
   SELECT url,
          unnest(string_split(text, chr(10))) AS line,

@@ -62,19 +62,32 @@ def prepare_corpus(
     cfg = cfg or PipelineConfig()
     if quality_threshold is not None and not cfg.quality_classifier:
         cfg = replace(cfg, quality_classifier=True)
+    # resume guard — checked BEFORE run_pipeline appends new groups: if a
+    # prior run committed groups WITHOUT quality_prob, resuming with the
+    # classifier on would mix schemas (the old groups' rows read
+    # quality_prob=NULL and the threshold filter silently drops them all).
+    # Checking after the run would miss exactly the crashed-midway case,
+    # because Spark may sample a NEW group's footer for the union schema.
+    if quality_threshold is not None:
+        from ..sources.snapshots import SnapshotStore
+
+        prior = SnapshotStore(scrub_root).data_paths()
+        # per-group schema check: a union-level .columns can sample any one
+        # footer, which would hide a mixed store
+        stale = [
+            p for p in prior
+            if "quality_prob" not in spark.read.parquet(p).columns
+        ]
+        if stale:
+            raise ValueError(
+                f"quality_threshold set but committed snapshot groups "
+                f"{stale} under {scrub_root!r} carry no quality_prob column "
+                f"(they were written with quality_classifier=False); re-run "
+                f"with a fresh out_root or delete the stale snapshots"
+            )
     c = dict(run_pipeline(spark, input_path, scrub_root, cfg,
                           input_format=input_format))
     kept = read_output(spark, scrub_root).filter(F.col("keep"))
-    # resume guard: snapshot groups committed by a prior run with a
-    # different classifier setting would lack quality_prob and the union
-    # would silently mix schemas — refuse with a clear message instead
-    if quality_threshold is not None and "quality_prob" not in kept.columns:
-        raise ValueError(
-            f"quality_threshold set but committed snapshots under "
-            f"{scrub_root!r} carry no quality_prob column (they were "
-            f"written with quality_classifier=False); re-run with a fresh "
-            f"out_root or delete the stale snapshots"
-        )
 
     # 1b) optional model gate ON TOP of the frozen rule keep/drop: drop kept
     # docs the fastText-architecture classifier scores under the threshold
@@ -131,13 +144,16 @@ def prepare_corpus(
         # gzip JSONL for trainers that consume text dumps — but ALWAYS
         # write the parquet final/ too: the ingest/compact registry
         # enumerates <root>/final and increments/*/final, so a jsonl-only
-        # corpus would silently contribute nothing to compaction
-        jsonl_path = os.path.join(out_root, "final_jsonl")
-        writer.option("compression", "gzip").json(jsonl_path)
-        final.repartition(F.col("shard_id")).write.mode(
-            "overwrite"
-        ).parquet(final_path)
+        # corpus would silently contribute nothing to compaction. Parquet
+        # first, JSONL from the read-back: two independent actions over
+        # the unpersisted `final` would run token_shards' windows and the
+        # shard join twice.
+        writer.parquet(final_path)
         out = spark.read.parquet(final_path)
+        jsonl_path = os.path.join(out_root, "final_jsonl")
+        out.repartition(F.col("shard_id")).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).json(jsonl_path)
     elif output_format == "parquet":
         writer.parquet(final_path)
         out = spark.read.parquet(final_path)

@@ -493,15 +493,14 @@ def q_doc_token_stats(spark, sf_dir):
     counts against DuckDB SQL, the codec against the golden parquet."""
     d = _t_wide(spark, sf_dir, "documents")
     text = F.col("text")
+    counts = TS.token_stat_cols(text)
     n_bytes, ratio = TS.compression_cols(text)
     # single pass — counts and the codec signal come out of ONE projection
     # over one scan (a two-branch self-join here would shuffle the whole
     # documents table at scale for no reason)
     return d.select(
         "doc_id",
-        F.length(text).alias("n_chars"),
-        F.regexp_count(text, F.lit(r"\S+")).alias("n_words"),
-        F.regexp_count(text, F.lit(TOKEN_RE)).alias("n_tokens"),
+        *[v.alias(k) for k, v in counts.items()],
         n_bytes.alias("n_bytes"),
         F.round(ratio, 6).alias("compression_ratio"),
     ).orderBy("doc_id")
@@ -1524,28 +1523,16 @@ def q_customer_order_extremes(spark, sf_dir):
     """Customer order extremes, tagged by kind: 'top10' = join + agg +
     deterministic top-k by revenue; 'no_orders' = anti join (NOT EXISTS)
     customers, revenue/n_orders NULL."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    top = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(10)
-        .select(
-            F.lit("top10").alias("kind"),
-            "c_custkey",
-            "c_name",
-            "revenue",
-            "n_orders",
-        )
+    # compose the verified components (don't re-spell them — a future
+    # tie-break/rounding change must not diverge from this gated entry)
+    top = q_top_customers(spark, sf_dir).select(
+        F.lit("top10").alias("kind"),
+        "c_custkey",
+        "c_name",
+        "revenue",
+        "n_orders",
     )
-    none = c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select(
+    none = q_customers_without_orders(spark, sf_dir).select(
         F.lit("no_orders").alias("kind"),
         "c_custkey",
         "c_name",

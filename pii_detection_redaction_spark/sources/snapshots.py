@@ -189,13 +189,21 @@ class SnapshotStore:
         import shutil
         import time
 
-        live = {os.path.normpath(p) for p in self.data_paths()}
+        # liveness by BASENAME, not raw path string: manifests may record
+        # the committing run's spelling of the root (absolute, relative,
+        # symlinked) while this store was opened under another — a raw
+        # normpath comparison would then match nothing and delete every
+        # LIVE committed group directory. Group dirs all live directly
+        # under root/data, so the basename is the identity.
+        live = {
+            os.path.basename(os.path.normpath(p)) for p in self.data_paths()
+        }
         data_dir = os.path.join(self.root, "data")
         removed = []
         now = time.time()
         for name in sorted(os.listdir(data_dir)):
             path = os.path.join(data_dir, name)
-            if not os.path.isdir(path) or os.path.normpath(path) in live:
+            if not os.path.isdir(path) or name in live:
                 continue
             newest = max(
                 (

@@ -180,3 +180,43 @@ def test_c4_line_filter_plan_is_row_local(spark):
     df = spark.createDataFrame([("a", "x.")], ["url", "text"])
     plan = c4_filter_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_null_text_row_matches_oracle(spark, tmp_path, monkeypatch):
+    """One-spec NULL rule, all three engines: a NULL text row yields exactly
+    one output row with text_clean='' / 0 removed in BOTH line-dedup
+    operators AND their DuckDB oracles (the corpus has no NULLs, so the
+    catalog differential can't exercise this — pin it here)."""
+    import duckdb
+    import pandas as pd
+
+    from pii_detection_redaction_spark.operators import dedup as D
+    from pii_detection_redaction_spark.plans import oracles as O
+    from pii_detection_redaction_spark.plans import queries as Q
+
+    from pii_detection_redaction_spark.core.quality import BOILERPLATE_MIN_DOCS
+
+    path = str(tmp_path / "null_pages.parquet")
+    # the shared line appears in exactly BOILERPLATE_MIN_DOCS docs (the
+    # oracle bakes in the spec constant) plus one NULL-text row
+    urls = [f"https://a/{i}" for i in range(BOILERPLATE_MIN_DOCS)]
+    texts = [f"shared line\nunique {i}" for i in range(BOILERPLATE_MIN_DOCS)]
+    pd.DataFrame(
+        {"url": urls + ["https://a/null"], "text": texts + [None]}
+    ).to_parquet(path)
+    monkeypatch.setattr(Q, "oracle_pages_path", lambda: path)
+
+    df = spark.read.parquet(path)
+    for op, sql_fn, kw in (
+        (D.strip_boilerplate_lines, O._line_dedup_pages_sql, {}),
+        (D.dedup_lines_keep_first, O._c4_line_dedup_sql, {}),
+    ):
+        got = {
+            r.url: (r.text_clean, r.n_lines_removed)
+            for r in op(df, id_col="url", text_col="text", **kw).collect()
+        }
+        exp = {
+            u: (t, n) for u, t, n in duckdb.sql(sql_fn()).fetchall()
+        }
+        assert got == exp, op.__name__
+        assert got["https://a/null"] == ("", 0), op.__name__

@@ -470,3 +470,24 @@ def test_resume_after_expiry(spark, pages_small, tmp_path):
     resumed = run_pipeline(spark, pages_small, out, CFG)
     assert resumed == full
     assert read_output(spark, out).count() == read_output(spark, ref).count()
+
+
+def test_remove_orphans_path_spelling_safe(tmp_path, monkeypatch):
+    """Liveness is by group-dir BASENAME: a store opened under a different
+    spelling of the same root (relative vs the committing run's absolute
+    paths) must NOT collect live committed groups."""
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    root = tmp_path / "store"
+    store = SnapshotStore(str(root))
+    os.makedirs(store.group_path(0))
+    with open(os.path.join(store.group_path(0), "part-0.parquet"), "w") as f:
+        f.write("x")
+    # commit records the ABSOLUTE path
+    store.commit([0], [os.path.abspath(store.group_path(0))], {})
+
+    # reopen under a relative spelling and GC with a zero age window
+    monkeypatch.chdir(tmp_path)
+    rel = SnapshotStore("store")
+    assert rel.remove_orphans(min_age_s=0.0) == []
+    assert os.path.isdir(store.group_path(0))
