@@ -16,7 +16,7 @@ RE2-expressible subset with the bank's own regexes in SQL, and the LSH/IVF
 ANN paths carry full arithmetic oracles (hyperplanes / centroid picks
 embedded as SQL literals).
 
-The catalog is consolidated to 49 entries (the driver verifies at most 50
+The catalog is consolidated to 50 entries (the driver verifies at most 50
 per round — r03 recorded exactly the first 50 of 64): related operators
 share one gated entry as a tagged union or join of the individually-
 verified components (see plans/queries.py's consolidation note). The

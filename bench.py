@@ -75,6 +75,7 @@ HEADLINE = [
     "near_dup_components",
     "pii_counts",           # bank entity counts + SQL-subset counts
     "pii_scrub_pages",
+    "redaction_plan",     # visual-sink math (S8/C18) minus rendering
     "quality_pipeline",
     "doc_quality_flags",    # rule flags + ftquality classifier
     "sampled_documents",    # stratified + token-budget samplers

@@ -1307,6 +1307,72 @@ ORDER BY scope, url, entity_type
 """
 
 
+def _redaction_plan_sql(det_path: str) -> str:
+    """Full re-derivation of the redaction plan from the detections GOLDEN
+    (independently gated via pii_detections) joined to the pages parquet:
+    grid geometry, severity fill color (VALUES list generated from the same
+    SEVERITY_DIM_WITH_COLORS constant), luminance label color, anchors,
+    conf text (exact DECIMAL(4,2) rendering — no printf, whose tie-rounding
+    differs across engines), first-wins dedup. Spec: core.layout."""
+    from ..core import layout as L
+    from ..core.entities import SEVERITY_DIM_WITH_COLORS
+    from .queries import oracle_pages_path
+
+    pages = oracle_pages_path()
+    dim_vals = ", ".join(
+        f"('{e}', '{sv}', {r}, {g}, {b})"
+        for e, sv, r, g, b in SEVERITY_DIM_WITH_COLORS
+    )
+    lr, lg, lb = L.SEVERITY_COLORS[L.DEFAULT_PLAN_SEVERITY]
+    wr, wg, wb = L.LUMA
+    return f"""
+WITH det AS (
+  SELECT url, entity_type, "start", "end", score FROM read_parquet('{det_path}')
+), p AS (SELECT url, text FROM read_parquet('{pages}')),
+j AS (
+  SELECT d.url, d.entity_type, d."start", d."end", d.score, p.text,
+         substr(p.text, d."start" + 1, d."end" - d."start") AS value
+  FROM det d JOIN p USING (url)
+),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY url, entity_type, value
+                               ORDER BY "start", "end") AS rn
+  FROM j
+),
+geo AS (
+  SELECT url, entity_type, value, "start", "end", score,
+    len(string_split(substr(text, 1, "start"), chr(10))) - 1 AS line,
+    length(string_split(substr(text, 1, "start"), chr(10))[-1]) AS col,
+    length(string_split(text, chr(10))[len(string_split(substr(text, 1, "start"), chr(10)))]) AS line_len
+  FROM f WHERE rn = 1
+),
+b AS (
+  SELECT *,
+    {L.MARGIN} + col * {L.CHAR_W} AS x0,
+    {L.MARGIN} + (col + (least("end", "start" - col + line_len) - "start")) * {L.CHAR_W} AS x1,
+    {L.PAGE_H - L.MARGIN} - line * {L.LINE_H} AS y1
+  FROM geo
+),
+dim(entity_type, severity, fr, fg, fb) AS (VALUES {dim_vals}),
+c AS (
+  SELECT b.*, coalesce(dim.fr, {lr}) AS fill_r,
+         coalesce(dim.fg, {lg}) AS fill_g, coalesce(dim.fb, {lb}) AS fill_b
+  FROM b LEFT JOIN dim USING (entity_type)
+)
+SELECT url, entity_type, value, "start", "end", score,
+  'conf: ' || CAST(CAST(round(score, 2) AS DECIMAL(4,2)) AS VARCHAR) AS conf_text,
+  x0, y1 - {L.LINE_H} AS y0, x1, y1,
+  greatest(0.0, x1 - x0) AS rect_w,
+  greatest(0.0, y1 - (y1 - {L.LINE_H})) AS rect_h,
+  x0 + {L.LABEL_DX} AS label_x,
+  y1 - {L.LABEL_DY} AS label_y,
+  y1 - {L.CONF_DY} AS conf_y,
+  fill_r, fill_g, fill_b,
+  (fill_r * {wr} + fill_g * {wg} + fill_b * {wb}) < {L.LUMA_WHITE_BELOW} AS label_white
+FROM c ORDER BY url, "start", "end", entity_type
+"""
+
+
 def _line_dedup_both_sql() -> str:
     return f"""
 SELECT a.url, a.text_clean AS ccnet_text_clean,
@@ -1501,6 +1567,7 @@ FROM read_parquet('{g["det"]}') ORDER BY url, "start", "end", entity_type
 SELECT url, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
 FROM read_parquet('{g["scrub_pages"]}') ORDER BY url
 """,
+        "redaction_plan": _redaction_plan_sql(g["det"]),
         "line_dedup_pages": _line_dedup_both_sql(),
         "decontaminate": _decontaminate_sql(),
         "host_rollup": _host_rollup_sql(),

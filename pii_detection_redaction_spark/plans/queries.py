@@ -945,6 +945,30 @@ def q_pii_scrub_pages(spark, sf_dir):
     )
 
 
+def q_redaction_plan(spark, sf_dir):
+    """The visual redaction sinks' MATH (reference S8/C18), minus rendering:
+    per detection over the pages corpus — span bbox under the declared
+    monospace layout model (core.layout), severity fill color, luminance
+    label color, label/conf anchors, "conf: x.xx" text, and the reference's
+    first-wins (entity_type, span_text) dedup. All row-local JVM after the
+    detect UDF; one near-unique-key window. The DuckDB oracle re-derives
+    every output column from the detections GOLDEN (itself independently
+    gated via pii_detections) joined to the pages parquet."""
+    from ..operators.layout import redaction_plan
+
+    d = _pages(spark)
+    detect = make_detect_udf()
+    det = d.withColumn("dd", F.explode(detect(F.col("text")))).select(
+        "url",
+        F.col("dd.entity_type").alias("entity_type"),
+        F.col("dd.start").alias("start"),
+        F.col("dd.end").alias("end"),
+        F.round(F.col("dd.score"), 4).alias("score"),
+    )
+    out = redaction_plan(spark, det, d)
+    return out.orderBy("url", "start", "end", "entity_type")
+
+
 def q_line_dedup_pages(spark, sf_dir):
     """BOTH corpus-level line-dedup semantics over the pages corpus, one row
     per page: CC-Net-style boilerplate removal (lines shared by >=
@@ -1553,7 +1577,7 @@ def q_multimodal(spark, sf_dir):
     return frames.join(feats, "media_id").orderBy("media_id", "frame_idx")
 
 
-# 49 entries (driver verifies at most 50 per round — see the consolidation
+# 50 entries (driver verifies at most 50 per round — see the consolidation
 # note above). Dict order = the order the driver runs them; entries whose
 # content lacked a driver-green row in r03 come first so a time-budgeted
 # harness still reaches them.
@@ -1580,6 +1604,7 @@ QUERIES = {
     "pii_detections": q_pii_detections,
     "pii_counts": q_pii_counts,
     "pii_scrub_pages": q_pii_scrub_pages,
+    "redaction_plan": q_redaction_plan,
     # --- web corpus ops ---
     "line_dedup_pages": q_line_dedup_pages,
     "decontaminate": q_decontaminate,

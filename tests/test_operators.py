@@ -897,3 +897,45 @@ def test_centroid_cosines_zero_vector_is_null(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {r.vec_id: r.cos_centroid for r in centroid_cosines(df).collect()}
     assert got[1] is None and got[0] is not None
+
+
+def test_redaction_plan_matches_python_spec(spark):
+    """operators.layout's JVM columns reproduce core.layout.plan_row exactly
+    (one spec, three engines — the DuckDB side is the catalog oracle),
+    including multi-line clamp, line starts/ends, first-wins dedup, unknown
+    entity types (-> 'low' color), and the conf decimal rendering."""
+    from pii_detection_redaction_spark.core import layout as L
+    from pii_detection_redaction_spark.operators.layout import redaction_plan
+
+    text = "call 0412 345 678 now\nemail bob@x.co today\nbob@x.co again"
+    pages = spark.createDataFrame([("u1", text)], ["url", "text"])
+    dets = [
+        ("u1", "AU_PHONE_NUMBER", 5, 17, 0.75),
+        ("u1", "EMAIL_ADDRESS", 28, 36, 0.85),   # line 1
+        ("u1", "EMAIL_ADDRESS", 43, 51, 0.85),   # same value, later -> deduped
+        ("u1", "MYSTERY_TYPE", 0, 4, 1.0),       # unknown -> 'low' color
+        ("u1", "DATE_TIME", 18, 25, 0.6),        # crosses the newline -> clamp
+    ]
+    d = spark.createDataFrame(
+        dets, "url string, entity_type string, start int, end int, score double"
+    )
+    rows = {
+        (r.entity_type, r.start): r.asDict()
+        for r in redaction_plan(spark, d, pages).collect()
+    }
+    # first-wins: the second identical (type, value) span is gone
+    assert ("EMAIL_ADDRESS", 43) not in rows
+    assert len(rows) == 4
+    for (et, start), got in rows.items():
+        end = next(e for u, t, s, e, sc in dets if t == et and s == start)
+        score = next(sc for u, t, s, e, sc in dets if t == et and s == start)
+        exp = L.plan_row(text, start, end, et, round(score, 4))
+        for k, v in exp.items():
+            assert got[k] == v, (et, k, got[k], v)
+    # unknown type got the low-severity color and its luminance label
+    m = rows[("MYSTERY_TYPE", 0)]
+    assert (m["fill_r"], m["fill_g"], m["fill_b"]) == L.SEVERITY_COLORS["low"]
+    assert m["label_white"] == L.label_is_white(L.SEVERITY_COLORS["low"])
+    # the clamped span's box ends at its line's last char
+    c = rows[("DATE_TIME", 18)]
+    assert c["x1"] == L.MARGIN + 21 * L.CHAR_W and c["y1"] == L.PAGE_H - L.MARGIN
