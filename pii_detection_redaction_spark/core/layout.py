@@ -51,8 +51,38 @@ LUMA_WHITE_BELOW = 0.5
 # reference analyzer.py:97-102 _pad_rect default — defined there but UNUSED
 # by the live path; kept for API parity, not applied in the gated plan
 RECT_PAD = 1.5
+# reference analyzer.py:186-195 span post-processing, applied BEFORE the
+# dedup key and the bbox: (a) PERSON/ORGANIZATION spans whose nearest
+# preceding non-whitespace char is ':' skip their leading whitespace;
+# (b) every span drops trailing '.,;:'; empty spans are then discarded.
+# Whitespace is the DECLARED ASCII set (the reference uses unicode-aware
+# .rstrip()/.isspace(); charset trims are what Python str.rstrip / Spark
+# rtrim(col, trim) / DuckDB rtrim(s, chars) share exactly — the corpus
+# contains no exotic unicode whitespace).
+WS_CHARS = " \t\n\r\f\x0b"
+TRAIL_PUNCT_CHARS = ".,;:"
+TRIM_COLON_TYPES = ("PERSON", "ORGANIZATION")
 # reference write_redacted_pdf: severity defaults to 'low' for unknown types
 DEFAULT_PLAN_SEVERITY = "low"
+
+
+def postprocess_span(
+    text: str, start: int, end: int, entity_type: str
+) -> Tuple[int, int]:
+    """reference ``pdf_redactor/analyzer.py:186-195``: colon-prefix
+    whitespace skip (PERSON/ORGANIZATION only) then trailing-punctuation
+    strip. Returns the adjusted (start, end); callers drop the detection
+    when end <= start (the reference's ``continue``). The colon rule's net
+    effect — the chars between the colon and the span are all whitespace by
+    construction — is to advance start past the span's own leading
+    whitespace, bounded by end."""
+    if entity_type in TRIM_COLON_TYPES:
+        prefix = text[:start].rstrip(WS_CHARS)
+        if prefix.endswith(":"):
+            span = text[start:end]
+            start += len(span) - len(span.lstrip(WS_CHARS))
+    end = start + len(text[start:end].rstrip(TRAIL_PUNCT_CHARS))
+    return start, end
 
 
 def char_pos(text: str, i: int) -> Tuple[int, int]:

@@ -7,10 +7,15 @@ out-of-scope seam. Spec constants and the pure-Python oracle live in
 core.layout (one spec, three engines — the DuckDB re-derivation is
 plans.oracles._redaction_plan_sql).
 
-Scale shape: the geometry/color/label math is row-local whole-stage-codegen
-JVM (string prefix arithmetic — no UDF, no shuffle); the only Exchange is
-the first-wins window on (url, entity_type, value) — near-unique keys, the
-same shape as the reference's per-document known_spans set.
+Scale shape: span post-processing, geometry, color, and label math are all
+row-local whole-stage-codegen JVM (charset trims + string prefix arithmetic
+— no UDF). Page text is consumed BEFORE any Exchange and dropped, so only
+the narrow plan columns shuffle; when detections already carry the page
+text (the explode-from-pages path) there is no join at all and the single
+Exchange is the first-wins window on (id, entity_type, value) — near-unique
+keys, the same shape as the reference's per-document known_spans set. When
+a separate pages table is supplied, its id-hash join partitioning also
+satisfies the window's clustering, so the window adds no further Exchange.
 """
 
 from __future__ import annotations
@@ -67,37 +72,78 @@ def severity_color_dim(spark) -> DataFrame:
     )
 
 
+def postprocess_spans(
+    d: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """reference ``pdf_redactor/analyzer.py:186-195`` as JVM charset trims
+    (spec: core.layout.postprocess_span): PERSON/ORGANIZATION spans whose
+    nearest preceding non-whitespace char is ':' skip their own leading
+    whitespace; every span drops trailing '.,;:'; emptied spans are
+    discarded. Adjusts the ``start``/``end`` columns in place."""
+    text = F.col(text_col)
+    s0, e0 = F.col("start"), F.col("end")
+    span0 = F.substring(text, s0 + 1, e0 - s0)
+    prefix_stripped = F.rtrim(F.substring(text, F.lit(1), s0), F.lit(L.WS_CHARS))
+    colon_applies = F.col("entity_type").isin(list(L.TRIM_COLON_TYPES)) & (
+        prefix_stripped.endswith(":")
+    )
+    lead_ws = F.length(span0) - F.length(F.ltrim(span0, F.lit(L.WS_CHARS)))
+    s1 = F.when(colon_applies, s0 + lead_ws).otherwise(s0)
+    d = d.withColumn("start", s1)
+    span1 = F.substring(text, F.col("start") + 1, e0 - F.col("start"))
+    e1 = F.col("start") + F.length(F.rtrim(span1, F.lit(L.TRAIL_PUNCT_CHARS)))
+    return d.withColumn("end", e1).filter(F.col("end") > F.col("start"))
+
+
 def redaction_plan(
     spark,
     detections: DataFrame,
-    pages: DataFrame,
+    pages: DataFrame = None,
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
     """Per-detection redaction plan over (detections: id/entity_type/start/
-    end/score, pages: id/text). First-wins dedup per (id, entity_type,
-    value) by (start, end) — the reference's known_spans insertion order.
-    Unknown entity types take the 'low' severity color (reference
-    _color_for_entity default)."""
-    d = detections.join(pages.select(id_col, text_col), id_col)
+    end/score [+ text], pages: id/text or None when detections already
+    carry text_col). Spans are post-processed first (colon-prefix trim,
+    trailing punctuation — reference analyzer.py:186-195), THEN first-wins
+    deduped per (id, entity_type, value) by (start, end) — the reference's
+    known_spans insertion order over trimmed spans. Unknown entity types
+    take the 'low' severity color (reference _color_for_entity default).
+    Page text is consumed row-locally and dropped before the window, so
+    only the narrow plan columns cross the Exchange."""
+    if pages is not None:
+        d = detections.join(pages.select(id_col, text_col), id_col)
+    else:
+        d = detections
+    d = postprocess_spans(d, text_col=text_col)
     text = F.col(text_col)
     value = F.substring(
         text, F.col("start") + 1, F.col("end") - F.col("start")
     )
-    d = d.withColumn("value", value)
+    geo = plan_columns(text, F.col("start"), F.col("end"))
+    d = d.select(
+        F.col(id_col),
+        "entity_type",
+        value.alias("value"),
+        "start",
+        "end",
+        "score",
+        *[v.alias(k) for k, v in geo.items()],
+    )
+    # score is a deterministic tiebreak: two sources can emit the same
+    # (id, type, value, start, end) with different scores; the reference's
+    # scan order is undefined for that degenerate case, so pin min-score
     w = Window.partitionBy(id_col, "entity_type", "value").orderBy(
-        "start", "end"
+        "start", "end", "score"
     )
     d = d.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
-    geo = plan_columns(text, F.col("start"), F.col("end"))
     low = dict(
         zip(("fill_r", "fill_g", "fill_b"),
             (F.lit(float(c)) for c in L.SEVERITY_COLORS[L.DEFAULT_PLAN_SEVERITY]))
     )
     dim = severity_color_dim(spark)
-    lum = None
     out = d.join(F.broadcast(dim), "entity_type", "left")
     fills = {k: F.coalesce(F.col(k), low[k]) for k in ("fill_r", "fill_g", "fill_b")}
     lum = (
@@ -116,7 +162,15 @@ def redaction_plan(
             F.lit("conf: "),
             F.round(F.col("score"), 2).cast("decimal(4,2)").cast("string"),
         ).alias("conf_text"),
-        *[v.alias(k) for k, v in geo.items()],
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        "rect_w",
+        "rect_h",
+        "label_x",
+        "label_y",
+        "conf_y",
         *[v.alias(k) for k, v in fills.items()],
         (lum < L.LUMA_WHITE_BELOW).alias("label_white"),
     )

@@ -1313,7 +1313,10 @@ def _redaction_plan_sql(det_path: str) -> str:
     grid geometry, severity fill color (VALUES list generated from the same
     SEVERITY_DIM_WITH_COLORS constant), luminance label color, anchors,
     conf text (exact DECIMAL(4,2) rendering — no printf, whose tie-rounding
-    differs across engines), first-wins dedup. Spec: core.layout."""
+    differs across engines), span post-processing (analyzer.py:186-195 —
+    colon-prefix whitespace skip for PERSON/ORGANIZATION, trailing '.,;:'
+    strip; charset ltrim/rtrim, exact across engines), first-wins dedup
+    over the trimmed spans. Spec: core.layout."""
     from ..core import layout as L
     from ..core.entities import SEVERITY_DIM_WITH_COLORS
     from .queries import oracle_pages_path
@@ -1325,18 +1328,52 @@ def _redaction_plan_sql(det_path: str) -> str:
     )
     lr, lg, lb = L.SEVERITY_COLORS[L.DEFAULT_PLAN_SEVERITY]
     wr, wg, wb = L.LUMA
+    colon_types = ", ".join(f"'{t}'" for t in L.TRIM_COLON_TYPES)
+    # charset trim sets as SQL literals (chr() for the control chars so the
+    # SQL string survives any quoting layer)
+    ws = "chr(32) || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    assert L.WS_CHARS == " \t\n\r\f\x0b"
+    punct = f"'{L.TRAIL_PUNCT_CHARS}'"
     return f"""
-WITH det AS (
+WITH p AS (SELECT url, text FROM read_parquet('{pages}')),
+det AS (
   SELECT url, entity_type, "start", "end", score FROM read_parquet('{det_path}')
-), p AS (SELECT url, text FROM read_parquet('{pages}')),
-j AS (
-  SELECT d.url, d.entity_type, d."start", d."end", d.score, p.text,
-         substr(p.text, d."start" + 1, d."end" - d."start") AS value
+  UNION ALL
+  -- layout probes, same 1-based strpos math as the Spark query
+  SELECT url, 'ORGANIZATION', strpos(text, ': '),
+         least(strpos(text, ': ') + 12, length(text)), 0.5
+  FROM p WHERE strpos(text, ': ') > 0
+  UNION ALL
+  SELECT url, 'LAYOUT_PROBE', greatest(strpos(text, '. ') - 9, 0),
+         strpos(text, '. '), 0.5
+  FROM p WHERE strpos(text, '. ') > 0
+),
+raw AS (
+  SELECT d.url, d.entity_type, d."start", d."end", d.score, p.text
   FROM det d JOIN p USING (url)
+),
+t1 AS (
+  SELECT * REPLACE (
+    CASE WHEN entity_type IN ({colon_types})
+              AND ends_with(rtrim(substr(text, 1, "start"), {ws}), ':')
+         THEN "start" + length(substr(text, "start" + 1, "end" - "start"))
+                      - length(ltrim(substr(text, "start" + 1, "end" - "start"), {ws}))
+         ELSE "start" END AS "start")
+  FROM raw
+),
+t2 AS (
+  SELECT * REPLACE (
+    "start" + length(rtrim(substr(text, "start" + 1, "end" - "start"), {punct})) AS "end")
+  FROM t1
+),
+j AS (
+  SELECT url, entity_type, "start", "end", score, text,
+         substr(text, "start" + 1, "end" - "start") AS value
+  FROM t2 WHERE "end" > "start"
 ),
 f AS (
   SELECT *, row_number() OVER (PARTITION BY url, entity_type, value
-                               ORDER BY "start", "end") AS rn
+                               ORDER BY "start", "end", score) AS rn
   FROM j
 ),
 geo AS (
@@ -1359,7 +1396,8 @@ c AS (
          coalesce(dim.fg, {lg}) AS fill_g, coalesce(dim.fb, {lb}) AS fill_b
   FROM b LEFT JOIN dim USING (entity_type)
 )
-SELECT url, entity_type, value, "start", "end", score,
+SELECT url, entity_type, value,
+  CAST("start" AS INTEGER) AS "start", CAST("end" AS INTEGER) AS "end", score,
   'conf: ' || CAST(CAST(round(score, 2) AS DECIMAL(4,2)) AS VARCHAR) AS conf_text,
   x0, y1 - {L.LINE_H} AS y0, x1, y1,
   greatest(0.0, x1 - x0) AS rect_w,

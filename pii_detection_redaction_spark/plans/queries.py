@@ -950,22 +950,64 @@ def q_redaction_plan(spark, sf_dir):
     per detection over the pages corpus — span bbox under the declared
     monospace layout model (core.layout), severity fill color, luminance
     label color, label/conf anchors, "conf: x.xx" text, and the reference's
-    first-wins (entity_type, span_text) dedup. All row-local JVM after the
-    detect UDF; one near-unique-key window. The DuckDB oracle re-derives
-    every output column from the detections GOLDEN (itself independently
-    gated via pii_detections) joined to the pages parquet."""
+    first-wins (entity_type, span_text) dedup over POST-PROCESSED spans
+    (reference analyzer.py:186-195 colon-prefix + trailing-punctuation
+    trims, charset-exact in all three engines). All row-local JVM after the
+    detect UDF; text never leaves the explode stage, so the single Exchange
+    is the near-unique-key window over narrow plan columns. The DuckDB
+    oracle re-derives every output column from the detections GOLDEN
+    (itself independently gated via pii_detections) joined to the pages
+    parquet."""
     from ..operators.layout import redaction_plan
 
     d = _pages(spark)
     detect = make_detect_udf()
-    det = d.withColumn("dd", F.explode(detect(F.col("text")))).select(
+    # Deterministic layout PROBES keep the post-processing non-vacuous on
+    # this corpus (the analyzer's own spans are already trimmed, so the
+    # colon/punct rules never fire on them): per page, a raw ORGANIZATION
+    # span starting AT the whitespace after the first ": " (colon rule
+    # fires) and a raw unknown-type span ending just past the first ". "
+    # (trailing-punct rule fires; unknown type also exercises the 'low'
+    # color default). Pure 1-based instr/strpos math, identical in the
+    # DuckDB oracle. Same struct shape as the detect UDF -> one explode.
+    t = F.col("text")
+    p1, p2 = F.instr(t, ": "), F.instr(t, ". ")
+    probes = F.filter(
+        F.array(
+            F.when(
+                p1 > 0,
+                F.struct(
+                    F.lit("ORGANIZATION").alias("entity_type"),
+                    p1.cast("int").alias("start"),
+                    F.least(p1 + 12, F.length(t)).cast("int").alias("end"),
+                    F.lit(0.5).alias("score"),
+                    F.lit("layout_probe").alias("pattern_name"),
+                ),
+            ),
+            F.when(
+                p2 > 0,
+                F.struct(
+                    F.lit("LAYOUT_PROBE").alias("entity_type"),
+                    F.greatest(p2 - 9, F.lit(0)).cast("int").alias("start"),
+                    p2.cast("int").alias("end"),
+                    F.lit(0.5).alias("score"),
+                    F.lit("layout_probe").alias("pattern_name"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    det = d.withColumn(
+        "dd", F.explode(F.concat(detect(t), probes))
+    ).select(
         "url",
+        "text",
         F.col("dd.entity_type").alias("entity_type"),
         F.col("dd.start").alias("start"),
         F.col("dd.end").alias("end"),
         F.round(F.col("dd.score"), 4).alias("score"),
     )
-    out = redaction_plan(spark, det, d)
+    out = redaction_plan(spark, det)
     return out.orderBy("url", "start", "end", "entity_type")
 
 

@@ -907,14 +907,31 @@ def test_redaction_plan_matches_python_spec(spark):
     from pii_detection_redaction_spark.core import layout as L
     from pii_detection_redaction_spark.operators.layout import redaction_plan
 
-    text = "call 0412 345 678 now\nemail bob@x.co today\nbob@x.co again"
+    text = (
+        "call 0412 345 678 now\nemail bob@x.co today\nbob@x.co again\n"
+        "owner: Jane Doe.\nre:\tAcme Pty;;\nref: bob@x.co\n...."
+    )
     pages = spark.createDataFrame([("u1", text)], ["url", "text"])
+    ln3 = text.index("owner:")       # line 3 start
+    ln4 = text.index("re:\t")        # line 4 start
+    ln5 = text.index("ref: ")        # line 5 start
+    ln6 = text.index("....")         # line 6 start
     dets = [
         ("u1", "AU_PHONE_NUMBER", 5, 17, 0.75),
         ("u1", "EMAIL_ADDRESS", 28, 36, 0.85),   # line 1
         ("u1", "EMAIL_ADDRESS", 43, 51, 0.85),   # same value, later -> deduped
         ("u1", "MYSTERY_TYPE", 0, 4, 1.0),       # unknown -> 'low' color
         ("u1", "DATE_TIME", 18, 25, 0.6),        # crosses the newline -> clamp
+        # analyzer.py:186-195 post-processing cases:
+        # PERSON after colon, leading ws + trailing '.' -> "Jane Doe"
+        ("u1", "PERSON", ln3 + 6, ln3 + 16, 0.85),
+        # ORGANIZATION after colon+tab, trailing ';;' -> "Acme Pty"
+        ("u1", "ORGANIZATION", ln4 + 3, ln4 + 13, 0.7),
+        # non-colon type after ':' keeps its leading space (colon rule is
+        # PERSON/ORG-only); no trailing punct to strip
+        ("u1", "EMAIL_ADDRESS", ln5 + 4, ln5 + 13, 0.85),
+        # span that is ALL trailing punctuation -> emptied -> dropped
+        ("u1", "URL", ln6, ln6 + 4, 0.5),
     ]
     d = spark.createDataFrame(
         dets, "url string, entity_type string, start int, end int, score double"
@@ -923,15 +940,33 @@ def test_redaction_plan_matches_python_spec(spark):
         (r.entity_type, r.start): r.asDict()
         for r in redaction_plan(spark, d, pages).collect()
     }
+    # pure-Python expectation: post-process, drop emptied, first-wins dedup
+    exp_rows, seen = {}, set()
+    for _, et, s, e, sc in sorted(dets, key=lambda t: (t[2], t[3])):
+        s2, e2 = L.postprocess_span(text, s, e, et)
+        if e2 <= s2:
+            continue
+        key = (et, text[s2:e2])
+        if key in seen:
+            continue
+        seen.add(key)
+        exp_rows[(et, s2)] = L.plan_row(text, s2, e2, et, round(sc, 4))
+    assert set(rows) == set(exp_rows)
     # first-wins: the second identical (type, value) span is gone
     assert ("EMAIL_ADDRESS", 43) not in rows
-    assert len(rows) == 4
-    for (et, start), got in rows.items():
-        end = next(e for u, t, s, e, sc in dets if t == et and s == start)
-        score = next(sc for u, t, s, e, sc in dets if t == et and s == start)
-        exp = L.plan_row(text, start, end, et, round(score, 4))
-        for k, v in exp.items():
-            assert got[k] == v, (et, k, got[k], v)
+    # the all-punct span was dropped entirely
+    assert not any(et == "URL" for et, _ in rows)
+    for k2, got in rows.items():
+        for k, v in exp_rows[k2].items():
+            assert got[k] == v, (k2, k, got[k], v)
+    # trims actually fired: PERSON start advanced past the space, '.' gone
+    p = rows[("PERSON", ln3 + 7)]
+    assert p["value"] == "Jane Doe"
+    o = rows[("ORGANIZATION", ln4 + 4)]
+    assert o["value"] == "Acme Pty"
+    # colon rule did NOT fire for the non-PERSON/ORG type
+    m2 = rows[("EMAIL_ADDRESS", ln5 + 4)]
+    assert m2["value"] == " bob@x.co"[: ln5 + 13 - (ln5 + 4)]
     # unknown type got the low-severity color and its luminance label
     m = rows[("MYSTERY_TYPE", 0)]
     assert (m["fill_r"], m["fill_g"], m["fill_b"]) == L.SEVERITY_COLORS["low"]

@@ -230,3 +230,32 @@ def test_fused_catalog_queries_have_no_join_shuffle(spark, sf001_dir):
         plan = q(spark, sf001_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, (q.__name__, plan)
         assert "Join" not in plan, (q.__name__, plan)
+
+
+def test_redaction_plan_single_narrow_exchange(spark):
+    """redaction_plan (detections already carrying text): page text is
+    consumed row-locally and projected away BEFORE the first-wins window,
+    so the ONE hash Exchange moves only the narrow plan columns — and Spark
+    inserts a map-side partial WindowGroupLimit (top-1 per group) below it.
+    The severity dim joins as a BroadcastExchange."""
+    from pii_detection_redaction_spark.operators.layout import redaction_plan
+
+    d = spark.createDataFrame(
+        [("u1", "call bob now", "PERSON", 5, 8, 0.9)],
+        "url string, text string, entity_type string, start int, end int,"
+        " score double",
+    )
+    plan = (
+        redaction_plan(spark, d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    lines = plan.splitlines()
+    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    # the window (post-shuffle) never references the page text attribute
+    win = next(l for l in lines if "Window [row_number()" in l)
+    assert "text#" not in win, win
+    # map-side partial top-1 per (id, type, value) runs below the Exchange
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l for l in lines[ex + 1 :]
+    ), plan
