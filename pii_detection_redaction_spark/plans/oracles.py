@@ -1206,6 +1206,7 @@ def _golden_paths(sf_dir: str) -> dict:
 
     return {
         "det": G.golden_pii_detections(),
+        "ocr_det": G.golden_ocr_detections(),
         "exsub": G.golden_exsub(),
         "scrub_pages": G.golden_pii_scrub_pages(),
         "scrub_docs": G.golden_pii_scrub(sf_dir),
@@ -1307,17 +1308,26 @@ ORDER BY scope, url, entity_type
 """
 
 
-def _redaction_plan_sql(det_path: str) -> str:
-    """Full re-derivation of the redaction plan from the detections GOLDEN
-    (independently gated via pii_detections) joined to the pages parquet:
-    grid geometry, severity fill color (VALUES list generated from the same
-    SEVERITY_DIM_WITH_COLORS constant), luminance label color, anchors,
-    conf text (exact DECIMAL(4,2) rendering — no printf, whose tie-rounding
-    differs across engines), span post-processing (analyzer.py:186-195 —
-    colon-prefix whitespace skip for PERSON/ORGANIZATION, trailing '.,;:'
-    strip; charset ltrim/rtrim, exact across engines), first-wins dedup
-    over the trimmed spans. Spec: core.layout."""
+def _redaction_plan_sql(det_path: str, ocr_det_path: str) -> str:
+    """Full re-derivation of BOTH redaction surfaces.
+
+    'pdf' rows — from the detections GOLDEN (independently gated via
+    pii_detections) joined to the pages parquet: grid geometry, severity
+    fill color (VALUES list generated from the same SEVERITY_DIM_WITH_COLORS
+    constant), luminance label color, anchors, conf text (exact
+    DECIMAL(4,2) rendering — no printf, whose tie-rounding differs across
+    engines), span post-processing (analyzer.py:186-195 — colon-prefix
+    whitespace skip for PERSON/ORGANIZATION, trailing '.,;:' strip; charset
+    ltrim/rtrim, exact across engines), first-wins dedup over the trimmed
+    spans. Spec: core.layout.
+
+    'image' rows — from the OCR-text detections GOLDEN: the word table
+    (same maximal-non-whitespace-runs regex as the Python kernel, offsets
+    via a window sum over the single-space join), the presidio-style
+    span→word intersection join, and the glyph-grid + padding/clamp
+    arithmetic, all re-derived relationally. Spec: core.ocr."""
     from ..core import layout as L
+    from ..core import ocr as O
     from ..core.entities import SEVERITY_DIM_WITH_COLORS
     from .queries import oracle_pages_path
 
@@ -1334,6 +1344,13 @@ def _redaction_plan_sql(det_path: str) -> str:
     ws = "chr(32) || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     assert L.WS_CHARS == " \t\n\r\f\x0b"
     punct = f"'{L.TRAIL_PUNCT_CHARS}'"
+    # image-surface spec literals: the word regex (RE2 escapes — same char
+    # class as core.ocr._WORD_RE), the constant image width, and the
+    # luminance verdict for the constant fill (computed from the spec, not
+    # hand-written)
+    wre = r"[^ \t\n\r\f\x0b]+"
+    img_w_px = 2 * O.OCR_MARGIN_PX + O.OCR_WRAP_COLS * O.OCR_CHAR_PX
+    img_label_white = "TRUE" if L.label_is_white(O.IMG_FILL_RGB) else "FALSE"
     return f"""
 WITH p AS (SELECT url, text FROM read_parquet('{pages}')),
 det AS (
@@ -1395,19 +1412,87 @@ c AS (
   SELECT b.*, coalesce(dim.fr, {lr}) AS fill_r,
          coalesce(dim.fg, {lg}) AS fill_g, coalesce(dim.fb, {lb}) AS fill_b
   FROM b LEFT JOIN dim USING (entity_type)
+),
+pdfp AS (
+  SELECT 'pdf' AS surface, url, entity_type, value,
+    CAST("start" AS INTEGER) AS "start", CAST("end" AS INTEGER) AS "end", score,
+    'conf: ' || CAST(CAST(round(score, 2) AS DECIMAL(4,2)) AS VARCHAR) AS conf_text,
+    x0, y1 - {L.LINE_H} AS y0, x1, y1,
+    greatest(0.0, x1 - x0) AS rect_w,
+    greatest(0.0, y1 - (y1 - {L.LINE_H})) AS rect_h,
+    x0 + {L.LABEL_DX} AS label_x,
+    y1 - {L.LABEL_DY} AS label_y,
+    y1 - {L.CONF_DY} AS conf_y,
+    fill_r, fill_g, fill_b,
+    (fill_r * {wr} + fill_g * {wg} + fill_b * {wb}) < {L.LUMA_WHITE_BELOW} AS label_white
+  FROM c
+),
+-- image surface (spec: core.ocr). Word table == the Python kernel's
+-- maximal non-whitespace runs; cs via a window sum over the single-space
+-- join; mapping == presidio's span/word char-interval intersection.
+iws AS (
+  SELECT url, regexp_extract_all(coalesce(text, ''), '{wre}') AS ws FROM p
+),
+iw AS (
+  SELECT url, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx,
+         length(array_to_string(ws, ' ')) AS ocr_len
+  FROM iws
+),
+iwp AS (
+  SELECT url, word, ocr_len,
+         CAST(sum(length(word) + 1) OVER (PARTITION BY url ORDER BY idx)
+              - length(word) - 1 AS BIGINT) AS cs
+  FROM iw
+),
+idet AS (
+  SELECT url, entity_type, "start", "end", score
+  FROM read_parquet('{ocr_det_path}') WHERE score >= {O.IMG_SCORE_THRESHOLD}
+),
+ibox AS (
+  SELECT d.url, d.entity_type, d."start", d."end", d.score,
+         w.cs, w.cs + length(w.word) AS ce, w.ocr_len
+  FROM idet d
+  JOIN iwp w ON d.url = w.url AND w.cs < d."end"
+            AND w.cs + length(w.word) > d."start"
+),
+igeo AS (
+  SELECT *,
+    {O.OCR_MARGIN_PX} + (cs % {O.OCR_WRAP_COLS}) * {O.OCR_CHAR_PX} AS bleft,
+    {O.OCR_MARGIN_PX} + (cs // {O.OCR_WRAP_COLS}) * {O.OCR_LINE_PX} AS btop,
+    least(ce - cs, {O.OCR_WRAP_COLS} - cs % {O.OCR_WRAP_COLS}) * {O.OCR_CHAR_PX} AS bwidth,
+    {2 * O.OCR_MARGIN_PX} + greatest(1, (ocr_len + {O.OCR_WRAP_COLS - 1}) // {O.OCR_WRAP_COLS}) * {O.OCR_LINE_PX} AS img_h
+  FROM ibox
+),
+ipad AS (
+  SELECT url, entity_type, "start", "end", score,
+    CAST(greatest(0, bleft - {O.IMG_PADDING}) AS DOUBLE) AS x0,
+    CAST(greatest(0, btop - {O.IMG_PADDING}) AS DOUBLE) AS y0,
+    CAST(least({img_w_px}, bleft + bwidth + {O.IMG_PADDING}) AS DOUBLE) AS x1,
+    CAST(least(img_h, btop + {O.OCR_LINE_PX} + {O.IMG_PADDING}) AS DOUBLE) AS y1
+  FROM igeo
+),
+imgp AS (
+  SELECT 'image' AS surface, i.url, i.entity_type,
+    substr(o.ocr_text, i."start" + 1, i."end" - i."start") AS value,
+    CAST(i."start" AS INTEGER) AS "start", CAST(i."end" AS INTEGER) AS "end",
+    i.score,
+    CAST(NULL AS VARCHAR) AS conf_text,
+    i.x0, i.y0, i.x1, i.y1,
+    i.x1 - i.x0 AS rect_w, i.y1 - i.y0 AS rect_h,
+    CAST(NULL AS DOUBLE) AS label_x, CAST(NULL AS DOUBLE) AS label_y,
+    CAST(NULL AS DOUBLE) AS conf_y,
+    CAST({O.IMG_FILL_RGB[0]} AS DOUBLE) AS fill_r,
+    CAST({O.IMG_FILL_RGB[1]} AS DOUBLE) AS fill_g,
+    CAST({O.IMG_FILL_RGB[2]} AS DOUBLE) AS fill_b,
+    {img_label_white} AS label_white
+  FROM ipad i
+  JOIN (SELECT url, array_to_string(regexp_extract_all(coalesce(text, ''), '{wre}'), ' ') AS ocr_text FROM p) o
+    ON o.url = i.url
 )
-SELECT url, entity_type, value,
-  CAST("start" AS INTEGER) AS "start", CAST("end" AS INTEGER) AS "end", score,
-  'conf: ' || CAST(CAST(round(score, 2) AS DECIMAL(4,2)) AS VARCHAR) AS conf_text,
-  x0, y1 - {L.LINE_H} AS y0, x1, y1,
-  greatest(0.0, x1 - x0) AS rect_w,
-  greatest(0.0, y1 - (y1 - {L.LINE_H})) AS rect_h,
-  x0 + {L.LABEL_DX} AS label_x,
-  y1 - {L.LABEL_DY} AS label_y,
-  y1 - {L.CONF_DY} AS conf_y,
-  fill_r, fill_g, fill_b,
-  (fill_r * {wr} + fill_g * {wg} + fill_b * {wb}) < {L.LUMA_WHITE_BELOW} AS label_white
-FROM c ORDER BY url, "start", "end", entity_type
+SELECT * FROM pdfp
+UNION ALL
+SELECT * FROM imgp
+ORDER BY surface, url, "start", "end", entity_type, x0, y0
 """
 
 
@@ -1605,7 +1690,7 @@ FROM read_parquet('{g["det"]}') ORDER BY url, "start", "end", entity_type
 SELECT url, scrubbed_text, CAST(n_entities AS INTEGER) AS n_entities
 FROM read_parquet('{g["scrub_pages"]}') ORDER BY url
 """,
-        "redaction_plan": _redaction_plan_sql(g["det"]),
+        "redaction_plan": _redaction_plan_sql(g["det"], g["ocr_det"]),
         "line_dedup_pages": _line_dedup_both_sql(),
         "decontaminate": _decontaminate_sql(),
         "host_rollup": _host_rollup_sql(),

@@ -946,18 +946,30 @@ def q_pii_scrub_pages(spark, sf_dir):
 
 
 def q_redaction_plan(spark, sf_dir):
-    """The visual redaction sinks' MATH (reference S8/C18), minus rendering:
-    per detection over the pages corpus — span bbox under the declared
-    monospace layout model (core.layout), severity fill color, luminance
-    label color, label/conf anchors, "conf: x.xx" text, and the reference's
-    first-wins (entity_type, span_text) dedup over POST-PROCESSED spans
-    (reference analyzer.py:186-195 colon-prefix + trailing-punctuation
-    trims, charset-exact in all three engines). All row-local JVM after the
-    detect UDF; text never leaves the explode stage, so the single Exchange
-    is the near-unique-key window over narrow plan columns. The DuckDB
-    oracle re-derives every output column from the detections GOLDEN
-    (itself independently gated via pii_detections) joined to the pages
-    parquet."""
+    """BOTH visual redaction surfaces' MATH, minus rendering, tagged by
+    ``surface``.
+
+    'pdf' (reference S8/C18): per detection over the pages corpus — span
+    bbox under the declared monospace layout model (core.layout), severity
+    fill color, luminance label color, label/conf anchors, "conf: x.xx"
+    text, and the reference's first-wins (entity_type, span_text) dedup
+    over POST-PROCESSED spans (reference analyzer.py:186-195 colon-prefix +
+    trailing-punctuation trims, charset-exact in all three engines). All
+    row-local JVM after the detect UDF; text never leaves the explode
+    stage, so the single Exchange is the near-unique-key window over narrow
+    plan columns. Oracle: every column re-derived from the detections
+    GOLDEN (itself gated via pii_detections) joined to the pages parquet.
+
+    'image' (reference S4/S9, image_redactor/redactor.py): fake-OCR kernel
+    seam (word table + single-space OCR text — core.ocr) → the same
+    recognizer bank over the OCR text (one fused Arrow crossing) →
+    presidio-style span→word-box mapping, glyph-grid geometry,
+    padding/clamp, style fill + luminance label color, and the
+    score_threshold=0.35 gate (redactor.py:48). Mapping + geometry are
+    row-local JVM (operators.ocr) — no join, window, or shuffle. Oracle:
+    word offsets via a window sum over the same word regex, the
+    intersection join, and all geometry re-derived in SQL from the
+    OCR-detections golden."""
     from ..operators.layout import redaction_plan
 
     d = _pages(spark)
@@ -1007,8 +1019,44 @@ def q_redaction_plan(spark, sf_dir):
         F.col("dd.end").alias("end"),
         F.round(F.col("dd.score"), 4).alias("score"),
     )
-    out = redaction_plan(spark, det)
-    return out.orderBy("url", "start", "end", "entity_type")
+    pdf = redaction_plan(spark, det).withColumn("surface", F.lit("pdf"))
+
+    # image surface (reference S4/S9, image_redactor/redactor.py): the
+    # fake-OCR kernel seam emits the word table + OCR text and runs the
+    # SAME recognizer bank over the OCR text inside one fused UDF (one
+    # ArrowEvalPython node — a chained second UDF would re-cross Arrow),
+    # and the presidio-style span→word-box mapping + padding/clamp is
+    # row-local JVM (operators.ocr). PDF-only columns
+    # (conf text, label anchors) are NULL; fill is the reference style
+    # default #000000 (core.ocr.IMG_FILL_RGB), label_white derived from it
+    # by the same luminance spec as the pdf surface.
+    from ..core import layout as LAY
+    from ..core import ocr as OC
+    from ..operators.ocr import image_redaction_boxes, make_ocr_detect_udf
+
+    ocr = make_ocr_detect_udf()
+    img_in = d.select("url", ocr(F.col("text")).alias("o")).select(
+        "url",
+        F.col("o.ocr_text").alias("ocr_text"),
+        F.col("o.words").alias("words"),
+        F.col("o.detections").alias("detections"),
+    )
+    nd = F.lit(None).cast("double")
+    img = image_redaction_boxes(img_in).select(
+        F.lit("image").alias("surface"),
+        "url", "entity_type", "value", "start", "end", "score",
+        F.lit(None).cast("string").alias("conf_text"),
+        "x0", "y0", "x1", "y1", "rect_w", "rect_h",
+        nd.alias("label_x"), nd.alias("label_y"), nd.alias("conf_y"),
+        F.lit(OC.IMG_FILL_RGB[0]).alias("fill_r"),
+        F.lit(OC.IMG_FILL_RGB[1]).alias("fill_g"),
+        F.lit(OC.IMG_FILL_RGB[2]).alias("fill_b"),
+        F.lit(LAY.label_is_white(OC.IMG_FILL_RGB)).alias("label_white"),
+    )
+    out = pdf.select(*img.columns).unionByName(img)
+    return out.orderBy(
+        "surface", "url", "start", "end", "entity_type", "x0", "y0"
+    )
 
 
 def q_line_dedup_pages(spark, sf_dir):

@@ -82,7 +82,9 @@ def spec_fingerprint() -> str:
         hashing,
         langid,
         langprofiles,
+        layout,
         lm,
+        ocr,
         quality,
         recognizers,
         relationships,
@@ -98,7 +100,7 @@ def spec_fingerprint() -> str:
     h = hashlib.md5()
     for mod in (
         bloom, chunker, decontam, entities, exsub, extract, ftlang, ftquality,
-        hashing, langid, langprofiles, lm, quality, recognizers,
+        hashing, langid, langprofiles, layout, lm, ocr, quality, recognizers,
         relationships, sampling, sanitize, scrub, spans, toxicity, urlnorm,
         warc,
     ):
@@ -173,6 +175,38 @@ def golden_pii_detections() -> str:
         )
 
     return _materialize("pii_detections", spec_fingerprint(), build)
+
+
+def golden_ocr_detections() -> str:
+    """(url, entity_type, start, end, score@4dp) of the full bank over each
+    page's OCR TEXT (core.ocr.ocr_words — the declared fake-OCR kernel's
+    single-space word join), ordered by (url, start, end, entity_type).
+    Backs the image surface of the ``redaction_plan`` oracle; the word-box
+    mapping + geometry are re-derived in SQL, detection (context boost +
+    conflict resolution, not SQL-expressible) comes from here."""
+    from ..core.ocr import ocr_words
+
+    def build() -> pa.Table:
+        rows = []
+        for url, text in _pages_rows():
+            ocr_text, _ = ocr_words(text or "")
+            for d in _detect(ocr_text):
+                rows.append(
+                    (url, d.entity_type, d.start, d.end,
+                     spark_round(d.score, 4))
+                )
+        rows.sort(key=lambda r: (r[0], r[2], r[3], r[1]))
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "entity_type": pa.array([r[1] for r in rows], pa.string()),
+                "start": pa.array([r[2] for r in rows], pa.int32()),
+                "end": pa.array([r[3] for r in rows], pa.int32()),
+                "score": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+    return _materialize("ocr_detections", spec_fingerprint(), build)
 
 
 def golden_pii_scrub_pages() -> str:

@@ -974,3 +974,94 @@ def test_redaction_plan_matches_python_spec(spark):
     # the clamped span's box ends at its line's last char
     c = rows[("DATE_TIME", 18)]
     assert c["x1"] == L.MARGIN + 21 * L.CHAR_W and c["y1"] == L.PAGE_H - L.MARGIN
+
+
+def test_ocr_kernel_matches_spec(spark):
+    """make_ocr_udf reproduces core.ocr.ocr_words exactly: whitespace runs
+    (ASCII set incl. \\t \\n \\x0b) collapse to single spaces, offsets index
+    the OCR text, empty/whitespace-only text yields no words."""
+    from pii_detection_redaction_spark.core import ocr as O
+    from pii_detection_redaction_spark.operators.ocr import make_ocr_udf
+
+    texts = [
+        "Contact  bob@x.co \tnow.\nSecond\x0bline",
+        "",
+        " \t\n ",
+        "one",
+    ]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    ocr = make_ocr_udf()
+    got = {
+        r.i: (r.o.ocr_text, [(w.word, w.cs, w.ce) for w in r.o.words])
+        for r in d.select("i", ocr(F.col("text")).alias("o")).collect()
+    }
+    for i, t in enumerate(texts):
+        ot, ws = O.ocr_words(t)
+        assert got[i] == (ot, ws), (i, got[i], (ot, ws))
+        # offsets really index the OCR text
+        for w, cs, ce in ws:
+            assert ot[cs:ce] == w
+
+
+def test_image_redaction_boxes_match_python_spec(spark):
+    """operators.ocr's JVM mapping + geometry reproduce the core.ocr spec:
+    one padded box per (detection, intersecting word), presidio-style char
+    interval intersection, glyph-grid wrap clamp, image-bounds clamp, and
+    the reference's score_threshold=0.35 gate."""
+    from pii_detection_redaction_spark.core import ocr as O
+    from pii_detection_redaction_spark.operators.ocr import image_redaction_boxes
+
+    text = "Call  Bob Smith about\tacct 12345 today\n" + "x" * 100 + " alpha beta gamma"
+    ocr_text, words = O.ocr_words(text)
+    i_bob = ocr_text.index("Bob Smith")
+    i_acct = ocr_text.index("12345")
+    i_x = ocr_text.index("x" * 100)
+    i_ab = ocr_text.index("alpha beta")
+    dets = [
+        ("PERSON", i_bob, i_bob + 9, 0.85),          # two words -> two boxes
+        ("ACCT", i_acct, i_acct + 5, 0.5),           # one word, exact
+        ("LOW", i_acct, i_acct + 5, 0.3),            # below 0.35 -> dropped
+        ("ID", i_x + 70, i_x + 90, 0.6),             # inside the wrapped word
+        ("PAIR", i_ab + 4, i_ab + 7, 0.9),           # straddles 'alpha'/'beta'
+    ]
+    schema = (
+        "url string, ocr_text string,"
+        " words array<struct<word:string,cs:int,ce:int>>,"
+        " detections array<struct<entity_type:string,start:int,end:int,score:double>>"
+    )
+    d = spark.createDataFrame(
+        [("u1", ocr_text, words, dets), ("u2", "", [], [])], schema
+    )
+    got = {
+        (r.entity_type, r.start, r.x0, r.y0): r.asDict()
+        for r in image_redaction_boxes(d).collect()
+    }
+    img_w, img_h = O.image_dims(len(ocr_text))
+    exp = {}
+    for et, s, e, sc in dets:
+        if round(sc, 4) < O.IMG_SCORE_THRESHOLD:
+            continue
+        for w, cs, ce in O.boxes_for_span(words, s, e):
+            left, top, wd, h = O.word_box(cs, ce)
+            x0, y0, x1, y1 = O.padded_box(left, top, wd, h, img_w, img_h)
+            exp[(et, s, x0, y0)] = dict(
+                url="u1", entity_type=et, value=ocr_text[s:e], start=s,
+                end=e, score=round(sc, 4), x0=x0, y0=y0, x1=x1, y1=y1,
+                rect_w=x1 - x0, rect_h=y1 - y0,
+            )
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+    # threshold fired; the empty doc contributed nothing
+    assert not any(et == "LOW" for et, *_ in got)
+    assert not any(r["url"] == "u2" for r in got.values())
+    # multi-word span -> one box per word
+    assert sum(1 for et, *_ in got if et == "PERSON") == 2
+    assert sum(1 for et, *_ in got if et == "PAIR") == 2
+    # the wrapped word's box is clamped to its first line's run
+    (idk,) = [k for k in got if k[0] == "ID"]
+    wrap_box = got[idk]
+    col = (i_x % O.OCR_WRAP_COLS)
+    assert wrap_box["x1"] - wrap_box["x0"] <= (
+        O.OCR_WRAP_COLS - col
+    ) * O.OCR_CHAR_PX + 2 * O.IMG_PADDING

@@ -259,3 +259,48 @@ def test_redaction_plan_single_narrow_exchange(spark):
     assert any(
         "WindowGroupLimit" in l and "Partial" in l for l in lines[ex + 1 :]
     ), plan
+
+
+def test_image_redaction_boxes_pure_map(spark):
+    """The image surface's span->word mapping + geometry is a pure
+    per-document map: no Exchange, no Python eval (the arrays arrive from
+    the fused OCR+detect kernel; everything downstream is JVM)."""
+    from pii_detection_redaction_spark.operators.ocr import image_redaction_boxes
+
+    schema = (
+        "url string, ocr_text string,"
+        " words array<struct<word:string,cs:int,ce:int>>,"
+        " detections array<struct<entity_type:string,start:int,end:int,score:double>>"
+    )
+    d = spark.createDataFrame(
+        [("u1", "call bob", [("call", 0, 4), ("bob", 5, 8)],
+          [("PERSON", 5, 8, 0.9)])], schema
+    )
+    plan = (
+        image_redaction_boxes(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_redaction_plan_query_single_arrow_crossing_per_surface(spark):
+    """q_redaction_plan's image branch keeps ONE ArrowEvalPython node (the
+    fused OCR+detect kernel) — a chained second UDF would re-ship the OCR
+    text across Arrow."""
+    from pii_detection_redaction_spark.operators.ocr import make_ocr_detect_udf
+    from pii_detection_redaction_spark.operators.ocr import image_redaction_boxes
+
+    d = spark.createDataFrame([("u1", "call  bob now")], ["url", "text"])
+    ocr = make_ocr_detect_udf()
+    img_in = d.select("url", ocr(F.col("text")).alias("o")).select(
+        "url",
+        F.col("o.ocr_text").alias("ocr_text"),
+        F.col("o.words").alias("words"),
+        F.col("o.detections").alias("detections"),
+    )
+    plan = (
+        image_redaction_boxes(img_in)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
