@@ -70,10 +70,17 @@ def detect_cells(
     return long_df.withColumn("detections", cell_detect_udf(gated))
 
 
-def cell_detections_long(detected: DataFrame, id_col: str) -> DataFrame:
+def cell_detections_long(
+    detected: DataFrame, id_col: str, include_cell_value: bool = False
+) -> DataFrame:
     """Explode to one row per detection — the reference's detection-record
     shape {row, column, entity_type, start, end, score, value}
-    (redactor.py:41-50)."""
+    (redactor.py:41-50). ``include_cell_value`` appends the full cell text
+    as ``cell_value`` (the JSON export shape, formatter.py:8-21); off by
+    default so the catalog query schema stays unchanged."""
+    extra = (
+        [F.col("cell").alias("cell_value")] if include_cell_value else []
+    )
     return (
         detected.select(
             id_col, "col_name", "cell", F.explode("detections").alias("d")
@@ -86,6 +93,7 @@ def cell_detections_long(detected: DataFrame, id_col: str) -> DataFrame:
             F.col("d.end").alias("end"),
             F.round(F.col("d.score"), 4).alias("score"),
             F.expr("substring(cell, d.start + 1, d.end - d.start)").alias("value"),
+            *extra,
         )
     )
 

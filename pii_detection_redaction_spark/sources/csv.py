@@ -57,9 +57,11 @@ def redact_csv(
     min_score: float = 0.0,
     entities: Optional[Sequence[str]] = None,
     cache: bool = False,
+    include_cell_value: bool = False,
 ) -> Dict[str, DataFrame]:
     """Returns {'redacted': wide redacted frame, 'detections': long table,
-    'summary': per-entity-type counts}.
+    'summary': per-entity-type counts}. ``include_cell_value`` adds the full
+    cell text to the detections table (the JSON export shape).
 
     ``cache=True`` persists the per-cell detection frame: the three outputs
     share its lineage, and a caller materializing all three (the CLI job)
@@ -72,7 +74,9 @@ def redact_csv(
     detected = detect_cells(long, entities=entities, min_score=min_score)
     if cache:
         detected = detected.persist()
-    detections = cell_detections_long(detected, ROW_ID)
+    detections = cell_detections_long(
+        detected, ROW_ID, include_cell_value=include_cell_value
+    )
 
     # Single-shuffle wide reassembly: one groupBy(row) builds a col->cell map
     # per row, columns project out of the map. Exchange count is 1 regardless

@@ -1,0 +1,115 @@
+"""Batch/zip redaction sink (reference S10 analog): directory of CSV/TXT →
+per-file redacted outputs + detections JSON + manifest, all in one deflate
+zip; contents byte-identical to the single-file paths / pure-Python oracle."""
+
+import csv
+import json
+import os
+import zipfile
+
+from pii_detection_redaction_spark.sources.batch import batch_redact
+
+
+def _write_fixtures(d):
+    rows_a = [
+        ["name", "email", "notes"],
+        ["Bob Smith", "bob.smith@ex.com", "call 0412 345 678"],
+        ["Olivia Baker", "", "no pii here"],
+    ]
+    rows_b = [
+        ["id", "contact"],
+        ["1", "alice.wong@corp.io"],
+        ["2", "plain text"],
+    ]
+    with open(os.path.join(d, "a.csv"), "w", newline="") as f:
+        csv.writer(f).writerows(rows_a)
+    with open(os.path.join(d, "b.csv"), "w", newline="") as f:
+        csv.writer(f).writerows(rows_b)
+    txt = "Dear Jane Doe,\nplease email jane.doe@ex.com or ring 0412 345 678.\n"
+    with open(os.path.join(d, "memo.txt"), "w") as f:
+        f.write(txt)
+    with open(os.path.join(d, "clean.txt"), "w") as f:
+        f.write("nothing sensitive in this note\n")
+    return txt
+
+
+def test_batch_redact_zip_bundle(spark, tmp_path):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    txt = _write_fixtures(str(src))
+    manifest = batch_redact(spark, str(src), str(out))
+
+    # every input got its reference-named artifact, plus json + manifest
+    names = {
+        "a_redacted.csv", "b_redacted.csv", "memo_redacted.txt",
+        "clean_redacted.txt", "a_detections.json", "b_detections.json",
+        "memo_detections.json", "clean_detections.json", "manifest.json",
+    }
+    assert set(os.listdir(out)) == names | {"redacted_bundle.zip"}
+    with zipfile.ZipFile(out / "redacted_bundle.zip") as zf:
+        assert set(zf.namelist()) == names
+        # zip contents == the on-disk artifacts (helpers.py zip semantics)
+        for n in names:
+            assert zf.read(n) == (out / n).read_bytes()
+
+    # CSV: header + input row order preserved, PII gone, clean cells intact
+    with open(out / "a_redacted.csv", newline="") as f:
+        got = list(csv.reader(f))
+    assert got[0] == ["name", "email", "notes"]
+    assert len(got) == 3
+    flat = " ".join(" ".join(r) for r in got)
+    assert "bob.smith@ex.com" not in flat and "0412 345 678" not in flat
+    assert got[2][2] == "no pii here"
+
+    # TXT: byte-identical to the pure-Python relationship scrub
+    from pii_detection_redaction_spark.core import analyze_long_text, scrub_document
+
+    expect = scrub_document(txt, analyze_long_text(txt))
+    assert (out / "memo_redacted.txt").read_text() == expect
+    assert (out / "clean_redacted.txt").read_text() == (
+        "nothing sensitive in this note\n"
+    )
+
+    # detections JSON: reference formatter.py:8-21 record shape
+    dets = json.loads((out / "a_detections.json").read_text())
+    assert dets and {"row", "column", "entity_type", "start", "end",
+                     "score", "value", "cell_value"} == set(dets[0])
+    email = [d for d in dets if d["entity_type"] == "EMAIL_ADDRESS"]
+    assert email and email[0]["value"] == "bob.smith@ex.com"
+    assert email[0]["cell_value"] == "bob.smith@ex.com"
+    # scores arrive 4dp-rounded like the reference JSON export
+    assert all(round(d["score"], 4) == d["score"] for d in dets)
+
+    # manifest mirrors summarize_detections per file + totals
+    m = json.loads((out / "manifest.json").read_text())
+    assert set(m["files"]) == {"a.csv", "b.csv", "memo.txt", "clean.txt"}
+    a = m["files"]["a.csv"]
+    assert a["total_detections"] == len(dets)
+    assert a["by_entity_type"]["EMAIL_ADDRESS"] == 1
+    assert a["affected_cells"] >= 2
+    assert m["files"]["clean.txt"]["total_detections"] == 0
+    assert m["total_detections"] == sum(
+        v["total_detections"] for v in m["files"].values()
+    )
+    assert manifest["total_detections"] == m["total_detections"]
+
+
+def test_batch_redact_row_order_many_rows(spark, tmp_path):
+    """The coalesce(1) single-file export preserves input row order across
+    a multi-partition redaction (sort THEN coalesce)."""
+    src = tmp_path / "in2"
+    out = tmp_path / "out2"
+    src.mkdir()
+    rows = [["seq", "payload"]] + [
+        [str(i), f"user{i}@ex.com" if i % 3 == 0 else f"note {i}"]
+        for i in range(200)
+    ]
+    with open(src / "wide.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    batch_redact(spark, str(src), str(out), save_json=False)
+    with open(out / "wide_redacted.csv", newline="") as f:
+        got = list(csv.reader(f))
+    assert got[0] == ["seq", "payload"]
+    assert [r[0] for r in got[1:]] == [str(i) for i in range(200)]
+    assert all("@" not in r[1] for r in got[1:])
