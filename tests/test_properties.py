@@ -386,3 +386,33 @@ def test_hex_threshold_near_one_keeps_everything():
     assert hex_threshold(0.999995) == "g"
     kept = sum(keep_row(str(i), 0.999995) for i in range(2000))
     assert kept == 2000
+
+
+@given(st.text(alphabet=string.printable + "é漢\x0b", max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_ocr_words_properties(text):
+    """core.ocr.ocr_words invariants: words are the maximal non-whitespace
+    runs in order, offsets index the OCR text exactly, the OCR text is the
+    single-space join, and the geometry stays on the glyph grid."""
+    from pii_detection_redaction_spark.core import ocr as O
+
+    ocr_text, words = O.ocr_words(text)
+    assert ocr_text == " ".join(w for w, _, _ in words)
+    for w, cs, ce in words:
+        assert w and ce - cs == len(w)
+        assert ocr_text[cs:ce] == w
+        assert not any(c in O.WS_CHARS for c in w)
+        left, top, bw, bh = O.word_box(cs, ce)
+        assert left >= O.OCR_MARGIN_PX and top >= O.OCR_MARGIN_PX
+        assert 0 < bw <= O.OCR_WRAP_COLS * O.OCR_CHAR_PX and bh == O.OCR_LINE_PX
+        img_w, img_h = O.image_dims(len(ocr_text))
+        x0, y0, x1, y1 = O.padded_box(left, top, bw, bh, img_w, img_h)
+        assert 0 <= x0 < x1 <= img_w and 0 <= y0 < y1 <= img_h
+    # consecutive words are separated by exactly one space
+    for (_, _, ce_prev), (_, cs_next, _) in zip(words, words[1:]):
+        assert cs_next == ce_prev + 1
+    # mapping: a span covering everything intersects every word; an empty
+    # span region intersects none
+    if words:
+        assert O.boxes_for_span(words, 0, len(ocr_text)) == words
+    assert O.boxes_for_span(words, len(ocr_text) + 5, len(ocr_text) + 6) == []
