@@ -134,6 +134,17 @@ def run_queries(sf_dir: str) -> dict:
         QUERIES["scrub_documents"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # Codegen/JIT warmup for the join+window+higher-order-expr shapes:
+        # the embedding queries' first execution pays ~13s of whole-stage
+        # codegen + AQE JIT that no UDF warmup touches (measured: 22s cold
+        # vs 9s steady for embedding_topk on a quiet host). Run the same
+        # plan shapes once at sf0.001 (2 orders of magnitude smaller data,
+        # identical operators) so the timed region measures steady state.
+        tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if os.path.isdir(tiny):
+            QUERIES["embedding_topk"](spark, tiny).write.format("noop").mode(
+                "overwrite"
+            ).save()
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
