@@ -1344,11 +1344,12 @@ def _redaction_plan_sql(det_path: str, ocr_det_path: str) -> str:
     ws = "chr(32) || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     assert L.WS_CHARS == " \t\n\r\f\x0b"
     punct = f"'{L.TRAIL_PUNCT_CHARS}'"
-    # image-surface spec literals: the word regex (RE2 escapes — same char
-    # class as core.ocr._WORD_RE), the constant image width, and the
-    # luminance verdict for the constant fill (computed from the spec, not
-    # hand-written)
-    wre = r"[^ \t\n\r\f\x0b]+"
+    # image-surface spec literals: the word regex DERIVED from the one spec
+    # constant (core.layout.WS_CHARS, the same class core.ocr._WORD_RE is
+    # built from) as RE2 \xNN escapes — backslashes survive DuckDB's
+    # standard string literals untouched; the constant image width; and the
+    # luminance verdict for the constant fill (computed, not hand-written)
+    wre = "[^" + "".join(f"\\x{ord(c):02X}" for c in O.WS_CHARS) + "]+"
     img_w_px = 2 * O.OCR_MARGIN_PX + O.OCR_WRAP_COLS * O.OCR_CHAR_PX
     img_label_white = "TRUE" if L.label_is_white(O.IMG_FILL_RGB) else "FALSE"
     return f"""

@@ -139,26 +139,24 @@ def prepare_corpus(
     shards = token_shards(d, id_col="url", tokens_col="n_tokens",
                           shard_tokens=shard_tokens)
     final = d.drop("n_tokens").join(shards, "url")
-    writer = final.repartition(F.col("shard_id")).write.mode("overwrite")
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown output_format {output_format!r}")
+    # The parquet final/ is ALWAYS written — the ingest/compact registry
+    # enumerates <root>/final and increments/*/final, so a jsonl-only
+    # corpus would silently contribute nothing to compaction.
+    final.repartition(F.col("shard_id")).write.mode("overwrite").parquet(
+        final_path
+    )
+    out = spark.read.parquet(final_path)
     if output_format == "jsonl":
-        # gzip JSONL for trainers that consume text dumps — but ALWAYS
-        # write the parquet final/ too: the ingest/compact registry
-        # enumerates <root>/final and increments/*/final, so a jsonl-only
-        # corpus would silently contribute nothing to compaction. Parquet
-        # first, JSONL from the read-back: two independent actions over
-        # the unpersisted `final` would run token_shards' windows and the
-        # shard join twice.
-        writer.parquet(final_path)
-        out = spark.read.parquet(final_path)
+        # gzip JSONL for trainers that consume text dumps, derived from the
+        # parquet read-back: a second independent action over the
+        # unpersisted `final` would run token_shards' windows and the shard
+        # join twice.
         jsonl_path = os.path.join(out_root, "final_jsonl")
         out.repartition(F.col("shard_id")).write.mode("overwrite").option(
             "compression", "gzip"
         ).json(jsonl_path)
-    elif output_format == "parquet":
-        writer.parquet(final_path)
-        out = spark.read.parquet(final_path)
-    else:
-        raise ValueError(f"unknown output_format {output_format!r}")
 
     agg = out.agg(
         F.count(F.lit(1)).alias("docs"),

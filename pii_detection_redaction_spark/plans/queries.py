@@ -1461,29 +1461,31 @@ def q_format_pages(spark, sf_dir):
     as gzipped base64 JSONL (sources.jsonl, explicit schema — no inference
     pass). The DuckDB oracle re-derives every extracted field from the PAGES
     parquet source of truth, so one mangled byte in either writer->reader
-    path hash-mismatches. Columns absent from a format are NULL."""
-    from ..sources.jsonl import read_pages_jsonl
-    from ..sources.warc import read_warc
-    from ..testing.corpus import ensure_jsonl_dir, ensure_warc_dir
+    path hash-mismatches. Columns absent from a format are NULL.
 
-    w = read_warc(spark, ensure_warc_dir()).select(
+    Composes the verified component round trips (q_warc_pages /
+    q_jsonl_pages) rather than re-spelling their projections — a future
+    change to a component's field derivation must not silently diverge
+    from this gated entry. The components' per-entry orderBy is dropped by
+    Catalyst's EliminateSorts under the outer union+sort."""
+    w = q_warc_pages(spark, sf_dir).select(
         F.lit("warc").alias("fmt"),
         "url",
-        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        "warc_ts",
         "http_status",
-        F.length("html").cast("int").alias("n_bytes"),
-        F.md5(F.col("html").cast("string")).alias("payload_md5"),
+        "n_bytes",
+        "payload_md5",
         F.lit(None).cast("string").alias("text_md5"),
         F.lit(None).cast("string").alias("lang"),
     )
-    j = read_pages_jsonl(spark, ensure_jsonl_dir()).select(
+    j = q_jsonl_pages(spark, sf_dir).select(
         F.lit("jsonl").alias("fmt"),
         "url",
-        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        "warc_ts",
         F.lit(None).cast("int").alias("http_status"),
-        F.length("html").cast("int").alias("n_bytes"),
-        F.md5(F.col("html").cast("string")).alias("payload_md5"),
-        F.md5("text").alias("text_md5"),
+        "n_bytes",
+        "payload_md5",
+        "text_md5",
         "lang",
     )
     return w.unionByName(j).orderBy("fmt", "url")

@@ -32,7 +32,8 @@ import json
 import os
 import shutil
 import zipfile
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Set
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,6 +96,21 @@ def batch_redact(
 
     artifacts: List[str] = []
     manifest: Dict = {"files": {}, "total_detections": 0}
+    used_names: Set[str] = set()
+
+    def _claim(name: str) -> str:
+        """Collision-safe artifact name: a .csv and a .txt sharing a stem
+        would both emit ``{stem}_detections.json`` — the second claim gets
+        a ``_2`` suffix instead of silently overwriting the first artifact
+        (and double-zipping the same entry name)."""
+        name = safe_filename(name)
+        base, ext = os.path.splitext(name)
+        n, candidate = 1, name
+        while candidate in used_names:
+            n += 1
+            candidate = f"{base}_{n}{ext}"
+        used_names.add(candidate)
+        return candidate
 
     def _summary(det_rows: List[dict]) -> Dict:
         by_type: Dict[str, int] = {}
@@ -119,7 +135,7 @@ def batch_redact(
             cache=True,  # redacted + detections share the detect pass
             include_cell_value=True,
         )
-        red_name = safe_filename(f"{stem}_redacted.csv")
+        red_name = _claim(f"{stem}_redacted.csv")
         red_path = os.path.join(output_dir, red_name)
         _single_csv(out["redacted"], red_path, delimiter, header)
         artifacts.append(red_path)
@@ -137,7 +153,7 @@ def batch_redact(
             for r in out["detections"].collect()
         ]
         if save_json:
-            jp = os.path.join(output_dir, safe_filename(f"{stem}_detections.json"))
+            jp = os.path.join(output_dir, _claim(f"{stem}_detections.json"))
             with open(jp, "w", encoding="utf-8") as f:
                 f.write(_detections_json(det_rows))
             artifacts.append(jp)
@@ -145,6 +161,8 @@ def batch_redact(
             "kind": "csv", "output": red_name, **_summary(det_rows)
         }
         manifest["total_detections"] += len(det_rows)
+        if out["cached"] is not None:
+            out["cached"].unpersist()  # release before the next file's pass
 
     if txt_files:
         detect = make_detect_udf(entities=entities, min_score=min_score)
@@ -169,9 +187,13 @@ def batch_redact(
             )
         )
         for r in tdf.collect():  # one row per txt file — export-bounded
-            base = os.path.basename(r["path"].replace("file:", ""))
+            # input_file_name() returns a percent-encoded URI
+            # ('file:///.../my%20memo.txt'): parse + unquote so output names
+            # and manifest keys carry the real filesystem name (matching the
+            # csv entries, which are keyed from decoded glob paths)
+            base = os.path.basename(unquote(urlparse(r["path"]).path))
             stem = os.path.splitext(base)[0]
-            red_name = safe_filename(f"{stem}_redacted.txt")
+            red_name = _claim(f"{stem}_redacted.txt")
             red_path = os.path.join(output_dir, red_name)
             with open(red_path, "w", encoding="utf-8") as f:
                 f.write(r["scrubbed"])
@@ -190,9 +212,7 @@ def batch_redact(
                 for d in r["dets"]
             ]
             if save_json:
-                jp = os.path.join(
-                    output_dir, safe_filename(f"{stem}_detections.json")
-                )
+                jp = os.path.join(output_dir, _claim(f"{stem}_detections.json"))
                 with open(jp, "w", encoding="utf-8") as f:
                     f.write(_detections_json(det_rows))
                 artifacts.append(jp)
@@ -201,15 +221,17 @@ def batch_redact(
             }
             manifest["total_detections"] += len(det_rows)
 
+    # set the zip key BEFORE the manifest is written so the on-disk and
+    # in-bundle manifest.json match the returned/printed dict exactly
+    zip_path = os.path.join(output_dir, safe_filename(zip_name))
+    manifest["zip"] = os.path.basename(zip_path)
     man_path = os.path.join(output_dir, "manifest.json")
     with open(man_path, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=2, sort_keys=True)
     artifacts.append(man_path)
 
     # helpers.py:169-175: one deflate zip of every produced artifact
-    zip_path = os.path.join(output_dir, safe_filename(zip_name))
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for a in artifacts:
             zf.write(a, arcname=os.path.basename(a))
-    manifest["zip"] = os.path.basename(zip_path)
     return manifest

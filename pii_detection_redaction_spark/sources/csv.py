@@ -108,6 +108,10 @@ def redact_csv(
         "redacted": wide,
         "detections": detections,
         "summary": detection_summary(detections, ROW_ID),
+        # the persisted handle (None when cache=False): callers that loop
+        # over many files must unpersist it after materializing the outputs,
+        # or the cached detection partitions accumulate for the whole batch
+        "cached": detected if cache else None,
     }
 
 

@@ -113,3 +113,42 @@ def test_batch_redact_row_order_many_rows(spark, tmp_path):
     assert got[0] == ["seq", "payload"]
     assert [r[0] for r in got[1:]] == [str(i) for i in range(200)]
     assert all("@" not in r[1] for r in got[1:])
+
+
+def test_batch_redact_stem_collision_and_uri_names(spark, tmp_path):
+    """A .csv and a .txt sharing a stem must not overwrite each other's
+    detections JSON (the second claim gets a _2 suffix); txt names with
+    spaces survive input_file_name()'s percent-encoding; the on-disk and
+    zipped manifest.json carries the same 'zip' key the call returns."""
+    src = tmp_path / "in3"
+    out = tmp_path / "out3"
+    src.mkdir()
+    with open(src / "report.csv", "w", newline="") as f:
+        csv.writer(f).writerows(
+            [["contact"], ["carol.v@ex.com"]]
+        )
+    with open(src / "report.txt", "w") as f:
+        f.write("ring 0412 345 678 please\n")
+    with open(src / "my memo.txt", "w") as f:
+        f.write("mail dave.k@ex.com today\n")
+    manifest = batch_redact(spark, str(src), str(out))
+
+    names = set(os.listdir(out))
+    # both detections artifacts survive, disambiguated
+    assert {"report_detections.json", "report_detections_2.json"} <= names
+    csv_dets = json.loads((out / "report_detections.json").read_text())
+    txt_dets = json.loads((out / "report_detections_2.json").read_text())
+    assert {d["entity_type"] for d in csv_dets} == {"EMAIL_ADDRESS"}
+    assert any("PHONE" in d["entity_type"] for d in txt_dets)
+    # decoded real filename, not the percent-encoded URI basename
+    assert "my memo_redacted.txt" in names
+    assert "my%20memo_redacted.txt" not in names
+    assert set(manifest["files"]) == {"report.csv", "report.txt", "my memo.txt"}
+    # no duplicate entry names inside the zip; manifest zip key persisted
+    with zipfile.ZipFile(out / "redacted_bundle.zip") as zf:
+        entries = zf.namelist()
+        assert len(entries) == len(set(entries))
+        zipped = json.loads(zf.read("manifest.json"))
+    on_disk = json.loads((out / "manifest.json").read_text())
+    assert on_disk == zipped
+    assert on_disk["zip"] == manifest["zip"] == "redacted_bundle.zip"
