@@ -26,8 +26,20 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from ..core.hashing import LSH_SEED as SEED
 from ..core.hashing import lsh_hyperplanes as _hyperplanes
+
+
+def _lit_dvec(values) -> F.Column:
+    """array<double> literal in ONE py4j call. ``F.lit(list)`` expands to
+    ``array(*[lit(x) …])`` — a py4j round trip per element, which at
+    (n_centroids x dim) literals made plan CONSTRUCTION dominate the IVF
+    query (measured: 3.5-9s building the DataFrame vs 1-2s executing it).
+    A 1-D float64 ndarray takes pyspark's single-call ndarray fast path;
+    the Py4J double[] conversion is bit-exact."""
+    return F.lit(np.asarray(values, dtype=np.float64))
 
 
 def _dot(a, b):
@@ -110,7 +122,7 @@ def lsh_bucket_col(vec_col, dim: int, nbits: int = 8, seed: int = SEED):
     bit = (dot(vec, plane) >= 0); bucket = bits as integer."""
     bucket = F.lit(0)
     for i, plane in enumerate(_hyperplanes(dim, nbits, seed)):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
+        arr = _lit_dvec(plane)  # one py4j call per plane, not one per element
         bit = (_dot(vec_col, arr) >= 0).cast("int")
         bucket = bucket + (bit * F.lit(1 << i))
     return bucket
@@ -210,13 +222,52 @@ def _centroids(items: DataFrame, n: int, id_col: str, vec_col: str) -> List[List
     return [[float(x) for x in r[0]] for r in rows]
 
 
-def _centroid_sims(vec_col, cents: List[List[float]]):
-    return F.array(
-        *[
-            cosine_sim_col(vec_col, F.array(*[F.lit(w) for w in c]))
-            for c in cents
-        ]
-    )
+def _centroid_sims(vec_name: str, norm_name: str, cents: List[List[float]]):
+    """Array of cosines to each centroid, built as ONE ``F.expr`` SQL string.
+
+    Two plan-construction costs make the obvious Column-algebra spelling
+    driver-bound: per-element ``F.lit`` (a py4j round trip each) and lambda
+    creation for ``zip_with``/``aggregate`` (~30 round trips per centroid).
+    At n_centroids=16 x dim=64, called twice per IVF query, that was ~3s of
+    single-threaded driver time per query build — and under co-tenant CPU
+    steal it stretched 10x (the bench measured 31s once), because unlike the
+    executor phase it has no parallel slack. One SQL string is one round
+    trip and a ~20 KB JVM parse.
+
+    Semantics are bit-identical to ``_cosine_from(_dot(vec, lit_cent),
+    norm, lit(nc))``: the lambda bodies are the exact SQL the Column
+    version lowers to; double literals go through ``repr`` (shortest
+    round-trip decimal), which Java's correctly-rounded parse restores to
+    the same bits; centroid norms are plan-time floats whose left-fold
+    ``acc += w*w`` matches ``_norm``'s sequential aggregate order.
+
+    The vector's norm arrives as a precomputed COLUMN (computed once per
+    row in a prior projection — inlining ``_norm`` here would copy it into
+    all n_centroids entries, tripling the per-row lambda work; measured
+    5.5s -> 1.5s execution for the IVF query at sf0.1)."""
+    import math
+
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"  # parse, not lexer: handles 1e-05
+
+    sims = []
+    for c in cents:
+        acc = 0.0
+        for w in c:
+            acc += w * w
+        nc = math.sqrt(acc)
+        arr = "array(" + ", ".join(d(float(w)) for w in c) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        sims.append(
+            f"CASE WHEN (`{norm_name}` > CAST(0.0 AS DOUBLE)) "
+            f"AND ({d(nc)} > CAST(0.0 AS DOUBLE)) "
+            f"THEN {dot} / (`{norm_name}` * {d(nc)}) END"
+        )
+    return F.expr("array(" + ", ".join(sims) + ")")
 
 
 def cosine_topk_ivf(
@@ -236,16 +287,31 @@ def cosine_topk_ivf(
     ~n_probe/n_centroids of the corpus — the IVF scale story, complementary
     to LSH (data-adaptive lists vs oblivious hyperplanes)."""
     cents = _centroids(items, n_centroids, id_col, vec_col)
-    item_sims = _centroid_sims(F.col(vec_col), cents)
-    ib = items.select(
+    # two-step projection: __inorm lands in its own Project so Catalyst's
+    # CollapseProject keeps ONE copy (it refuses to inline a non-cheap alias
+    # referenced n_centroids times) — the norm is computed per ROW, not per
+    # (row, centroid), and is reused again for the candidate re-rank below
+    ibase = items.select(
         F.col(id_col),
         F.col(vec_col).alias("__ivec"),
+        _norm(F.col(vec_col)).alias("__inorm"),
+    )
+    item_sims = _centroid_sims("__ivec", "__inorm", cents)
+    ib = ibase.select(
+        F.col(id_col),
+        "__ivec",
+        "__inorm",
         # first max position: deterministic on ties
         (F.array_position(item_sims, F.array_max(item_sims)) - 1)
         .cast("int")
         .alias("centroid"),
     )
-    q_sims = _centroid_sims(F.col(vec_col), cents)
+    qbase = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    q_sims = _centroid_sims("__qvec", "__qnorm", cents)
     ranked = F.slice(
         F.reverse(
             F.array_sort(
@@ -259,14 +325,20 @@ def cosine_topk_ivf(
         1,
         n_probe,
     )
-    qb = queries.select(
+    qb = qbase.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
+        "__qvec",
+        "__qnorm",
         F.explode(F.transform(ranked, lambda s: s["idx"])).alias("centroid"),
     )
     cand = ib.join(F.broadcast(qb), "centroid")
     scored = cand.withColumn(
-        "cosine", cosine_sim_col(F.col("__ivec"), F.col("__qvec"))
+        "cosine",
+        _cosine_from(
+            _dot(F.col("__ivec"), F.col("__qvec")),
+            F.col("__inorm"),
+            F.col("__qnorm"),
+        ),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -343,7 +415,7 @@ def centroid_cosines(
         .collect()
     )
     cen = [float(r.m) for r in sorted(cen_rows, key=lambda r: r.pos)]
-    cen_arr = F.array(*[F.lit(m) for m in cen])
+    cen_arr = _lit_dvec(cen)  # one py4j call, not one per element
     # centroid norm: computed left-to-right from the collected values —
     # the same sequential order DuckDB's list_sum uses
     import math
