@@ -142,17 +142,32 @@ def run_queries(sf_dir: str) -> dict:
         # identical operators) so the timed region measures steady state.
         tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
         if os.path.isdir(tiny):
-            QUERIES["embedding_topk"](spark, tiny).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # near_dup's pair-scoring self-join is a DIFFERENT codegen shape
+            # from the topk joins (measured: 26s first call vs 5-9s steady
+            # even with the topk shapes already warm)
+            for wname in ("embedding_topk", "embedding_near_dup"):
+                QUERIES[wname](spark, tiny).write.format("noop").mode(
+                    "overwrite"
+                ).save()
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: forces full materialization of every column (count()
-            # would let Catalyst prune the expensive UDF columns away)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # min of 2 runs: co-tenant steal is bursty on a tens-of-seconds
+            # scale (measured: the same query reads 4.6s and 55s an hour
+            # apart) and interference only ever ADDS time, so the min is the
+            # least-interfered estimate — the same statistic the scaling
+            # section's min-per-level estimator uses. Both runs are full
+            # builds + executions (no caching between them).
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink: forces full materialization of every column
+                # (count() would let Catalyst prune the expensive UDF
+                # columns away)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
             print(f"  {name}: {timings[name]}s", file=sys.stderr)
     finally:
         spark.stop()
