@@ -304,3 +304,24 @@ def test_redaction_plan_query_single_arrow_crossing_per_surface(spark):
     )
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_embedding_topk_norm_once_and_broadcast_joins(spark, sf001_dir):
+    """IVF leg scale pins (operators/similarity.py): the item norm is
+    computed in its OWN projection — the __inorm/__qnorm aliases must
+    survive into the optimized plan, because if CollapseProject ever
+    inlines them into the 16 centroid-similarity array entries the
+    per-row lambda work triples (measured 5.5s -> 1.5s at sf0.1 when the
+    alias was introduced). Every pair-generating join stays broadcast
+    (queries/probe lists are the bounded side); a SortMergeJoin or
+    CartesianProduct here means the broadcast contract broke and the
+    candidate volume would shuffle at corpus scale."""
+    from pii_detection_redaction_spark.plans.queries import QUERIES
+
+    df = QUERIES["embedding_topk"](spark, sf001_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__inorm" in opt and "__qnorm" in opt
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastHashJoin" in phys  # lsh bucket / ivf centroid-list joins
