@@ -52,8 +52,12 @@ EXECUTOR_MEM_MB = int(os.environ.get("BENCH_EXECUTOR_MEM_MB", 8192))
 # reference host capability (meter-loop oracle docs/s per core) for
 # normalized seconds — any constant works (it cancels in the efficiency
 # ratio); ~the host's typical fast-window rate so normalized seconds read
-# like real seconds
-METER_REF = float(os.environ.get("BENCH_METER_REF", 450.0))
+# like real seconds. METER SCALE v2: the burner loop's oracle got 1.52x
+# faster when langid moved to the shared token path (median of 3
+# interleaved A/B runs: 515/338, 518/317, 466/319 docs/core/s), so the
+# same host now reads ~1.52x higher meter rates; the reference moves
+# 450 -> 685 (=450*1.52) to keep norm_seconds comparable across rounds.
+METER_REF = float(os.environ.get("BENCH_METER_REF", 685.0))
 
 HEADLINE = [
     "pricing_summary",

@@ -142,19 +142,26 @@ def make_scrub_udf(mode: str = "relationship", masking_char: str = "*"):
 
 
 def langid_batch(texts: pd.Series) -> pd.DataFrame:
-    """Truly-vectorized language ID: pandas ``str.count`` per marker regex
-    (one pass per stopword/charset/script pattern, zero per-row Python),
-    then the same ``score_from_counts`` arithmetic as the oracle, vectorized
-    in numpy. Returns DataFrame(lang, conf)."""
+    """Vectorized language ID: stopword hits via the shared token path
+    (one tokenization pass per doc — ``core.langid.stopword_hit_rows``,
+    the measured-6.5x-faster equivalent of the per-language alternation
+    regexes), charset/script hits via pandas ``str.count``, then the same
+    ``score_from_counts`` arithmetic as the oracle, vectorized in numpy.
+    Returns DataFrame(lang, conf)."""
     s = texts.fillna("")
     nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
     langs = _langid._SCORED_LANGS
+    # stopword hits via the shared token path (core.langid.stopword_hit_rows
+    # — one tokenization pass per doc instead of 7 alternation scans;
+    # regex-spec equivalence pinned by the langid guard tests)
+    sw_mat = np.empty((len(s), len(langs)), dtype=np.int64)
+    for i, t in enumerate(s.to_numpy()):
+        sw_mat[i] = _langid.stopword_hit_rows(t)
     scores = []
-    for lang in langs:
-        sw = s.str.count(r"(?i)" + _langid.STOPWORD_PATTERNS[lang]).to_numpy(np.int64)
+    for j, lang in enumerate(langs):
         pat = _langid.CHARSET_PATTERNS[lang]
         ch = s.str.count(pat).to_numpy(np.int64) if pat else np.zeros(len(s), np.int64)
-        scores.append(2.0 * sw + 1.0 * ch)
+        scores.append(2.0 * sw_mat[:, j] + 1.0 * ch)
     # left-to-right accumulation — same FP association order as the oracle
     total = np.zeros(len(s), dtype=np.float64)
     for sc in scores:

@@ -190,3 +190,39 @@ def test_documents_table_free_of_langid_re2_divergence(sf001_dir):
         ascii_ = re.compile("(?i)" + pattern, re.ASCII)
         for text in texts:
             assert len(uni.findall(text)) == len(ascii_.findall(text))
+
+
+def test_token_stopword_path_equals_regex_spec(sf001_dir):
+    """The token path (core.langid.stopword_hit_rows — one tokenization
+    pass, used by both Python engines) must count exactly what the
+    STOPWORD_PATTERNS regexes (the spec the SQL/JVM engines consume)
+    count. The equivalence holds structurally for word-char-only
+    alternatives (asserted at import) plus ``(?i)`` == ``str.lower()`` on
+    the stopword repertoire; this test pins it empirically on every text
+    the differential gates run over, plus adversarial edge strings."""
+    import re
+
+    import pandas as pd
+
+    from pii_detection_redaction_spark.core import langid as L
+
+    texts = list(pages_df(2000).text)
+    texts += list(
+        pd.read_parquet(f"{sf001_dir}/documents.parquet", columns=["text"])["text"]
+    )
+    texts += [
+        "",
+        "the THE The tHe",
+        "les le lesles le-les",
+        "das ist für alle über",  # accented stopwords
+        "the's that's 'the' (and) [of]",
+        "und7 7und 7und7 und",
+        "あいtheう",  # kana adjacent to a stopword (\w boundary)
+    ]
+    for text in texts:
+        rows = L.stopword_hit_rows(text)
+        for i, lang in enumerate(L._SCORED_LANGS):
+            assert rows[i] == len(L._stop_res[lang].findall(text)), (
+                lang,
+                text[:80],
+            )
