@@ -79,6 +79,57 @@ class CharTrigramLM:
         out = np.where(hit, cnt[idx_c], 0.0)
         return out
 
+    def perplexity_batch(self, texts) -> np.ndarray:
+        """Vectorized perplexity over many texts — bit-identical to calling
+        ``perplexity`` per text (pinned by ``test_perplexity_batch_bitwise``):
+        per-doc query arrays are concatenated so each n-gram table is probed
+        with FIVE ``searchsorted`` calls per batch instead of five per doc
+        (the searchsorted work itself is the same; the per-doc numpy-call
+        overhead — ~25 small-array ops per doc — dominated short docs), and
+        each doc's mean is taken over its contiguous slice of the shared
+        array. numpy's pairwise summation depends only on the slice's
+        contents and length, never on the surrounding buffer, so the
+        per-doc float is unchanged. No cross-doc n-grams exist: the
+        tri/bi/uni query arrays are built per doc BEFORE concatenation."""
+        out = np.empty(len(texts), dtype=np.float64)
+        tris, bctxs, bi2s, uctxs, unis = [], [], [], [], []
+        spans = []  # (out_index, start, n_scored_positions)
+        pos = 0
+        for i, text in enumerate(texts):
+            t = " ".join(text.lower().split())
+            if len(t) < 3:
+                out[i] = (
+                    float("inf") if not t else float(np.exp(-np.log(FLOOR)))
+                )
+                continue
+            c = _encode(t)
+            tris.append((c[:-2] << 32) | (c[1:-1] << 16) | c[2:])
+            bctxs.append((c[:-2] << 16) | c[1:-1])
+            bi2s.append((c[1:-1] << 16) | c[2:])
+            uctxs.append(c[1:-1])
+            unis.append(c[2:])
+            n = len(c) - 2
+            spans.append((i, pos, n))
+            pos += n
+        if not spans:
+            return out
+        tri_c = self._lookup(self.tri_keys, self.tri_cnt, np.concatenate(tris))
+        bictx_c = self._lookup(self.bi_keys, self.bi_cnt, np.concatenate(bctxs))
+        bi2_c = self._lookup(self.bi_keys, self.bi_cnt, np.concatenate(bi2s))
+        unictx_c = self._lookup(self.uni_keys, self.uni_cnt, np.concatenate(uctxs))
+        uni_c = self._lookup(self.uni_keys, self.uni_cnt, np.concatenate(unis))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_tri = np.where(bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
+            p_bi = BACKOFF * np.where(
+                unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0
+            )
+            p_uni = BACKOFF * BACKOFF * uni_c / self.total
+        p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
+        logp = np.log(np.maximum(p, FLOOR))
+        for i, start, n in spans:
+            out[i] = float(np.exp(-np.mean(logp[start : start + n])))
+        return out
+
     def perplexity(self, text: str) -> float:
         t = " ".join(text.lower().split())
         if len(t) < 3:

@@ -355,8 +355,12 @@ def make_quality_scrub_udf(
         frame = pd.DataFrame({"t": texts.fillna("").to_numpy(), "l": lang})
         for lg, grp in frame.groupby("l", sort=False):
             model = models.get(lg, fallback)
-            for pos, t in zip(grp.index.to_numpy(), grp["t"].to_numpy()):
-                ppl[pos] = model.perplexity(t)
+            # batched lookups (5 searchsorted per language-group instead of
+            # 5 per doc) — bit-identical to per-doc scoring, see
+            # CharTrigramLM.perplexity_batch
+            ppl[grp.index.to_numpy()] = model.perplexity_batch(
+                grp["t"].to_numpy()
+            )
 
         # rule flags — exact numpy mirror of core.quality.rule_flags
         ws = ~np.isin(lang, list(_q.CHAR_BASED_LANGS))

@@ -226,3 +226,27 @@ def test_token_stopword_path_equals_regex_spec(sf001_dir):
                 lang,
                 text[:80],
             )
+
+
+def test_perplexity_batch_bitwise():
+    """perplexity_batch must return bit-for-bit what per-doc perplexity
+    returns — the fused UDF scores with the batch path while the pure
+    oracle scores per doc, so any float drift would break the pipeline
+    differential. Covers short/empty/whitespace texts (the early-return
+    branch) and char-based + Latin models."""
+    import struct
+
+    from pii_detection_redaction_spark.core.lm import all_models
+
+    models = all_models()
+    texts = list(pages_df(300).text)
+    texts += ["", "a", "ab", "abc", "   ", "\n\t ", "x " * 500]
+    for lang in ("en", "de", "fr", "ja", "zh"):
+        m = models[lang]
+        batch = m.perplexity_batch(texts)
+        for t, b in zip(texts, batch):
+            one = m.perplexity(t)
+            assert struct.pack("<d", one) == struct.pack("<d", float(b)), (
+                lang,
+                t[:40],
+            )
