@@ -79,22 +79,62 @@ class CharTrigramLM:
         out = np.where(hit, cnt[idx_c], 0.0)
         return out
 
+    # flush threshold for perplexity_batch, in scored positions: 5 query
+    # arrays x 8192 x 8B = 320 KB plus ~10 same-sized intermediates keeps
+    # the whole flush working set ~3 MB — L2/L3-resident. Concatenating the
+    # entire Arrow batch instead (tens of MB) was measured 10x SLOWER under
+    # co-tenant memory-bandwidth pressure: the tiny per-doc arrays were
+    # cache-resident and immune to DRAM steal, the monolithic ones not.
+    _BATCH_POSITIONS = 8192
+
     def perplexity_batch(self, texts) -> np.ndarray:
         """Vectorized perplexity over many texts — bit-identical to calling
         ``perplexity`` per text (pinned by ``test_perplexity_batch_bitwise``):
-        per-doc query arrays are concatenated so each n-gram table is probed
-        with FIVE ``searchsorted`` calls per batch instead of five per doc
-        (the searchsorted work itself is the same; the per-doc numpy-call
-        overhead — ~25 small-array ops per doc — dominated short docs), and
-        each doc's mean is taken over its contiguous slice of the shared
-        array. numpy's pairwise summation depends only on the slice's
-        contents and length, never on the surrounding buffer, so the
-        per-doc float is unchanged. No cross-doc n-grams exist: the
-        tri/bi/uni query arrays are built per doc BEFORE concatenation."""
+        per-doc query arrays are concatenated in bounded chunks so each
+        n-gram table is probed with five ``searchsorted`` calls per ~8k
+        scored positions instead of five per doc (the searchsorted work is
+        the same; the ~25 small-array numpy-call overheads per doc dominate
+        short docs), and each doc's mean is taken over its contiguous slice
+        of the chunk's shared array. numpy's pairwise summation depends only
+        on the slice's contents and length, never on the surrounding buffer,
+        and every elementwise op is position-local, so the per-doc float is
+        unchanged by chunk boundaries (always at doc granularity). No
+        cross-doc n-grams exist: the tri/bi/uni query arrays are built per
+        doc BEFORE concatenation."""
         out = np.empty(len(texts), dtype=np.float64)
         tris, bctxs, bi2s, uctxs, unis = [], [], [], [], []
         spans = []  # (out_index, start, n_scored_positions)
         pos = 0
+
+        def _flush():
+            nonlocal pos
+            if not spans:
+                return
+            tri_c = self._lookup(
+                self.tri_keys, self.tri_cnt, np.concatenate(tris))
+            bictx_c = self._lookup(
+                self.bi_keys, self.bi_cnt, np.concatenate(bctxs))
+            bi2_c = self._lookup(
+                self.bi_keys, self.bi_cnt, np.concatenate(bi2s))
+            unictx_c = self._lookup(
+                self.uni_keys, self.uni_cnt, np.concatenate(uctxs))
+            uni_c = self._lookup(
+                self.uni_keys, self.uni_cnt, np.concatenate(unis))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p_tri = np.where(
+                    bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
+                p_bi = BACKOFF * np.where(
+                    unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0
+                )
+                p_uni = BACKOFF * BACKOFF * uni_c / self.total
+            p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
+            logp = np.log(np.maximum(p, FLOOR))
+            for i, start, n in spans:
+                out[i] = float(np.exp(-np.mean(logp[start : start + n])))
+            tris.clear(); bctxs.clear(); bi2s.clear()
+            uctxs.clear(); unis.clear(); spans.clear()
+            pos = 0
+
         for i, text in enumerate(texts):
             t = " ".join(text.lower().split())
             if len(t) < 3:
@@ -111,23 +151,9 @@ class CharTrigramLM:
             n = len(c) - 2
             spans.append((i, pos, n))
             pos += n
-        if not spans:
-            return out
-        tri_c = self._lookup(self.tri_keys, self.tri_cnt, np.concatenate(tris))
-        bictx_c = self._lookup(self.bi_keys, self.bi_cnt, np.concatenate(bctxs))
-        bi2_c = self._lookup(self.bi_keys, self.bi_cnt, np.concatenate(bi2s))
-        unictx_c = self._lookup(self.uni_keys, self.uni_cnt, np.concatenate(uctxs))
-        uni_c = self._lookup(self.uni_keys, self.uni_cnt, np.concatenate(unis))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_tri = np.where(bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
-            p_bi = BACKOFF * np.where(
-                unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0
-            )
-            p_uni = BACKOFF * BACKOFF * uni_c / self.total
-        p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
-        logp = np.log(np.maximum(p, FLOOR))
-        for i, start, n in spans:
-            out[i] = float(np.exp(-np.mean(logp[start : start + n])))
+            if pos >= self._BATCH_POSITIONS:
+                _flush()
+        _flush()
         return out
 
     def perplexity(self, text: str) -> float:
