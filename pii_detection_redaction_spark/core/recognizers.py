@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 from .entities import PERSON_TYPES, expand_entities
 from .spans import Detection, spans_overlap
@@ -67,6 +67,12 @@ class PatternSpec:
     regex: str
     score: float
     flags: int = 0
+    # Per-pattern NECESSARY condition, same encoding as
+    # RecognizerSpec.precondition (r"\d" = needs a digit; other str =
+    # literal substring). Lets a mostly-numeric spec gate its numeric
+    # patterns while one alphanumeric pattern stays ungated
+    # (AU_DRIVER_LICENSE). None = no per-pattern gate.
+    precondition: Optional[str] = None
 
 
 @dataclass
@@ -85,11 +91,12 @@ class RecognizerSpec:
     # (reference AbnRecognizer.validate_result, au_recognizers.py:47-49).
     validator: Optional[Callable[[str], bool]] = None
     # Cheap NECESSARY condition for any pattern of this spec to match:
-    # r"\d" = text must contain a digit; any other value = literal substring
-    # that must be present. Sound by construction (every pattern literally
-    # requires it), so gating cannot change output — verified by
-    # test_precondition_gating_is_lossless. None = always run.
-    precondition: Optional[str] = None
+    # r"\d" = text must contain a digit; a tuple = at least ONE of the
+    # literal substrings must be present (any-of); any other str = that
+    # literal substring must be present. Sound by construction (every
+    # pattern literally requires it), so gating cannot change output —
+    # verified by test_precondition_gating_is_lossless. None = always run.
+    precondition: Optional[Union[str, Tuple[str, ...]]] = None
 
     def compiled(self):
         return [(p, re.compile(p.regex, p.flags)) for p in self.patterns]
@@ -183,11 +190,19 @@ def _au_specs() -> List[RecognizerSpec]:
         RecognizerSpec(
             "AU_DRIVER_LICENSE",
             [
-                PatternSpec("driver_license_nsw", r"\b\d{8}\b", 0.4),
-                PatternSpec("driver_license_vic", r"\b\d{10}\b", 0.4),
-                PatternSpec("driver_license_qld", r"\b\d{8,9}\b", 0.35),
-                PatternSpec("driver_license_sa_alpha", r"\b\d{6}[A-Z]\b", 0.5),
-                PatternSpec("driver_license_wa", r"\b\d{7}\b", 0.4),
+                # the five numeric formats carry per-pattern digit gates;
+                # only the alphanumeric general pattern (which can match a
+                # digit-free uppercase run) scans digit-free text
+                PatternSpec("driver_license_nsw", r"\b\d{8}\b", 0.4,
+                            precondition=r"\d"),
+                PatternSpec("driver_license_vic", r"\b\d{10}\b", 0.4,
+                            precondition=r"\d"),
+                PatternSpec("driver_license_qld", r"\b\d{8,9}\b", 0.35,
+                            precondition=r"\d"),
+                PatternSpec("driver_license_sa_alpha", r"\b\d{6}[A-Z]\b", 0.5,
+                            precondition=r"\d"),
+                PatternSpec("driver_license_wa", r"\b\d{7}\b", 0.4,
+                            precondition=r"\d"),
                 PatternSpec("driver_license_general", r"\b[A-Z0-9]{6,10}\b", 0.3),
             ],
             [
@@ -580,9 +595,29 @@ def _builtin_specs() -> List[RecognizerSpec]:
 # Necessary-condition gates per entity type (audited against every pattern:
 # all AU numeric ids / cards / IPs / IBANs / dates require a digit; email
 # requires '@'; intl phone requires '+'; URL requires literal 'http').
-# AU_DRIVER_LICENSE is deliberately ungated: its [A-Z0-9]{6,10} pattern can
-# match digit-free text. AU_STATE (literals) and PERSON (name heuristics)
-# have no cheap necessary substring.
+# AU_DRIVER_LICENSE gates its five numeric patterns per-pattern instead
+# (the [A-Z0-9]{6,10} general pattern can match digit-free text). AU_STATE,
+# LOCATION and PERSON (gazetteer alternations) have no cheap necessary
+# substring.
+#
+# Any-of tuples: the title/role/greeting/org-suffix specs each require one
+# of a small set of literals. Minimal covers, case-sensitive exactly as the
+# patterns demand: "Mr" covers Mrs, "Prof" covers Professor, "Inc" covers
+# Incorporated, "Corp" covers Corporation, "Ltd" covers "Pty. Ltd"; the
+# role words match [Aa]pplicant-style either-case heads, so their
+# case-stable tails ("pplicant", ...) are the necessary substrings.
+# NAME_TITLE and PERSON_WITH_TITLE share ONE tuple object (the union is
+# identical) so analyze() memoizes a single scan per document.
+_TITLE_ROLE_LITERALS = (
+    "Mr", "Ms", "Mx", "Dr", "Prof", "Miss", "Sir", "Madam", "Ma'am",
+    "pplicant", "andidate", "ustomer", "atient", "lient", "mployee",
+    "tudent", "ecipient", "orrower",
+)
+_GREETING_LITERALS = ("Hello", "Hi", "Hey", "Dear", "Good")
+_ORG_SUFFIX_LITERALS = (
+    "Ltd", "Limited", "Inc", "Corp", "LLC", "PLC", "Group", "Holdings",
+    "Partners", "Bank", "University",
+)
 _PRECONDITIONS = {
     "AU_TFN": r"\d", "AU_MEDICARE": r"\d", "AU_CENTRELINK_CRN": r"\d",
     "AU_PASSPORT": r"\d", "AU_ABN": r"\d", "AU_ACN": r"\d", "AU_BSB": r"\d",
@@ -590,6 +625,10 @@ _PRECONDITIONS = {
     "CREDIT_CARD": r"\d", "IP_ADDRESS": r"\d", "IBAN_CODE": r"\d",
     "DATE_TIME": r"\d", "EMAIL_ADDRESS": "@", "PHONE_NUMBER": "+",
     "URL": "http", "AU_ADDRESS": r"\d",
+    "NAME_TITLE": _TITLE_ROLE_LITERALS,
+    "PERSON_WITH_TITLE": _TITLE_ROLE_LITERALS,
+    "PERSON_AFTER_GREETING": _GREETING_LITERALS,
+    "ORGANIZATION": _ORG_SUFFIX_LITERALS,
 }
 
 
@@ -760,20 +799,33 @@ def analyze(
     ents = expand_entities(entities)
     text_lower = text.lower()
     has_digit: Optional[bool] = None
+    anyof_cache: Dict[int, bool] = {}
+
+    def _passes(pre) -> bool:
+        nonlocal has_digit
+        if pre == r"\d":
+            if has_digit is None:
+                has_digit = _digit_search(text) is not None
+            return has_digit
+        if type(pre) is tuple:
+            key = id(pre)  # shared tuple objects scan once per document
+            hit = anyof_cache.get(key)
+            if hit is None:
+                hit = any(lit in text for lit in pre)
+                anyof_cache[key] = hit
+            return hit
+        return pre in text
+
     raw: List[Detection] = []
     for spec, compiled in _get_compiled(bank):
         if ents is not None and spec.entity_type not in ents:
             continue
         pre = spec.precondition
-        if pre is not None:
-            if pre == r"\d":
-                if has_digit is None:
-                    has_digit = _digit_search(text) is not None
-                if not has_digit:
-                    continue
-            elif pre not in text:
-                continue
+        if pre is not None and not _passes(pre):
+            continue
         for pat, rx in compiled:
+            if pat.precondition is not None and not _passes(pat.precondition):
+                continue
             for m in rx.finditer(text):
                 # PERSON patterns capture the name in group 1; span = the name.
                 if m.lastindex:

@@ -128,9 +128,12 @@ def test_deterministic_ordering():
 
 
 def test_precondition_gating_is_lossless():
-    """The per-spec precondition gates are necessary conditions — analysis
-    with gates must equal analysis with every gate stripped, over the full
-    corpus plus adversarial strings around each gate boundary."""
+    """The per-spec AND per-pattern precondition gates are necessary
+    conditions — analysis with gates must equal analysis with every gate
+    stripped, over the full corpus plus adversarial strings around each
+    gate boundary."""
+    import dataclasses
+
     from pii_detection_redaction_spark.core.chunker import analyze_long_text
     from pii_detection_redaction_spark.core.recognizers import default_bank
     from pii_detection_redaction_spark.testing.corpus import pages_df
@@ -138,6 +141,9 @@ def test_precondition_gating_is_lossless():
     ungated = default_bank()
     for s in ungated:
         s.precondition = None
+        s.patterns = [
+            dataclasses.replace(p, precondition=None) for p in s.patterns
+        ]
 
     samples = list(pages_df(300).text)
     samples += [
@@ -148,6 +154,16 @@ def test_precondition_gating_is_lossless():
         "HTTP://UPPER.CASE/url and https://ok.example/x",
         "plus sign but no number + alone",
         "New South Wales and Victoria",  # AU_STATE, digit-free
+        # any-of tuple-gate boundaries: each title/role/greeting/org cover
+        # literal exercised with and without its full pattern context
+        "Professor Plum met Madam Curie and a borrower, the Applicant Jane Doe.",
+        "the customer waited; Patient Robert Brown arrived",  # role-word either case
+        "Hello Alice Smith, and Good    evening Bob Jones",  # greeting gate
+        "High noon hit her, hey there",  # contains 'Hi' substring, no greeting match
+        "Acme Pty. Ltd and Beta Incorporated own Gamma Corporation",  # org suffixes
+        "mrs mr ms dr prof lowercase titles never match",  # case-sensitive gate
+        "Mx Taylor and Ma'am without names following",  # bare-title branch
+        "no titles, no orgs, no greetings, just plain prose here",  # all gates skip
     ]
     for t in samples:
         gated = [d.as_tuple() for d in analyze_long_text(t)]
