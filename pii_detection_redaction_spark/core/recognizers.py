@@ -68,11 +68,32 @@ class PatternSpec:
     score: float
     flags: int = 0
     # Per-pattern NECESSARY condition, same encoding as
-    # RecognizerSpec.precondition (r"\d" = needs a digit; other str =
-    # literal substring). Lets a mostly-numeric spec gate its numeric
-    # patterns while one alphanumeric pattern stays ungated
-    # (AU_DRIVER_LICENSE). None = no per-pattern gate.
-    precondition: Optional[str] = None
+    # RecognizerSpec.precondition (r"\d" = needs a digit; a tuple = any-of
+    # literal substrings; other str = literal substring). Lets a mostly-
+    # numeric spec gate its numeric patterns while one alphanumeric pattern
+    # stays ungated (AU_DRIVER_LICENSE). None = no per-pattern gate.
+    precondition: Optional[Union[str, Tuple[str, ...]]] = None
+    # Gazetteer fast path: when set, every possible match of this pattern
+    # starts at a maximal ``[A-Z][a-z]+`` token whose text is IN this set
+    # (sound for the gazetteer alternations: each alternative is exactly
+    # such a token and the regex continuation after it cannot consume
+    # further ``[a-z]``, so a match can neither start inside a capitalized
+    # token nor extend the leading token — pinned by
+    # test_anchor_prefilters_are_lossless). analyze() then scans the
+    # document's capitalized tokens ONCE (shared across prefiltered
+    # patterns) and anchors the full regex only at set members, instead of
+    # running each big-alternation scan over the whole text (~2x detect
+    # throughput on gazetteer-heavy web text).
+    token_prefilter: Optional[frozenset] = None
+    # Digit-anchor fast path: every possible match starts at the first digit
+    # of a maximal digit run (sound whenever the regex's first consumed char
+    # is a digit behind a \b — the predecessor is then a non-word char,
+    # hence a non-digit, so the start digit cannot be run-interior).
+    # None = infer from the regex source (prefix \b\d or \b(?:\d); the ipv4
+    # pattern opts in explicitly — its digit-first alternation defeats the
+    # prefix check). analyze() scans the document's digit runs ONCE and
+    # anchors all such patterns there instead of ~24 full-text scans.
+    digit_anchor: Optional[bool] = None
 
 
 @dataclass
@@ -99,7 +120,8 @@ class RecognizerSpec:
     precondition: Optional[Union[str, Tuple[str, ...]]] = None
 
     def compiled(self):
-        return [(p, re.compile(p.regex, p.flags)) for p in self.patterns]
+        return [(p, re.compile(p.regex, p.flags), _digit_anchored(p))
+                for p in self.patterns]
 
 
 # ---------------------------------------------------------------------------
@@ -266,13 +288,16 @@ def _au_specs() -> List[RecognizerSpec]:
             "AU_PHONE_NUMBER",
             [
                 PatternSpec("phone_mobile_intl", r"\+61\s?4\d{2}\s?\d{3}\s?\d{3}", 0.7),
-                PatternSpec("phone_mobile_domestic", r"\b04\d{2}\s?\d{3}\s?\d{3}\b", 0.65),
+                PatternSpec("phone_mobile_domestic", r"\b04\d{2}\s?\d{3}\s?\d{3}\b", 0.65,
+                            digit_anchor=True),
                 PatternSpec("phone_landline_brackets", r"\(0[2-8]\)\s?\d{4}\s?\d{4}", 0.6),
                 PatternSpec("phone_landline_intl", r"\+61\s?[2-8]\s?\d{4}\s?\d{4}", 0.7),
                 # bracket-free domestic landline (02 9876 5432) — recall gap
                 # vs the reference's bank, added as our documented extension
-                PatternSpec("phone_landline_domestic", r"\b0[2-8]\s?\d{4}\s?\d{4}\b", 0.55),
-                PatternSpec("phone_tollfree", r"\b1[38]00\s?\d{3}\s?\d{3}\b", 0.6),
+                PatternSpec("phone_landline_domestic", r"\b0[2-8]\s?\d{4}\s?\d{4}\b", 0.55,
+                            digit_anchor=True),
+                PatternSpec("phone_tollfree", r"\b1[38]00\s?\d{3}\s?\d{3}\b", 0.6,
+                            digit_anchor=True),
             ],
             ["phone", "telephone", "mobile", "contact", "call", "tel", "ph"],
         ),
@@ -335,6 +360,11 @@ _MONTHS = (
     r"|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?"
     r"|Dec(?:ember)?)"
 )
+# any-of gate for the textual-month date patterns: every _MONTHS alternative
+# literally requires its case-stable 3-letter prefix (one shared tuple so
+# analyze() memoizes a single scan per document)
+_MONTH_LITERALS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
 
 # Deterministic first-name gazetteer replacing spaCy PERSON (seeded spec —
 # spaCy en_core_web_lg is unavailable and non-deterministic; SURVEY.md §2.8 C5).
@@ -426,6 +456,9 @@ def _builtin_specs() -> List[RecognizerSpec]:
                     r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
                     r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
                     0.6,
+                    # every octet alternative consumes a digit first, so a
+                    # match always starts \b-then-digit — digit-run sound
+                    digit_anchor=True,
                 )
             ],
             ["ip", "ip address", "ipv4", "host"],
@@ -453,8 +486,10 @@ def _builtin_specs() -> List[RecognizerSpec]:
                 PatternSpec("date_iso", r"\b\d{4}-\d{2}-\d{2}\b", 0.6),
                 PatternSpec("date_slash", r"\b\d{1,2}/\d{1,2}/\d{2,4}\b", 0.5),
                 PatternSpec("date_dashed", r"\b\d{1,2}-\d{1,2}-\d{4}\b", 0.5),
-                PatternSpec("date_dmy_text", rf"\b\d{{1,2}}\s+{_MONTHS}\s+\d{{4}}\b", 0.6),
-                PatternSpec("date_mdy_text", rf"\b{_MONTHS}\s+\d{{1,2}},?\s+\d{{4}}\b", 0.6),
+                PatternSpec("date_dmy_text", rf"\b\d{{1,2}}\s+{_MONTHS}\s+\d{{4}}\b", 0.6,
+                            precondition=_MONTH_LITERALS),
+                PatternSpec("date_mdy_text", rf"\b{_MONTHS}\s+\d{{1,2}},?\s+\d{{4}}\b", 0.6,
+                            precondition=_MONTH_LITERALS),
                 PatternSpec(
                     "time_of_day",
                     r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?[AaPp][Mm])?\b",
@@ -574,6 +609,7 @@ def _builtin_specs() -> List[RecognizerSpec]:
                     "city_gazetteer",
                     r"\b(?:" + "|".join(sorted(CITY_NAMES, key=lambda s: (-len(s), s))) + r")\b",
                     0.4,
+                    token_prefilter=frozenset(CITY_NAMES),
                 ),
             ],
         ),
@@ -586,6 +622,7 @@ def _builtin_specs() -> List[RecognizerSpec]:
                     + "|".join(sorted((n.capitalize() for n in FIRST_NAMES), key=lambda s: (-len(s), s)))
                     + r")(?:\s+(?:[A-Z]\.|[A-Z][a-z]+(?:[-'][A-Z][a-z]+)?)){1,2})\b",
                     0.8,
+                    token_prefilter=frozenset(n.capitalize() for n in FIRST_NAMES),
                 ),
             ],
         ),
@@ -596,9 +633,10 @@ def _builtin_specs() -> List[RecognizerSpec]:
 # all AU numeric ids / cards / IPs / IBANs / dates require a digit; email
 # requires '@'; intl phone requires '+'; URL requires literal 'http').
 # AU_DRIVER_LICENSE gates its five numeric patterns per-pattern instead
-# (the [A-Z0-9]{6,10} general pattern can match digit-free text). AU_STATE,
-# LOCATION and PERSON (gazetteer alternations) have no cheap necessary
-# substring.
+# (the [A-Z0-9]{6,10} general pattern can match digit-free text). AU_STATE
+# gates on a 14-literal cover of its deny-list (below). LOCATION and PERSON
+# (gazetteer alternations) have no cheap necessary substring — they use the
+# capitalized-token prefilter instead (PatternSpec.token_prefilter).
 #
 # Any-of tuples: the title/role/greeting/org-suffix specs each require one
 # of a small set of literals. Minimal covers, case-sensitive exactly as the
@@ -618,6 +656,15 @@ _ORG_SUFFIX_LITERALS = (
     "Ltd", "Limited", "Inc", "Corp", "LLC", "PLC", "Group", "Holdings",
     "Partners", "Bank", "University",
 )
+# AU_STATE deny-list cover (case-sensitive, one literal per alternative):
+# "ustralia" covers South/Western Australia + Australian Capital Territory,
+# "Territory" covers Northern Territory, "Wales" covers New South Wales; the
+# abbreviations cover themselves. Short literals like "SA" false-hit (e.g.
+# inside "USA") — that only costs the scan, never a miss.
+_AU_STATE_LITERALS = (
+    "NSW", "VIC", "QLD", "SA", "WA", "TAS", "ACT", "NT",
+    "Wales", "Victoria", "Queensland", "ustralia", "Tasmania", "Territory",
+)
 _PRECONDITIONS = {
     "AU_TFN": r"\d", "AU_MEDICARE": r"\d", "AU_CENTRELINK_CRN": r"\d",
     "AU_PASSPORT": r"\d", "AU_ABN": r"\d", "AU_ACN": r"\d", "AU_BSB": r"\d",
@@ -629,6 +676,7 @@ _PRECONDITIONS = {
     "PERSON_WITH_TITLE": _TITLE_ROLE_LITERALS,
     "PERSON_AFTER_GREETING": _GREETING_LITERALS,
     "ORGANIZATION": _ORG_SUFFIX_LITERALS,
+    "AU_STATE": _AU_STATE_LITERALS,
 }
 
 
@@ -658,6 +706,53 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
 
 
 _digit_search = re.compile(r"\d").search
+
+# maximal capitalized tokens — the shared candidate scan for
+# PatternSpec.token_prefilter patterns. A finditer over this never starts a
+# match inside another (everything after the first char is lowercase), so
+# every possible gazetteer-match start position is emitted exactly once.
+_CAPWORD = re.compile(r"[A-Z][a-z]+")
+
+
+_DIGIT_RUN = re.compile(r"\d+")
+
+
+def _digit_anchored(p: "PatternSpec") -> bool:
+    """Effective digit-anchor decision for a pattern (see PatternSpec)."""
+    if p.digit_anchor is not None:
+        return p.digit_anchor
+    return p.regex.startswith((r"\b\d", r"\b(?:\d"))
+
+
+def _anchored_matches(text, rx, positions):
+    """finditer-equivalent given a sound candidate-start list: anchor the
+    full regex at each candidate, preserving finditer's leftmost
+    non-overlapping contract (skip candidates before the previous match's
+    end). The anchored ``rx.match`` re-checks its own ``\\b``."""
+    last_end = 0
+    for pos in positions:
+        if pos < last_end:
+            continue
+        m = rx.match(text, pos)
+        if m is not None:
+            last_end = m.end()
+            yield m
+
+
+def _prefiltered_matches(text, rx, prefilter, capwords):
+    """finditer-equivalent for a token-prefiltered pattern: anchor the full
+    regex only at capitalized tokens in the prefilter set, preserving
+    finditer's leftmost non-overlapping contract (skip candidates starting
+    before the previous match's end). The anchored ``rx.match`` re-checks
+    the leading ``\\b`` itself, so mid-word candidates self-reject."""
+    last_end = 0
+    for pos, word in capwords:
+        if pos < last_end or word not in prefilter:
+            continue
+        m = rx.match(text, pos)
+        if m is not None:
+            last_end = m.end()
+            yield m
 
 
 _PUNCT_TRIM = ".,;:"
@@ -816,6 +911,10 @@ def analyze(
             return hit
         return pre in text
 
+    # lazy shared candidate scans for anchored patterns (once per document)
+    capwords: Optional[list] = None
+    digit_starts: Optional[list] = None
+
     raw: List[Detection] = []
     for spec, compiled in _get_compiled(bank):
         if ents is not None and spec.entity_type not in ents:
@@ -823,10 +922,23 @@ def analyze(
         pre = spec.precondition
         if pre is not None and not _passes(pre):
             continue
-        for pat, rx in compiled:
+        for pat, rx, danchor in compiled:
             if pat.precondition is not None and not _passes(pat.precondition):
                 continue
-            for m in rx.finditer(text):
+            if pat.token_prefilter is not None:
+                if capwords is None:
+                    capwords = [(m.start(), m.group())
+                                for m in _CAPWORD.finditer(text)]
+                matches = _prefiltered_matches(
+                    text, rx, pat.token_prefilter, capwords)
+            elif danchor:
+                if digit_starts is None:
+                    digit_starts = [m.start()
+                                    for m in _DIGIT_RUN.finditer(text)]
+                matches = _anchored_matches(text, rx, digit_starts)
+            else:
+                matches = rx.finditer(text)
+            for m in matches:
                 # PERSON patterns capture the name in group 1; span = the name.
                 if m.lastindex:
                     s, e = m.span(1)

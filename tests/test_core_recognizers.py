@@ -171,6 +171,51 @@ def test_precondition_gating_is_lossless():
         assert gated == full, t[:80]
 
 
+def test_anchor_prefilters_are_lossless():
+    """The gazetteer token prefilter and the digit-run anchor are candidate
+    SUPERSETS — analysis with them must equal a bank with every prefilter,
+    anchor, and precondition stripped (pure finditer), over the corpus plus
+    adversarial strings at each anchor boundary (mid-word names, digit runs
+    abutting separators, boundary-free contexts)."""
+    import dataclasses
+
+    from pii_detection_redaction_spark.core.chunker import analyze_long_text
+    from pii_detection_redaction_spark.core.recognizers import default_bank
+
+    from pii_detection_redaction_spark.testing.corpus import pages_df
+
+    brute = default_bank()
+    for s in brute:
+        s.precondition = None
+        s.patterns = [
+            dataclasses.replace(p, precondition=None, token_prefilter=None,
+                                digit_anchor=False)
+            for p in s.patterns
+        ]
+
+    samples = list(pages_df(300).text)
+    samples += [
+        # gazetteer anchor boundaries: names inside longer tokens, glued
+        # casing, hyphen/apostrophe continuations, overlapping candidates
+        "McDonald visited Sydney", "JamesBond", "Jamestown is near Perth",
+        "Anna Lee-Smith met J. Smith", "Oliver Twist and Oliver",
+        "Emma Watson Emma Stone Emma", "Liam O'Brien", "Label: Jack Ryan.",
+        "James John Smith and John James",  # candidate inside a prior match
+        # digit-run anchor boundaries: runs split by separators (each piece
+        # is its own run start), runs inside words, run-final positions
+        "call 0412 345 678 or (02) 9123 4567", "ABN 51 824 753 556",
+        "ip 192.168.0.1 and 10.0.0.255", "card 4111 1111 1111 1111",
+        "x-12345678-y", "a123456789b", "1.2.3.4.5", "ends with 1234",
+        "12345678901234567890",  # one long run: only its start anchors
+        "2021-03-04 12/31/99 01-02-2003 5 May 2021 May 5, 2021 10:30:15pm",
+        "TFN 123 456 782 with AB1234567 passport",
+    ]
+    for t in samples:
+        fast = [d.as_tuple() for d in analyze_long_text(t)]
+        full = [d.as_tuple() for d in analyze_long_text(t, bank=brute)]
+        assert fast == full, t[:80]
+
+
 def test_typed_person_entities():
     """Title/greeting/role-word persons are emitted as the reference's
     distinct entity types (entity_config.py:20-23); the gazetteer path stays
