@@ -216,6 +216,40 @@ def test_anchor_prefilters_are_lossless():
         assert fast == full, t[:80]
 
 
+def test_token_prefilter_members_are_capword_shaped():
+    """Structural soundness guard for PatternSpec.token_prefilter: the shared
+    candidate scan emits maximal ``[A-Z][a-z]+`` tokens, so a prefilter is a
+    sound anchor ONLY if every gazetteer alternative is exactly that shape.
+    A future edit adding e.g. a two-word city ("St Kilda"), an all-caps
+    entry, or a hyphenated name to a prefiltered gazetteer would silently
+    drop matches — the behavioral lossless test above only sees the current
+    corpus; this pins the invariant for any member set."""
+    import re
+
+    from pii_detection_redaction_spark.core.recognizers import default_bank
+
+    capword = re.compile(r"[A-Z][a-z]+")
+    seen = 0
+    for spec in default_bank():
+        for p in spec.patterns:
+            if p.token_prefilter is None:
+                continue
+            seen += 1
+            bad = [t for t in p.token_prefilter
+                   if capword.fullmatch(t) is None]
+            assert not bad, (
+                f"{spec.entity_type}/{p.name}: token_prefilter members not "
+                f"of [A-Z][a-z]+ shape (anchor would miss them): {bad[:5]}")
+            # and the prefilter must COVER the regex's alternatives: every
+            # capword literally present in the pattern source must be a
+            # member (the alternation is built from the same gazetteer)
+            for alt in capword.findall(p.regex):
+                assert alt in p.token_prefilter, (
+                    f"{spec.entity_type}/{p.name}: regex alternative {alt!r} "
+                    f"missing from its token_prefilter — anchor would skip it")
+    assert seen >= 2  # LOCATION city gazetteer + PERSON first-name gazetteer
+
+
 def test_typed_person_entities():
     """Title/greeting/role-word persons are emitted as the reference's
     distinct entity types (entity_config.py:20-23); the gazetteer path stays
