@@ -76,10 +76,11 @@ _WORD_RE = re.compile(r"\w+")
 STOPWORD_SETS: Dict[str, frozenset] = {
     lang: frozenset(w.lower() for w in STOPWORDS[lang]) for lang in _SCORED_LANGS
 }
-# word -> per-language 0/1 membership row (set semantics: a word listed
-# twice in one language still matches each token once in the regex)
-_WORD_LANG_ROWS: Dict[str, Tuple[int, ...]] = {
-    w: tuple(1 if w in STOPWORD_SETS[lang] else 0 for lang in _SCORED_LANGS)
+# word -> tuple of language INDICES it belongs to (set semantics: a word
+# listed twice in one language still matches each token once in the regex;
+# most stopwords belong to 1-2 languages, so indices beat 0/1 rows)
+_WORD_LANG_IDX: Dict[str, Tuple[int, ...]] = {
+    w: tuple(j for j, lang in enumerate(_SCORED_LANGS) if w in STOPWORD_SETS[lang])
     for w in frozenset().union(*STOPWORD_SETS.values())
 }
 
@@ -90,13 +91,92 @@ def stopword_hit_rows(text: str) -> List[int]:
     from collections import Counter
 
     acc = [0] * len(_SCORED_LANGS)
+    get = _WORD_LANG_IDX.get
     for tok, c in Counter(map(str.lower, _WORD_RE.findall(text))).items():
-        row = _WORD_LANG_ROWS.get(tok)
+        row = get(tok)
         if row is not None:
-            for j, b in enumerate(row):
-                if b:
-                    acc[j] += c
+            for j in row:
+                acc[j] += c
     return acc
+
+
+# --- vectorized char-class counting ----------------------------------------
+# An optimized EQUIVALENT of the per-class ``str.count(pattern)`` scans for
+# the batched UDF path (the regex patterns above remain the spec the oracle,
+# JVM, and DuckDB engines consume). Every counted pattern is a single-char
+# class, so ``len(rx.findall(t))`` equals the number of codepoints of ``t``
+# in the class's member set — countable for ALL classes in one pass over the
+# batch's codepoints with a bitmask lookup table. The LUT is built FROM the
+# compiled regexes themselves (one findall over the all-codepoints string per
+# class), so membership is exact by construction; cross-path count equality
+# is additionally pinned by ``test_charclass_matrix_equals_regex_counts``.
+_SPACE_RE = re.compile(r"\s")
+
+# (name, compiled single-char-class regex) in fixed bit order: whitespace
+# (bit 0, for the \S count), scored-language charsets, script overrides.
+_CLASS_RES: List[Tuple[str, "re.Pattern"]] = (
+    [("ws", _SPACE_RE)]
+    + [(lang, _charset_res[lang]) for lang in _SCORED_LANGS if lang in _charset_res]
+    + [("ja", _kana_re), ("ko", _hangul_re), ("zh", _cjk_re)]
+)
+_CLASS_BIT = {name: j for j, (name, _) in enumerate(_CLASS_RES)}
+assert len(_CLASS_RES) <= 16  # bits must fit the uint16 LUT
+
+_LUT = None  # lazy: ~2.2 MB, built once per process (executor)
+
+
+def _char_class_lut():
+    global _LUT
+    if _LUT is None:
+        import numpy as np
+
+        all_cp = "".join(map(chr, range(0xD800))) + "".join(
+            map(chr, range(0xE000, 0x110000))
+        )
+        lut = np.zeros(0x110000, dtype=np.uint16)
+        for j, (_name, rx) in enumerate(_CLASS_RES):
+            members = np.array(
+                [ord(ch) for ch in rx.findall(all_cp)], dtype=np.int64
+            )
+            if len(members):
+                lut[members] |= np.uint16(1 << j)
+        _LUT = lut
+    return _LUT
+
+
+def charclass_count_matrix(texts):
+    """Per-document counts for every class in ``_CLASS_RES`` over a batch:
+    returns ``(lens, counts)`` with ``lens[i] = len(texts[i])`` and
+    ``counts[i, j] = len(_CLASS_RES[j][1].findall(texts[i]))``, computed in
+    one codepoint pass: utf-32 decode -> LUT gather -> one nonzero scan for
+    the positions in ANY class (class members are a small minority of web
+    text — whitespace ~15%, accents/scripts ~0), then per-class bincount
+    over just those hits. Returns None when the batch can't be utf-32
+    encoded (lone surrogates — impossible via Arrow/parquet; callers fall
+    back to the regex path)."""
+    import numpy as np
+
+    try:
+        joined = "".join(texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:
+        return None
+    n = len(texts)
+    lens = np.fromiter(map(len, texts), dtype=np.int64, count=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    bits = _char_class_lut()[cp]
+    counts = np.zeros((n, len(_CLASS_RES)), dtype=np.int64)
+    hit = np.nonzero(bits)[0]
+    if len(hit):
+        hit_doc = np.searchsorted(starts, hit, side="right") - 1
+        hit_bits = bits[hit]
+        for j in range(len(_CLASS_RES)):
+            sel = hit_doc[(hit_bits & (1 << j)) != 0]
+            if len(sel):
+                counts[:, j] = np.bincount(sel, minlength=n)
+    return lens, counts
+
 
 # (script-language, count-pattern, threshold) in decision order — shared by
 # the oracle below, the vectorized UDF, the JVM expression, and the SQL

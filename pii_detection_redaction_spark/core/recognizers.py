@@ -906,7 +906,9 @@ def analyze(
             key = id(pre)  # shared tuple objects scan once per document
             hit = anyof_cache.get(key)
             if hit is None:
-                hit = any(lit in text for lit in pre)
+                # map(__contains__) avoids a generator frame per literal —
+                # this runs ~30 times per document across the bank
+                hit = any(map(text.__contains__, pre))
                 anyof_cache[key] = hit
             return hit
         return pre in text

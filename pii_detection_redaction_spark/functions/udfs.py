@@ -145,23 +145,45 @@ def langid_batch(texts: pd.Series) -> pd.DataFrame:
     """Vectorized language ID: stopword hits via the shared token path
     (one tokenization pass per doc — ``core.langid.stopword_hit_rows``,
     the measured-6.5x-faster equivalent of the per-language alternation
-    regexes), charset/script hits via pandas ``str.count``, then the same
-    ``score_from_counts`` arithmetic as the oracle, vectorized in numpy.
-    Returns DataFrame(lang, conf)."""
+    regexes), charset/script/non-space hits via ONE codepoint-LUT pass
+    (``core.langid.charclass_count_matrix`` — replaces nine pandas
+    ``str.count`` scans, count-identical by construction and pinned by
+    test), then the same ``score_from_counts`` arithmetic as the oracle,
+    vectorized in numpy. Returns DataFrame(lang, conf)."""
     s = texts.fillna("")
-    nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
+    t_arr = s.to_numpy()
     langs = _langid._SCORED_LANGS
+    cm = _langid.charclass_count_matrix(t_arr)
+    if cm is not None:
+        lens, counts = cm
+        nonspace = lens - counts[:, _langid._CLASS_BIT["ws"]]
+
+        def _class_count(name):
+            j = _langid._CLASS_BIT.get(name)
+            if j is None:
+                return np.zeros(len(s), np.int64)
+            return counts[:, j]
+
+    else:  # lone-surrogate batch: exact regex fallback (same spec)
+        nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
+        _pats = dict(_langid.CHARSET_PATTERNS)
+        _pats.update({la: p for la, p, _th in _langid.SCRIPT_OVERRIDES})
+
+        def _class_count(name):
+            pat = _pats.get(name)
+            if not pat:
+                return np.zeros(len(s), np.int64)
+            return s.str.count(pat).to_numpy(np.int64)
+
     # stopword hits via the shared token path (core.langid.stopword_hit_rows
     # — one tokenization pass per doc instead of 7 alternation scans;
     # regex-spec equivalence pinned by the langid guard tests)
     sw_mat = np.empty((len(s), len(langs)), dtype=np.int64)
-    for i, t in enumerate(s.to_numpy()):
+    for i, t in enumerate(t_arr):
         sw_mat[i] = _langid.stopword_hit_rows(t)
     scores = []
     for j, lang in enumerate(langs):
-        pat = _langid.CHARSET_PATTERNS[lang]
-        ch = s.str.count(pat).to_numpy(np.int64) if pat else np.zeros(len(s), np.int64)
-        scores.append(2.0 * sw_mat[:, j] + 1.0 * ch)
+        scores.append(2.0 * sw_mat[:, j] + 1.0 * _class_count(lang))
     # left-to-right accumulation — same FP association order as the oracle
     total = np.zeros(len(s), dtype=np.float64)
     for sc in scores:
@@ -180,7 +202,7 @@ def langid_batch(texts: pd.Series) -> pd.DataFrame:
     # returns, and frac/min arithmetic matches it bit-for-bit
     ns_safe = np.maximum(nonspace, 1)
     for lang, pat, threshold in reversed(_langid.SCRIPT_OVERRIDES):
-        hits = s.str.count(pat).to_numpy(np.int64)
+        hits = _class_count(lang)
         frac = hits / ns_safe
         cond = (nonspace > 0) & (frac > threshold)
         lang_out = np.where(cond, lang, lang_out)

@@ -228,6 +228,42 @@ def test_token_stopword_path_equals_regex_spec(sf001_dir):
             )
 
 
+def test_charclass_matrix_equals_regex_counts(sf001_dir):
+    """The codepoint-LUT batch counter (core.langid.charclass_count_matrix
+    — one pass for all of \\S / charset / script counts in the vectorized
+    UDF) must count exactly what the per-class regexes (the spec the
+    oracle, JVM, and DuckDB engines consume) count, per document, for
+    every class. Pinned on the differential corpora plus adversarial
+    mixed-script / empty / whitespace-only / astral-plane strings."""
+    import numpy as np
+    import pandas as pd
+
+    from pii_detection_redaction_spark.core import langid as L
+
+    texts = list(pages_df(1000).text)
+    texts += list(
+        pd.read_parquet(f"{sf001_dir}/documents.parquet", columns=["text"])["text"]
+    )
+    texts += [
+        "",
+        " \t\n  　",  # unicode whitespace repertoire
+        "汉字" * 3 + "ひらがなカタカナー" + "가나다" + "é à ñ ß õ ì ¿¡",
+        "\U0001F600 astral \U00010000 plane",  # above BMP
+        "ー",  # prolonged sound mark alone (kana class member)
+        "edge一",  # CJK range endpoints
+        "鿿가힣ぁゖァヺ",
+    ]
+    lens, counts = L.charclass_count_matrix(np.array(texts, dtype=object))
+    for i, text in enumerate(texts):
+        assert lens[i] == len(text)
+        for name, rx in L._CLASS_RES:
+            j = L._CLASS_BIT[name]
+            assert counts[i, j] == len(rx.findall(text)), (name, text[:80])
+        # the \S count the UDF derives (len - ws) == the spec regex count
+        nonspace = lens[i] - counts[i, L._CLASS_BIT["ws"]]
+        assert nonspace == len(L._nonspace_re.findall(text)), text[:80]
+
+
 def test_perplexity_batch_bitwise():
     """perplexity_batch must return bit-for-bit what per-doc perplexity
     returns — the fused UDF scores with the batch path while the pure
