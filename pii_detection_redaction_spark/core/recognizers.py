@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 from .entities import PERSON_TYPES, expand_entities
@@ -783,11 +784,15 @@ def trim_person_span(text: str, start: int, end: int) -> tuple:
     return start, end
 
 
+_DOT_BOUNDARY_RE = re.compile(r"\.(?=\b)")
+_WS_RUN_RE = re.compile(r"\s+")
+
+
 def normalize_person_name(name: str) -> str:
     """lowercased, dot-before-boundary-stripped, space-collapsed form
     (reference ``analyzer.py:105-110``)."""
-    name = re.sub(r"\.(?=\b)", "", name.strip())
-    return re.sub(r"\s+", " ", name).lower()
+    name = _DOT_BOUNDARY_RE.sub("", name.strip())
+    return _WS_RUN_RE.sub(" ", name).lower()
 
 
 def name_variants(name: str) -> List[str]:
@@ -810,6 +815,19 @@ def name_variants(name: str) -> List[str]:
             variants.add(f"{parts[-1]}, {' '.join(parts[:-1])}")
     variants.discard("")
     return sorted(variants, key=lambda v: (-len(v), v))
+
+
+@lru_cache(maxsize=4096)
+def _variants_pattern(variants: tuple) -> "re.Pattern":
+    """Compiled case-insensitive word-bounded alternation over a longest-first
+    variant tuple. Cached per distinct variant SET (not per document): the
+    same names recur across a corpus's documents and chunks, and Python's
+    global 512-entry regex cache churns under the per-document alternations
+    plus the bank's other dynamic lookups (measured ~7% of the analyze path
+    as runtime re.compile before caching)."""
+    return re.compile(
+        r"(?i)(?<!\w)(?:" + "|".join(re.escape(v) for v in variants) + r")(?!\w)"
+    )
 
 
 def propagate_repeated_names(
@@ -841,9 +859,7 @@ def propagate_repeated_names(
     if not variants:
         return []
     variants.sort(key=lambda v: (-len(v), v))
-    pat = re.compile(
-        r"(?i)(?<!\w)(?:" + "|".join(re.escape(v) for v in variants) + r")(?!\w)"
-    )
+    pat = _variants_pattern(tuple(variants))
     taken = [
         (d.start, d.end) for d in detections if d.score >= REPEATED_NAME_SCORE
     ]
