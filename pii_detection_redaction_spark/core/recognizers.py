@@ -880,7 +880,9 @@ def _context_hit(text_lower: str, start: int, end: int, context: List[str]) -> b
     lo = max(0, start - CONTEXT_WINDOW_BEFORE)
     hi = min(len(text_lower), end + CONTEXT_WINDOW_AFTER)
     window = text_lower[lo:start] + " " + text_lower[end:hi]
-    return any(c in window for c in context)
+    # map(__contains__): no generator frame per context word (runs once per
+    # raw detection inside the Arrow UDF hot path)
+    return any(map(window.__contains__, context))
 
 
 def analyze(
