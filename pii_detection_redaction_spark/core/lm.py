@@ -9,9 +9,11 @@ wheel is unavailable, so this is a self-contained deterministic equivalent:
 - stupid-backoff scoring (Brants et al. 2007, public):
   ``p(c3|c1c2) = tri/bi`` else ``0.4 * bi2/uni`` else ``0.16 * uni/total``
   else ``FLOOR``; perplexity = ``exp(-mean(log p))`` over all char positions;
-- lookups are numpy ``searchsorted`` over sorted int64 n-gram codes, so
-  scoring a document is a handful of vectorized ops — the same code path runs
-  inside the Spark pandas UDF (executor-side init-once, model broadcast).
+- per-doc (oracle) lookups are numpy ``searchsorted`` over sorted int64
+  n-gram codes; the batched UDF path gathers from a lazily-built dense
+  direct-indexed equivalent (``_dense_tables`` — bit-identical counts), so
+  scoring a document is a handful of vectorized ops either way (executor-side
+  init-once, model broadcast).
 
 Text is lowercased and whitespace-collapsed before scoring; codepoints above
 0xFFFE map to 0xFFFE so codes fit one int64: code(c1,c2,c3) =
@@ -70,6 +72,45 @@ class CharTrigramLM:
         self.uni_keys, self.uni_cnt = uni_keys, uni_cnt.astype(np.float64)
         self.bi_keys, self.bi_cnt = bi_keys, bi_cnt.astype(np.float64)
         self.tri_keys, self.tri_cnt = tri_keys, tri_cnt.astype(np.float64)
+        self._dense = None  # lazy per-process cache, never pickled
+
+    def __getstate__(self):
+        # the dense tables are a per-process cache (MBs for the CJK models);
+        # the pickled closure/broadcast ships only the sorted KB-scale arrays
+        # and each executor worker rebuilds the dense form on first use
+        d = self.__dict__.copy()
+        d["_dense"] = None
+        return d
+
+    def _dense_tables(self):
+        """Direct-indexed equivalent of the sorted-array store, built lazily
+        per process for the batch path: the training vocab is tiny (V <= ~99
+        distinct codepoints per model), so every n-gram count fits a dense
+        array indexed by base-(V+1) digits of per-char dense ids — one
+        ``take`` gather per probe instead of a ``searchsorted`` binary
+        search. Exactness: cells are the same float64 counts, absent grams
+        read the same 0.0 (any gram containing the unknown-char sentinel id
+        V indexes a cell no training gram can fill), so the downstream
+        arithmetic is bit-identical — pinned by
+        ``test_perplexity_batch_bitwise``."""
+        if self._dense is None:
+            V = len(self.uni_keys)
+            base = V + 1
+            charmap = np.full(0xFFFF, V, dtype=np.int32)
+            charmap[self.uni_keys] = np.arange(V, dtype=np.int32)
+            uni_d = np.zeros(base, dtype=np.float64)
+            uni_d[:V] = self.uni_cnt
+            bi_d = np.zeros(base * base, dtype=np.float64)
+            bi_hi = charmap[self.bi_keys >> 16]
+            bi_lo = charmap[self.bi_keys & 0xFFFF]
+            bi_d[bi_hi * base + bi_lo] = self.bi_cnt
+            tri_d = np.zeros(base * base * base, dtype=np.float64)
+            t_hi = charmap[self.tri_keys >> 32]
+            t_mid = charmap[(self.tri_keys >> 16) & 0xFFFF]
+            t_lo = charmap[self.tri_keys & 0xFFFF]
+            tri_d[(t_hi * base + t_mid) * base + t_lo] = self.tri_cnt
+            self._dense = (charmap, base, uni_d, bi_d, tri_d)
+        return self._dense
 
     @staticmethod
     def _lookup(keys: np.ndarray, cnt: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -90,36 +131,48 @@ class CharTrigramLM:
     def perplexity_batch(self, texts) -> np.ndarray:
         """Vectorized perplexity over many texts — bit-identical to calling
         ``perplexity`` per text (pinned by ``test_perplexity_batch_bitwise``):
-        per-doc query arrays are concatenated in bounded chunks so each
-        n-gram table is probed with five ``searchsorted`` calls per ~8k
-        scored positions instead of five per doc (the searchsorted work is
-        the same; the ~25 small-array numpy-call overheads per doc dominate
-        short docs), and each doc's mean is taken over its contiguous slice
-        of the chunk's shared array. numpy's pairwise summation depends only
-        on the slice's contents and length, never on the surrounding buffer,
-        and every elementwise op is position-local, so the per-doc float is
-        unchanged by chunk boundaries (always at doc granularity). No
-        cross-doc n-grams exist: the tri/bi/uni query arrays are built per
-        doc BEFORE concatenation."""
+        per-doc dense-id arrays are concatenated in bounded chunks so each
+        n-gram table is probed with one ``take`` gather per ~8k scored
+        positions (dense direct-indexed tables, ``_dense_tables`` — the
+        counts gathered are exactly what the sorted-array ``searchsorted``
+        probe returns, absent grams included), and each doc's mean is taken
+        over its contiguous slice of the chunk's shared array. numpy's
+        pairwise summation depends only on the slice's contents and length,
+        never on the surrounding buffer, and every elementwise op is
+        position-local, so the per-doc float is unchanged by chunk
+        boundaries (always at doc granularity). No cross-doc n-grams exist:
+        the shifted views that form the probe indices are taken per doc
+        BEFORE concatenation."""
+        charmap, base, uni_d, bi_d, tri_d = self._dense_tables()
         out = np.empty(len(texts), dtype=np.float64)
-        tris, bctxs, bi2s, uctxs, unis = [], [], [], [], []
-        spans = []  # (out_index, start, n_scored_positions)
+        ids_chunks = []  # per-doc dense-id arrays awaiting a flush
+        spans = []  # (out_index, start_in_position_space, n_scored_positions)
         pos = 0
 
         def _flush():
             nonlocal pos
             if not spans:
                 return
-            tri_c = self._lookup(
-                self.tri_keys, self.tri_cnt, np.concatenate(tris))
-            bictx_c = self._lookup(
-                self.bi_keys, self.bi_cnt, np.concatenate(bctxs))
-            bi2_c = self._lookup(
-                self.bi_keys, self.bi_cnt, np.concatenate(bi2s))
-            unictx_c = self._lookup(
-                self.uni_keys, self.uni_cnt, np.concatenate(uctxs))
-            uni_c = self._lookup(
-                self.uni_keys, self.uni_cnt, np.concatenate(unis))
+            # One concatenated id array per flush; the five probe index
+            # arrays are base-(V+1) digit combinations of position-shifted
+            # views. Doc boundaries cannot leak: the shifted views are taken
+            # PER DOC (ids_chunks entries), mirroring the per-doc query
+            # build of the sorted-array formulation.
+            tri_i, bctx_i, bi2_i, uctx_i, uni_i = [], [], [], [], []
+            for ids in ids_chunks:
+                i0, i1, i2 = ids[:-2], ids[1:-1], ids[2:]
+                bctx = i0 * base + i1
+                bi2 = i1 * base + i2
+                tri_i.append(bctx * base + i2)
+                bctx_i.append(bctx)
+                bi2_i.append(bi2)
+                uctx_i.append(i1)
+                uni_i.append(i2)
+            tri_c = tri_d.take(np.concatenate(tri_i))
+            bictx_c = bi_d.take(np.concatenate(bctx_i))
+            bi2_c = bi_d.take(np.concatenate(bi2_i))
+            unictx_c = uni_d.take(np.concatenate(uctx_i))
+            uni_c = uni_d.take(np.concatenate(uni_i))
             with np.errstate(divide="ignore", invalid="ignore"):
                 p_tri = np.where(
                     bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
@@ -131,8 +184,7 @@ class CharTrigramLM:
             logp = np.log(np.maximum(p, FLOOR))
             for i, start, n in spans:
                 out[i] = float(np.exp(-np.mean(logp[start : start + n])))
-            tris.clear(); bctxs.clear(); bi2s.clear()
-            uctxs.clear(); unis.clear(); spans.clear()
+            ids_chunks.clear(); spans.clear()
             pos = 0
 
         for i, text in enumerate(texts):
@@ -142,13 +194,8 @@ class CharTrigramLM:
                     float("inf") if not t else float(np.exp(-np.log(FLOOR)))
                 )
                 continue
-            c = _encode(t)
-            tris.append((c[:-2] << 32) | (c[1:-1] << 16) | c[2:])
-            bctxs.append((c[:-2] << 16) | c[1:-1])
-            bi2s.append((c[1:-1] << 16) | c[2:])
-            uctxs.append(c[1:-1])
-            unis.append(c[2:])
-            n = len(c) - 2
+            ids_chunks.append(charmap.take(_encode(t)))
+            n = len(t) - 2
             spans.append((i, pos, n))
             pos += n
             if pos >= self._BATCH_POSITIONS:

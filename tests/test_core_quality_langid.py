@@ -277,6 +277,14 @@ def test_perplexity_batch_bitwise():
     models = all_models()
     texts = list(pages_df(300).text)
     texts += ["", "a", "ab", "abc", "   ", "\n\t ", "x " * 500]
+    # chars unseen in ANY training corpus (dense sentinel id V) + astral
+    # (clamped to 0xFFFE by _encode) + mixed known/unknown boundaries
+    texts += [
+        "☃☄★ snowman run",
+        "normal text \U0001F600 with astral \U00010348 chars",
+        "ᚠᚢᚦᚨᚱᚲ runic only",
+        "边界: mixed 漢字 and العربية and кириллица",
+    ]
     for lang in ("en", "de", "fr", "ja", "zh"):
         m = models[lang]
         batch = m.perplexity_batch(texts)
