@@ -58,12 +58,18 @@ def analyze_long_text(
     min_score: float = 0.0,
     entities: Optional[Sequence[str]] = None,
     bank: Optional[Sequence[RecognizerSpec]] = None,
+    scans=None,
 ) -> List[Detection]:
     if not text:
         return []
     if len(text) <= size:
-        # Single chunk — identical result, skip the window machinery.
-        dets = analyze(text, entities=entities, min_score=min_score, bank=bank)
+        # Single chunk — identical result, skip the window machinery. The
+        # optional whole-document ScanBundle (core.scanvec) only applies
+        # here: chunk-local offsets in the multi-chunk branch don't line up
+        # with document-level candidate positions, so that path keeps the
+        # per-chunk lazy scans.
+        dets = analyze(text, entities=entities, min_score=min_score,
+                       bank=bank, scans=scans)
     else:
         best: Dict[Tuple[int, int, str], Detection] = {}
         for start_offset, chunk in chunk_text(text, size=size, overlap=overlap):

@@ -95,6 +95,13 @@ class PatternSpec:
     # prefix check). analyze() scans the document's digit runs ONCE and
     # anchors all such patterns there instead of ~24 full-text scans.
     digit_anchor: Optional[bool] = None
+    # Upper-alnum-run anchor (driver_license_general): every possible match
+    # of \b[A-Z0-9]{6,10}\b starts at a maximal [A-Z0-9] run of length >= 6
+    # (the \b predecessor is a non-word char, hence outside the class, so
+    # the start is run-initial; the match consumes >= 6 class chars). Only
+    # used when the caller supplies a precomputed ScanBundle (core.scanvec)
+    # — there is no per-document shortcut worth taking otherwise.
+    upper_run_anchor: bool = False
 
 
 @dataclass
@@ -226,7 +233,8 @@ def _au_specs() -> List[RecognizerSpec]:
                             precondition=r"\d"),
                 PatternSpec("driver_license_wa", r"\b\d{7}\b", 0.4,
                             precondition=r"\d"),
-                PatternSpec("driver_license_general", r"\b[A-Z0-9]{6,10}\b", 0.3),
+                PatternSpec("driver_license_general", r"\b[A-Z0-9]{6,10}\b", 0.3,
+                            upper_run_anchor=True),
             ],
             [
                 "driver license",
@@ -708,6 +716,55 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
 
 _digit_search = re.compile(r"\d").search
 
+
+@lru_cache(maxsize=256)
+def _classified_gate(pre: tuple) -> tuple:
+    """Classify an any-of literal tuple for ScanBundle-assisted evaluation.
+
+    Each literal becomes (kind, head, lit): a literal whose first two chars
+    are ASCII upper+lower can only occur in a text at a capword start (any
+    interior char of a ``[A-Z][a-z]+`` match is lowercase, so an uppercase
+    occurrence IS a match start), hence ``head in bundle.cw_prefixes`` is a
+    sound O(1) prescreen — exact for 2-char literals ("Mr"), a prefilter
+    before the full ``in text`` scan for longer ones. Upper+upper heads use
+    ``bundle.uu_bigrams`` the same way (acronyms like "NSW"). Everything
+    else ("pplicant", "@") keeps the plain substring scan."""
+    gate = []
+    for lit in pre:
+        if len(lit) >= 2 and "A" <= lit[0] <= "Z":
+            if "a" <= lit[1] <= "z":
+                gate.append(("cw2" if len(lit) == 2 else "cw", lit[:2], lit))
+                continue
+            if "A" <= lit[1] <= "Z":
+                gate.append(("uu2" if len(lit) == 2 else "uu", lit[:2], lit))
+                continue
+        gate.append(("plain", "", lit))
+    return tuple(gate)
+
+
+def _gate_hit(gate: tuple, text: str, scans) -> bool:
+    """Evaluate a classified any-of gate against one document using the
+    bundle's prescreen sets; semantics identical to
+    ``any(lit in text for lit in pre)`` (pinned by test_scanvec)."""
+    cwp = scans.cw_prefixes
+    uub = scans.uu_bigrams
+    for kind, head, lit in gate:
+        if kind == "cw2":
+            if head in cwp:
+                return True
+        elif kind == "cw":
+            if head in cwp and lit in text:
+                return True
+        elif kind == "uu2":
+            if head in uub:
+                return True
+        elif kind == "uu":
+            if head in uub and lit in text:
+                return True
+        elif lit in text:
+            return True
+    return False
+
 # maximal capitalized tokens — the shared candidate scan for
 # PatternSpec.token_prefilter patterns. A finditer over this never starts a
 # match inside another (everything after the first char is lowercase), so
@@ -890,6 +947,7 @@ def analyze(
     entities: Optional[Sequence[str]] = None,
     min_score: float = 0.0,
     bank: Optional[Sequence[RecognizerSpec]] = None,
+    scans=None,
 ) -> List[Detection]:
     """Run the recognizer bank over one text → resolved, sorted detections.
 
@@ -906,6 +964,14 @@ def analyze(
     document-level pass (``chunker.analyze_long_text``), matching the
     reference where the find-all machinery lives in the long-document
     analyzer, not the per-cell path.
+
+    ``scans`` (optional) is this document's ``core.scanvec.ScanBundle``,
+    computed batch-side by the fused UDF: it supplies the capword /
+    digit-run candidate lists precomputed, answers the digit gate for free,
+    evaluates any-of literal gates via O(1) prescreen sets, and anchors the
+    one upper-alnum pattern. Candidate supersets are re-verified by anchored
+    ``rx.match``, so results are identical with or without a bundle (pinned
+    by test_scanvec).
     """
     if not text:
         return []
@@ -918,22 +984,32 @@ def analyze(
         nonlocal has_digit
         if pre == r"\d":
             if has_digit is None:
-                has_digit = _digit_search(text) is not None
+                if scans is not None:
+                    has_digit = bool(scans.digit_starts)
+                else:
+                    has_digit = _digit_search(text) is not None
             return has_digit
         if type(pre) is tuple:
             key = id(pre)  # shared tuple objects scan once per document
             hit = anyof_cache.get(key)
             if hit is None:
-                # map(__contains__) avoids a generator frame per literal —
-                # this runs ~30 times per document across the bank
-                hit = any(map(text.__contains__, pre))
+                if scans is not None:
+                    hit = _gate_hit(_classified_gate(pre), text, scans)
+                else:
+                    # map(__contains__) avoids a generator frame per literal
+                    # — this runs ~30 times per document across the bank
+                    hit = any(map(text.__contains__, pre))
                 anyof_cache[key] = hit
             return hit
         return pre in text
 
-    # lazy shared candidate scans for anchored patterns (once per document)
+    # shared candidate scans for anchored patterns: from the batch bundle
+    # when supplied, else computed lazily per document
     capwords: Optional[list] = None
     digit_starts: Optional[list] = None
+    if scans is not None:
+        capwords = scans.capwords
+        digit_starts = scans.digit_starts
 
     raw: List[Detection] = []
     for spec, compiled in _get_compiled(bank):
@@ -949,13 +1025,21 @@ def analyze(
                 if capwords is None:
                     capwords = [(m.start(), m.group())
                                 for m in _CAPWORD.finditer(text)]
+                if not capwords:
+                    continue
                 matches = _prefiltered_matches(
                     text, rx, pat.token_prefilter, capwords)
             elif danchor:
                 if digit_starts is None:
                     digit_starts = [m.start()
                                     for m in _DIGIT_RUN.finditer(text)]
+                if not digit_starts:
+                    continue
                 matches = _anchored_matches(text, rx, digit_starts)
+            elif pat.upper_run_anchor and scans is not None:
+                if not scans.upper_run_starts:
+                    continue
+                matches = _anchored_matches(text, rx, scans.upper_run_starts)
             else:
                 matches = rx.finditer(text)
             for m in matches:

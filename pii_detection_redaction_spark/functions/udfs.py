@@ -33,6 +33,7 @@ from ..core import chunker as _chunker
 from ..core import extract as _extract
 from ..core import langid as _langid
 from ..core import lm as _lm
+from ..core import scanvec as _scanvec
 from ..core import scrub as _scrub
 from ..core.spans import Detection
 
@@ -416,6 +417,14 @@ def make_quality_scrub_udf(
         scrub_out: list = []
         reasons_out: list = []
         t_arr = frame["t"].to_numpy()
+        # batch candidate scans (core.scanvec) for the kept docs only — the
+        # detect stage never sees dropped docs, so don't pay the scan for
+        # them. None (lone-surrogate batch) falls back to per-doc scans.
+        kept_idx = np.nonzero(keep)[0]
+        bundles = _scanvec.batch_scan([t_arr[i] for i in kept_idx])
+        if bundles is None:
+            bundles = [None] * len(kept_idx)
+        bundle_at = dict(zip(kept_idx.tolist(), bundles))
         for i in range(len(texts)):
             if keep[i]:
                 reasons_out.append([])
@@ -429,7 +438,7 @@ def make_quality_scrub_udf(
                 continue
             dets = _chunker.analyze_long_text(
                 t_arr[i], size=size, overlap=overlap, min_score=min_score,
-                entities=ent,
+                entities=ent, scans=bundle_at[i],
             )
             dets_out.append([d.as_tuple() for d in dets])
             scrub_out.append(_scrub.scrub_document(t_arr[i], dets, mode=mode))
