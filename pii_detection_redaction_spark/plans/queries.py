@@ -23,13 +23,10 @@ from pyspark.sql import functions as F
 
 from ..core import langid as LID
 from ..core import quality as Q
-from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
+from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK
 from ..core.langprofiles import STOPWORDS
 from ..functions.quality import (
-    NONSPACE_RE,
-    STOP_RE,
-    SYMBOL_RE,
-    WORD_RE,
+    TOXICITY_RE_JVM,
     add_quality_columns,
 )
 from ..functions.udfs import (
@@ -474,12 +471,12 @@ def q_toxicity_scrub(spark, sf_dir):
     """Toxicity lexicon stage (north_star "toxicity-scrub") — hit count, the
     keep/drop rule flag, and the md5 of the masked text, all JVM-side."""
     d = _t(spark, sf_dir, "documents")
-    hits = F.regexp_count("text", F.lit(TOXICITY_REGEX))
+    hits = F.regexp_count("text", F.lit(TOXICITY_RE_JVM))
     return d.select(
         "doc_id",
         hits.alias("tox_hits"),
         (hits <= MAX_TOXICITY_HITS).alias("rule_toxicity"),
-        F.md5(F.regexp_replace(F.col("text"), TOXICITY_REGEX, TOXIC_MASK)).alias(
+        F.md5(F.regexp_replace(F.col("text"), TOXICITY_RE_JVM, TOXIC_MASK)).alias(
             "masked_md5"
         ),
     ).orderBy("doc_id")
@@ -1552,7 +1549,7 @@ def q_scrub_documents(spark, sf_dir):
     d = _t_wide(spark, sf_dir, "documents")
     detect = make_detect_udf()
     scrub = make_scrub_udf()
-    hits = F.regexp_count("text", F.lit(TOXICITY_REGEX))
+    hits = F.regexp_count("text", F.lit(TOXICITY_RE_JVM))
     # single pass: the PII detect/scrub UDFs and the JVM toxicity columns
     # share one projection over one scan — no two-branch self-join shuffle
     return (
@@ -1564,7 +1561,7 @@ def q_scrub_documents(spark, sf_dir):
             hits.alias("tox_hits"),
             (hits <= MAX_TOXICITY_HITS).alias("rule_toxicity"),
             F.md5(
-                F.regexp_replace(F.col("text"), TOXICITY_REGEX, TOXIC_MASK)
+                F.regexp_replace(F.col("text"), TOXICITY_RE_JVM, TOXIC_MASK)
             ).alias("masked_md5"),
         )
         .orderBy("doc_id")
