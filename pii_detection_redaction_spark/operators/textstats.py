@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..core import hashing as H
+from ..functions import quality as _QF
 from ..functions.quality import add_quality_columns
 from ..functions.udfs import make_langid_udf
 
@@ -29,7 +30,9 @@ def token_stat_cols(text) -> dict:
     shared by the frame form below and the fused catalog entry."""
     return {
         "n_chars": F.length(text),
-        "n_words": F.regexp_count(text, F.lit(r"\S+")),
+        # WORD_RE_JVM: possessive \S++ — identical counts, no backtrack
+        # bookkeeping (functions.quality, pinned by test_jvm_fast_exprs)
+        "n_words": F.regexp_count(text, F.lit(_QF.WORD_RE_JVM)),
         "n_tokens": F.regexp_count(text, F.lit(TOKEN_RE)),
     }
 

@@ -19,6 +19,8 @@ from pii_detection_redaction_spark.functions.quality import (
     STOP_RE,
     STOP_RE_JVM,
     TOXICITY_RE_JVM,
+    WORD_RE,
+    WORD_RE_JVM,
     fast_word_alternation,
     nonspace_count,
 )
@@ -75,6 +77,17 @@ def test_lookahead_replace_equals_spec(spark):
         (
             F.regexp_replace("t", TOXICITY_REGEX, TOXIC_MASK)
             != F.regexp_replace("t", TOXICITY_RE_JVM, TOXIC_MASK)
+        ).cast("long").alias("d")
+    ).agg(F.sum("d")).collect()[0][0]
+    assert bad == 0
+
+
+def test_possessive_word_count_equals_spec(spark):
+    df = _rows(spark)
+    bad = df.select(
+        (
+            F.regexp_count("t", F.lit(WORD_RE))
+            != F.regexp_count("t", F.lit(WORD_RE_JVM))
         ).cast("long").alias("d")
     ).agg(F.sum("d")).collect()[0][0]
     assert bad == 0
