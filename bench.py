@@ -54,7 +54,11 @@ SCALE_HI = int(os.environ.get("BENCH_CORES_HI", 8))
 # across windows (single-pair probe at 250k: 0.876 norm / 0.906 raw) — the
 # min-per-level estimator then converges with fewer pairs, which is why
 # BENCH_TRIALS drops to 3 alongside this (same wall budget, longer legs).
-SCALE_DOCS_MULT = int(os.environ.get("BENCH_SCALE_DOCS_MULT", 5))
+# 8 after the batched candidate scans + JVM fast-regex forms (250k hi leg
+# fell 45.5s -> 30.4s, putting the ~5.5s fixed cost back at 18% of the
+# leg): 400k docs restores ~48s hi / ~160s lo — the same leg durations the
+# 250k corpus had at the old per-doc cost.
+SCALE_DOCS_MULT = int(os.environ.get("BENCH_SCALE_DOCS_MULT", 8))
 # Executor shape for the scaling levels: Spark's local-cluster mode launches
 # REAL separate executor JVMs (own heap, own python-worker pool) against one
 # driver — the faithful sandbox model of the north rule's "N and 4N
