@@ -275,16 +275,39 @@ def make_ftquality_udf(spark=None):
     return ftquality_udf
 
 
+def _ship_models(spark=None):
+    """Train the LMs once on the driver and ship them by broadcast when a
+    session is live (closure fallback otherwise, for unit contexts).
+
+    Broadcast is not just bandwidth hygiene: a closure-shipped model dict is
+    re-unpickled for EVERY task, so the per-instance dense n-gram caches
+    (``CharTrigramLM._dense_tables``, deliberately excluded from pickle)
+    were rebuilt per task — measured ~23 ms/task of Python-eval setup, the
+    dominant level-invariant cost at fine task granularity. The worker-side
+    broadcast registry caches the deserialized value per PROCESS, so the
+    dense tables now build once per worker and persist across tasks.
+    Returns (models_bc, models_local) — exactly one is non-None."""
+    models = _lm.all_models()  # driver-side, once per factory call
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return spark.sparkContext.broadcast(models), None
+    return None, models
+
+
 def make_perplexity_udf():
     """(text, lang) -> double. The LMs are trained once on the driver and
-    shipped inside the closure (few-KB numpy arrays), so executor workers do
-    zero training — measured to remove a ~1s-per-worker-per-language
-    first-task stall. Scoring batches group by lang; the math is numpy."""
-    models = _lm.all_models()  # driver-side, once per factory call
-    fallback = models["en"]
+    broadcast (``_ship_models``), so executor workers do zero training —
+    measured to remove a ~1s-per-worker-per-language first-task stall.
+    Scoring batches group by lang; the math is numpy."""
+    models_bc, models_local = _ship_models()
 
     @pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        models = models_bc.value if models_bc is not None else models_local
+        fallback = models["en"]
         out = np.empty(len(texts), dtype=np.float64)
         frame = pd.DataFrame(
             {"t": texts.fillna("").to_numpy(), "l": langs.fillna("und").to_numpy()}
@@ -349,8 +372,7 @@ def make_quality_scrub_udf(
     from ..core import quality as _q
     from ..core.toxicity import MAX_TOXICITY_HITS as _MAX_TOX
 
-    models = _lm.all_models()
-    fallback = models["en"]
+    models_bc, models_local = _ship_models()
     ent = list(entities) if entities else None
 
     # optional fused quality classifier: train once driver-side, ship by
@@ -372,6 +394,8 @@ def make_quality_scrub_udf(
 
     @pandas_udf(QUALITY_SCRUB_TYPE)
     def quality_scrub_udf(texts: pd.Series, m: pd.DataFrame) -> pd.DataFrame:
+        models = models_bc.value if models_bc is not None else models_local
+        fallback = models["en"]
         lid = langid_batch(texts)
         lang = lid["lang"].to_numpy()
         ppl = np.empty(len(texts), dtype=np.float64)
