@@ -44,6 +44,32 @@ def _q(s: str) -> str:
 
 _WORDS = r"\S+"
 _NONSPACE = r"\S"
+
+
+def _minhash_perms_sql(num_hashes: int = 16) -> str:
+    """VALUES table of the affine-permutation constants (seed, a, b) — the
+    same ``core.hashing.MINHASH_A/B`` integers the Spark UDFs use (one-spec
+    rule). HUGEINT-typed so ``a * h + b`` (< 2**127) never overflows before
+    the ``% 2**64``."""
+    from ..core.hashing import MINHASH_A, MINHASH_B
+
+    rows = ", ".join(
+        f"({i}, {MINHASH_A[i]}::HUGEINT, {MINHASH_B[i]}::HUGEINT)"
+        for i in range(num_hashes)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS perms(seed, a, b))"
+
+
+# sig CTE body shared by minhash_bands and the near-dup replay: one md5 per
+# shingle, then the vectorized-identical uint64 affine permutation
+# (numpy wrap-around == HUGEINT % 2**64).
+_MINHASH_SIG_CTES = f"""hashes AS (
+  SELECT doc_id, md5_number_lower(s) AS h FROM expl
+), sig AS (
+  SELECT doc_id, seed,
+    min(CAST((a * CAST(h AS HUGEINT) + b) % (1::HUGEINT << 64) AS UBIGINT)) AS m
+  FROM hashes CROSS JOIN {_minhash_perms_sql(16)} GROUP BY doc_id, seed
+)"""
 # SQL IN-list of the char-based languages (word rules switch to char analogs)
 _CHAR_LANGS_SQL = "(" + ", ".join(f"'{l}'" for l in Q.CHAR_BASED_LANGS) + ")"
 _SYMBOLS = "[#…{}<>\\\\^~|]"  # same char class as functions.quality.SYMBOL_RE
@@ -459,12 +485,7 @@ WITH docs AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM docs
 ), expl AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
-), hashes AS (
-  SELECT doc_id, seed, md5_number_lower(CAST(seed AS VARCHAR) || chr(31) || s) AS h
-  FROM expl CROSS JOIN (SELECT unnest(range(16)) AS seed)
-), sig AS (
-  SELECT doc_id, seed, min(h) AS m FROM hashes GROUP BY doc_id, seed
-), band AS (
+), {_MINHASH_SIG_CTES}, band AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band_idx,
     md5_number_lower(string_agg(CAST(m AS VARCHAR), chr(31) ORDER BY seed)) AS bh
   FROM sig GROUP BY doc_id, seed // 4
@@ -527,12 +548,7 @@ WITH RECURSIVE docs AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM docs
 ), expl AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
-), hashes AS (
-  SELECT doc_id, seed, md5_number_lower(CAST(seed AS VARCHAR) || chr(31) || s) AS h
-  FROM expl CROSS JOIN (SELECT unnest(range(16)) AS seed)
-), sig AS (
-  SELECT doc_id, seed, min(h) AS m FROM hashes GROUP BY doc_id, seed
-), band AS (
+), {_MINHASH_SIG_CTES}, band AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band_idx,
     md5_number_lower(string_agg(CAST(m AS VARCHAR), chr(31) ORDER BY seed)) AS bh
   FROM sig GROUP BY doc_id, seed // 4
