@@ -125,16 +125,32 @@ def _train_sentence(rng: random.Random, lang: str) -> str:
     return ("" if lang in CHAR_BASED_LANGS else " ").join(words)
 
 
+def nb_loglik(counts: np.ndarray) -> np.ndarray:
+    """Laplace-smoothed NB log-likelihood matrix from an integer count
+    matrix ``(N_BUCKETS, n_classes)``. Rows never seen by ANY class are
+    zeroed: out-of-vocabulary grams then contribute identically to every
+    class (plain NB smoothing would bias OOV text toward the class with the
+    smallest training mass — e.g. all-digit text scoring as zh). Seen rows
+    are strictly negative (log of a probability < 1), so "row is all zeros"
+    is an unambiguous OOV marker.
+
+    This is the ONE spec for turning counts into weights — the driver-side
+    trainers here and in ``core.ftquality`` and the distributed trainer
+    (``operators.train``) all call it, so a distributed count matrix equal
+    to the driver's yields a bit-identical model (integer sums are
+    order-free; the float ops below see the same inputs)."""
+    smoothed = counts.astype(np.float64) + ALPHA
+    totals = smoothed.sum(axis=0)
+    W = np.log(smoothed / totals)
+    W[counts.sum(axis=1) == 0, :] = 0.0
+    return W
+
+
 def train_model() -> Tuple[np.ndarray, Tuple[str, ...]]:
     """Train the NB weight matrix; returns ``(W, langs)`` with
     ``W[bucket, lang] = log p(bucket | lang)`` under Laplace smoothing for
-    buckets seen in training. Rows never seen by ANY language are zeroed:
-    out-of-vocabulary grams then contribute identically to every language
-    (plain NB smoothing would bias OOV text toward the language with the
-    smallest training mass — e.g. all-digit text scoring as zh), and a
-    document with only zeroed rows is reported ``und`` by ``predict``.
-    Seen rows are strictly negative (log of a probability < 1), so "row is
-    all zeros" is an unambiguous OOV marker."""
+    buckets seen in training (see ``nb_loglik`` for the OOV-row contract;
+    a document with only zeroed rows is reported ``und`` by ``predict``)."""
     counts = np.zeros((N_BUCKETS, len(LANGS)), dtype=np.int64)
     for li, lang in enumerate(LANGS):
         rng = random.Random(f"{TRAIN_SEED}:{lang}")
@@ -142,11 +158,7 @@ def train_model() -> Tuple[np.ndarray, Tuple[str, ...]]:
         for _ in range(n_sent):
             for bucket, c in bucket_counts(_train_sentence(rng, lang)).items():
                 counts[bucket, li] += c
-    smoothed = counts.astype(np.float64) + ALPHA
-    totals = smoothed.sum(axis=0)
-    W = np.log(smoothed / totals)
-    W[counts.sum(axis=1) == 0, :] = 0.0
-    return W, tuple(LANGS)
+    return nb_loglik(counts), tuple(LANGS)
 
 
 _MODEL: Optional[Tuple[np.ndarray, Tuple[str, ...]]] = None

@@ -74,7 +74,10 @@ def _neg_example(rng: random.Random, family: int) -> str:
 
 def train_model() -> np.ndarray:
     """(N_BUCKETS, 2) NB log-likelihood matrix; column 0 = junk, 1 = good.
-    Rows unseen by BOTH classes are zeroed (OOV marker, see module doc)."""
+    Rows unseen by BOTH classes are zeroed (OOV marker, see module doc);
+    counts -> weights goes through the shared ``ftlang.nb_loglik`` spec."""
+    from .ftlang import nb_loglik
+
     counts = np.zeros((N_BUCKETS, 2), dtype=np.int64)
     for lang in LANGS:
         rng = random.Random(f"{TRAIN_SEED}:pos:{lang}")
@@ -86,10 +89,7 @@ def train_model() -> np.ndarray:
         for _ in range(NEG_EXAMPLES_PER_FAMILY):
             for b, c in bucket_counts(_neg_example(rng, family)).items():
                 counts[b, 0] += c
-    smoothed = counts.astype(np.float64) + ALPHA
-    W = np.log(smoothed / smoothed.sum(axis=0))
-    W[counts.sum(axis=1) == 0, :] = 0.0
-    return W
+    return nb_loglik(counts)
 
 
 _MODEL: Optional[np.ndarray] = None

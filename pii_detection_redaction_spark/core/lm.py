@@ -58,21 +58,54 @@ def _encode(text: str) -> np.ndarray:
     return np.minimum(arr, 0xFFFE)
 
 
+def doc_ngram_counts(text: str):
+    """Sorted (keys, counts) char 1/2/3-gram arrays of ONE document — the
+    single counting spec shared by ``CharTrigramLM.__init__`` (one text),
+    the distributed trainer (``operators.train.train_char_lm``: per-doc
+    counts summed across the corpus, so no phantom grams span document
+    boundaries), and its test oracle. Keys pack codepoints (clamped to
+    0xFFFE by ``_encode``) into 16-bit digits."""
+    c = _encode(text)
+    uni_keys, uni_cnt = np.unique(c, return_counts=True)
+    bi = (c[:-1] << 16) | c[1:]
+    bi_keys, bi_cnt = np.unique(bi, return_counts=True)
+    tri = (c[:-2] << 32) | (c[1:-1] << 16) | c[2:]
+    tri_keys, tri_cnt = np.unique(tri, return_counts=True)
+    return (uni_keys, uni_cnt), (bi_keys, bi_cnt), (tri_keys, tri_cnt)
+
+
 class CharTrigramLM:
     """Sorted-array n-gram store; picklable and broadcast-friendly."""
 
     def __init__(self, text: str):
-        c = _encode(text)
-        self.total = len(c)
-        uni_keys, uni_cnt = np.unique(c, return_counts=True)
-        bi = (c[:-1] << 16) | c[1:]
-        bi_keys, bi_cnt = np.unique(bi, return_counts=True)
-        tri = (c[:-2] << 32) | (c[1:-1] << 16) | c[2:]
-        tri_keys, tri_cnt = np.unique(tri, return_counts=True)
-        self.uni_keys, self.uni_cnt = uni_keys, uni_cnt.astype(np.float64)
-        self.bi_keys, self.bi_cnt = bi_keys, bi_cnt.astype(np.float64)
-        self.tri_keys, self.tri_cnt = tri_keys, tri_cnt.astype(np.float64)
+        (uk, uc), (bk, bc), (tk, tc) = doc_ngram_counts(text)
+        self.total = int(uc.sum()) if len(uc) else 0
+        self.uni_keys, self.uni_cnt = uk, uc.astype(np.float64)
+        self.bi_keys, self.bi_cnt = bk, bc.astype(np.float64)
+        self.tri_keys, self.tri_cnt = tk, tc.astype(np.float64)
         self._dense = None  # lazy per-process cache, never pickled
+
+    @classmethod
+    def from_counts(cls, uni, bi, tri) -> "CharTrigramLM":
+        """Build from pre-aggregated ``(keys, counts)`` pairs (each a pair of
+        1-D arrays; keys must be sortable ints) — the constructor for the
+        distributed trainer, where counts are ``doc_ngram_counts`` sums over
+        a whole corpus. ``total`` is the corpus character count (== unigram
+        count sum). With the counts of a single document this equals
+        ``CharTrigramLM(text)`` exactly; over many documents it differs from
+        training on a concatenation only by the absent cross-document
+        boundary grams (deliberate — those grams never occur in any real
+        document)."""
+        m = cls("")
+        for name, (keys, cnt) in zip(("uni", "bi", "tri"), (uni, bi, tri)):
+            k = np.asarray(keys, dtype=np.int64)
+            v = np.asarray(cnt, dtype=np.float64)
+            order = np.argsort(k, kind="stable")
+            setattr(m, f"{name}_keys", k[order])
+            setattr(m, f"{name}_cnt", v[order])
+        m.total = int(m.uni_cnt.sum())
+        m._dense = None
+        return m
 
     def __getstate__(self):
         # the dense tables are a per-process cache (MBs for the CJK models);

@@ -254,23 +254,27 @@ def make_ftlang_udf(spark=None):
     return ftlang_udf
 
 
-def make_ftquality_udf(spark=None):
+def make_ftquality_udf(spark=None, W=None):
     """fastText-architecture quality classifier (``core.ftquality``): same
     broadcast-once / Arrow-batched shape as ``make_ftlang_udf``; scoring
     goes through the same ``predict_quality`` the golden oracle uses, so
-    Spark output equals the golden parquet bit-for-bit."""
+    Spark output equals the golden parquet bit-for-bit. Pass ``W`` to score
+    with a custom-trained matrix (e.g. from
+    ``operators.train.train_quality_classifier`` or a ``run_train.py``
+    artifact) instead of the embedded seed model."""
     from ..core import ftquality as _ftq
 
     if spark is None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(_ftq.model()) if spark else None
+    model = _ftq.model() if W is None else W
+    bc = spark.sparkContext.broadcast(model) if spark else None
 
     @pandas_udf("double")
     def ftquality_udf(texts: pd.Series) -> pd.Series:
-        W = bc.value if bc is not None else _ftq.model()
-        return pd.Series(_ftq.predict_quality_many(texts.fillna("").to_numpy(), W))
+        WW = bc.value if bc is not None else model
+        return pd.Series(_ftq.predict_quality_many(texts.fillna("").to_numpy(), WW))
 
     return ftquality_udf
 
