@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Snapshot-store maintenance (Iceberg table-maintenance analog): compact
 manifests into one checkpoint, expire superseded manifests, GC orphaned
-group directories. Pure metadata/filesystem work — no Spark session.
+group directories, or print the commit-log history (time-travel audit).
+Pure metadata/filesystem work — no Spark session.
 
     python jobs/run_maintain.py --store _data/out/scrub \
-        [--no-expire] [--remove-orphans-older-than 3600]
+        [--no-expire] [--remove-orphans-older-than 3600] [--history]
 
 Retention contract (README "Snapshot retention"): compaction publishes a
 checkpoint manifest via the same crash-safe CAS as a commit; expiry deletes
@@ -34,11 +35,18 @@ def main() -> None:
     p.add_argument("--remove-orphans-older-than", type=float, default=None,
                    metavar="SECONDS",
                    help="also GC unreferenced data/group dirs older than this")
+    p.add_argument("--history", action="store_true",
+                   help="print the commit log (snapshot id, parent,"
+                        " checkpoint flag, groups, counters) and exit —"
+                        " no compaction/expiry")
     args = p.parse_args()
 
     from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
 
     store = SnapshotStore(args.store)
+    if args.history:
+        print(json.dumps(store.history()))
+        return
     n_before = len(store.snapshots())
     cp = store.compact_manifests()
     out = {

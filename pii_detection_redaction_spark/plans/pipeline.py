@@ -352,9 +352,13 @@ def run_pipeline(
     return store.counters()
 
 
-def read_output(spark: SparkSession, out_root: str) -> DataFrame:
+def read_output(
+    spark: SparkSession, out_root: str, as_of: Optional[int] = None
+) -> DataFrame:
+    """Read the committed table; ``as_of`` time-travels to a historical
+    snapshot id (see ``SnapshotStore.live_snapshots``)."""
     store = SnapshotStore(out_root)
-    paths = store.data_paths()
+    paths = store.data_paths(as_of)
     if not paths:
         raise FileNotFoundError(f"no committed snapshots under {out_root}")
     return spark.read.parquet(*paths)

@@ -67,30 +67,58 @@ class SnapshotStore:
         out.sort(key=lambda s: s.snapshot_id)
         return out
 
-    def live_snapshots(self) -> List[Snapshot]:
-        """The snapshots that define current table state: the latest
-        checkpoint (which carries the merged state of everything before it)
-        plus every later snapshot. With no checkpoint, all snapshots are
-        live. Everything before the latest checkpoint is superseded —
-        readable history until ``expire_snapshots`` garbage-collects it."""
+    def live_snapshots(self, as_of: Optional[int] = None) -> List[Snapshot]:
+        """The snapshots that define table state: the latest checkpoint
+        (which carries the merged state of everything before it) plus every
+        later snapshot. With no checkpoint, all snapshots are live.
+        Everything before the latest checkpoint is superseded — readable
+        history until ``expire_snapshots`` garbage-collects it.
+
+        ``as_of`` is the Iceberg time-travel analog: resolve the state AS OF
+        that snapshot id (inclusive) instead of the current head. A snapshot
+        id that does not exist on disk — never committed, or expired —
+        raises ``KeyError`` loudly (silently returning the nearest state
+        would misreport what a historical read actually saw)."""
         snaps = self.snapshots()
+        if as_of is not None:
+            if as_of not in {s.snapshot_id for s in snaps}:
+                raise KeyError(
+                    f"snapshot {as_of} not found under {self.root} "
+                    f"(never committed, or expired by expire_snapshots)"
+                )
+            snaps = [s for s in snaps if s.snapshot_id <= as_of]
         for i in range(len(snaps) - 1, -1, -1):
             if snaps[i].checkpoint:
                 return snaps[i:]
         return snaps
 
-    def committed_groups(self) -> Set[int]:
-        return {g for s in self.live_snapshots() for g in s.group_ids}
+    def committed_groups(self, as_of: Optional[int] = None) -> Set[int]:
+        return {g for s in self.live_snapshots(as_of) for g in s.group_ids}
 
-    def data_paths(self) -> List[str]:
-        return [p for s in self.live_snapshots() for p in s.data_paths]
+    def data_paths(self, as_of: Optional[int] = None) -> List[str]:
+        return [p for s in self.live_snapshots(as_of) for p in s.data_paths]
 
-    def counters(self) -> Dict[str, int]:
+    def counters(self, as_of: Optional[int] = None) -> Dict[str, int]:
         total: Dict[str, int] = {}
-        for s in self.live_snapshots():
+        for s in self.live_snapshots(as_of):
             for k, v in s.counters.items():
                 total[k] = total.get(k, 0) + v
         return total
+
+    def history(self) -> List[Dict]:
+        """Commit log for audit/UI (Iceberg ``table.history()`` analog):
+        one row per on-disk manifest, oldest first."""
+        return [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "checkpoint": s.checkpoint,
+                "group_ids": s.group_ids,
+                "n_data_paths": len(s.data_paths),
+                "counters": dict(s.counters),
+            }
+            for s in self.snapshots()
+        ]
 
     def group_path(self, gid: int) -> str:
         return os.path.join(self.root, "data", f"group={gid}")
