@@ -46,7 +46,13 @@ def _dot(a, b):
     # promote BEFORE multiplying: float32 x float32 stays float32 in Spark,
     # and the rounded products diverge from double math at ~1e-9 — enough to
     # flip a 6dp-rounded cosine on ~1/500 pairs (caught by the sf0.1 DuckDB
-    # differential, whose products are computed in double)
+    # differential, whose products are computed in double).
+    #
+    # This HOF fold IS the fast spelling (measured on the 2M-pair sf0.1
+    # self-join, steady state): 1.06s here vs 4.8-5.3s for a 64-term
+    # unrolled `a[i]*b[i]` sum (the giant expression tree drops out of
+    # efficient codegen) and 1.29s for an Arrow pandas-UDF numpy left-fold
+    # (transfer-bound). Don't "optimize" this into either form.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
