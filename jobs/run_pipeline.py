@@ -45,6 +45,10 @@ def main() -> None:
                    help="annotate output with the fastText-architecture "
                         "quality score (fused into the one UDF stage; does "
                         "NOT change keep/drop)")
+    p.add_argument("--quality-model", default=None, metavar="NPZ",
+                   help="score quality_prob with a run_train.py 'quality' "
+                        ".npz artifact instead of the embedded seed model "
+                        "(implies --quality-classifier)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -66,6 +70,7 @@ def main() -> None:
         entities=args.entities,
         strip_boilerplate=args.strip_boilerplate,
         quality_classifier=args.quality_classifier,
+        quality_model=args.quality_model,
     )
     counters = run_pipeline(
         spark, args.input, args.output, cfg, resume=not args.no_resume,

@@ -49,6 +49,9 @@ def main() -> None:
                         " is below this (model gate on top of the rules)")
     p.add_argument("--strip-boilerplate", action="store_true",
                    help="CC-Net corpus-level line dedup before the rules")
+    p.add_argument("--quality-model", default=None, metavar="NPZ",
+                   help="score quality_prob with a run_train.py 'quality' "
+                        ".npz artifact instead of the embedded seed model")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -65,7 +68,10 @@ def main() -> None:
     from pii_detection_redaction_spark.plans.session import build_session
 
     spark = build_session(app_name="pii-prepare-corpus", master=args.master)
-    cfg = PipelineConfig(strip_boilerplate=args.strip_boilerplate)
+    cfg = PipelineConfig(
+        strip_boilerplate=args.strip_boilerplate,
+        quality_model=args.quality_model,
+    )
     counters = prepare_corpus(
         spark,
         args.input,

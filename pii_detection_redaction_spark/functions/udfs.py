@@ -358,6 +358,7 @@ def make_quality_scrub_udf(
     overlap: int = _chunker.DEFAULT_CHUNK_OVERLAP,
     mode: str = "relationship",
     quality_prob: bool = False,
+    quality_model=None,
 ):
     """Single fused Python stage for the whole pipeline:
     (text, metrics_struct) -> (lang, conf, ppl, drop_reasons, detections,
@@ -379,9 +380,11 @@ def make_quality_scrub_udf(
     models_bc, models_local = _ship_models()
     ent = list(entities) if entities else None
 
-    # optional fused quality classifier: train once driver-side, ship by
-    # broadcast when a session is live (factory may be called without one in
-    # unit contexts — then the 2 MB matrix rides the closure, LM-style)
+    # optional fused quality classifier: train once driver-side (or take a
+    # custom-trained ``quality_model`` matrix — the run_train.py /
+    # operators.train loop), ship by broadcast when a session is live
+    # (factory may be called without one in unit contexts — then the 2 MB
+    # matrix rides the closure, LM-style)
     qprob_bc = None
     qprob_W = None
     if quality_prob:
@@ -389,7 +392,7 @@ def make_quality_scrub_udf(
 
         from ..core import ftquality as _ftq
 
-        W = _ftq.model()
+        W = quality_model if quality_model is not None else _ftq.model()
         sess = SparkSession.getActiveSession()
         if sess is not None:
             qprob_bc = sess.sparkContext.broadcast(W)

@@ -64,6 +64,10 @@ class PipelineConfig:
     # DCLM-style selection is a downstream filter on quality_prob. Fused
     # into the one Python eval node — enabling it adds no UDF stage.
     quality_classifier: bool = False
+    # path to a run_train.py 'quality' .npz artifact: score quality_prob
+    # with that matrix instead of the embedded seed model (implies
+    # quality_classifier) — the train-on-cluster -> filter-with-it loop
+    quality_model: Optional[str] = None
     extra: Dict = field(default_factory=dict)
 
 
@@ -116,6 +120,21 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     lose badly to pandas' C ``str.count`` loop; the Arrow transfer is not
     the bottleneck at this row width.
     """
+    q_W = None
+    if cfg.quality_model is not None:
+        from dataclasses import replace
+
+        from ..operators.train import load_model
+
+        kind, q_W = load_model(cfg.quality_model)
+        if kind != "ftquality":
+            raise ValueError(
+                f"quality_model must be a 'quality' run_train artifact, "
+                f"got kind={kind!r} from {cfg.quality_model!r}"
+            )
+        # a supplied model implies the annotation (downstream column
+        # selection keys on quality_classifier)
+        cfg = replace(cfg, quality_classifier=True)
     quality_scrub_udf = make_quality_scrub_udf(
         entities=cfg.entities,
         min_score=cfg.min_score,
@@ -123,6 +142,7 @@ def transform_pages(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         overlap=cfg.chunk_overlap,
         mode=cfg.scrub_mode,
         quality_prob=cfg.quality_classifier,
+        quality_model=q_W,
     )
 
     if cfg.extract_from_html and "html" in df.columns:
@@ -267,6 +287,12 @@ def run_pipeline(
     prior partial runs when resuming).
     """
     cfg = cfg or PipelineConfig()
+    if cfg.quality_model is not None and not cfg.quality_classifier:
+        # keep the config self-consistent here too (transform_pages also
+        # normalizes): the output-column selection below keys on the flag
+        from dataclasses import replace
+
+        cfg = replace(cfg, quality_classifier=True)
     store = SnapshotStore(out_root)
     done = store.committed_groups() if resume else set()
 

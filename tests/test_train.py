@@ -179,6 +179,50 @@ def test_model_artifact_roundtrip(spark, tmp_path):
         assert m.perplexity("probe text") == models2[lang].perplexity("probe text")
 
 
+def test_pipeline_scores_with_trained_artifact(spark, pages_small, tmp_path):
+    """cfg.quality_model=<npz path> routes a run_train artifact into the
+    fused pipeline UDF (implies the annotation): quality_prob must equal
+    predict_quality under the ARTIFACT's matrix, not the seed model's.
+    Train with flipped labels so the two provably differ."""
+    from pii_detection_redaction_spark.plans.pipeline import (
+        PipelineConfig,
+        transform_pages,
+    )
+
+    rows = [(t, 1 - y) for t, y in _quality_training_rows()[:400]]
+    W = T.train_quality_classifier(
+        spark.createDataFrame(rows, "text string, label int")
+    )
+    path = str(tmp_path / "flipped.npz")
+    T.save_quality_model(path, W)
+
+    pages = spark.read.parquet(pages_small)
+    cfg = PipelineConfig(num_buckets=8, groups=1, quality_model=path)
+    got = (
+        transform_pages(pages, cfg)
+        .select("text", "quality_prob")
+        .limit(30)
+        .collect()
+    )
+    diverged = 0
+    for r in got:
+        assert r.quality_prob == ftquality.predict_quality(r.text or "", W)
+        if r.quality_prob != ftquality.predict_quality(r.text or ""):
+            diverged += 1
+    assert diverged > 0  # the artifact, not the seed model, produced these
+
+    # wrong artifact kind fails loudly
+    import pytest as _pytest
+
+    lm_path = str(tmp_path / "lm.npz")
+    T.save_lm_models(lm_path, {"en": __import__(
+        "pii_detection_redaction_spark.core.lm", fromlist=["CharTrigramLM"]
+    ).CharTrigramLM("tiny text")})
+    bad = PipelineConfig(num_buckets=8, groups=1, quality_model=lm_path)
+    with _pytest.raises(ValueError, match="kind='charlm'"):
+        transform_pages(pages, bad)
+
+
 def test_custom_model_scores_through_udf(spark):
     """make_ftquality_udf(W=...) scores with the custom matrix — the full
     train-on-cluster -> score-on-cluster loop."""
