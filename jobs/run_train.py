@@ -42,26 +42,42 @@ def main(argv=None) -> dict:
     from pii_detection_redaction_spark.operators import train as T
     from pii_detection_redaction_spark.plans.session import build_session
 
+    from pyspark.sql import functions as F
+
     spark = build_session(app_name=f"pii-train-{args.task}", master=args.master)
     df = spark.read.parquet(args.input)
-    summary = {"task": args.task, "rows": df.count(), "output": args.output}
+    summary = {"task": args.task, "rows": df.count()}
     if args.task == "quality":
         W = T.train_quality_classifier(df, args.text_col, args.label_col)
-        T.save_quality_model(args.output, W)
+        summary["output"] = T.save_quality_model(args.output, W)
         summary["nonzero_buckets"] = int((W != 0.0).any(axis=1).sum())
     elif args.task == "langid":
+        # a NULL lang label would become a None class: training tolerates it
+        # but the saved langs array turns object-dtype and load_model
+        # (allow_pickle=False) rejects the artifact — exclude nulls up front
         langs = tuple(
             r[0]
-            for r in df.select(args.lang_col).distinct().orderBy(args.lang_col).collect()
+            for r in df.filter(F.col(args.lang_col).isNotNull())
+            .select(args.lang_col)
+            .distinct()
+            .orderBy(args.lang_col)
+            .collect()
         )
-        W, langs = T.train_langid_classifier(df, args.text_col, args.lang_col, langs)
-        T.save_langid_model(args.output, W, langs)
+        if not langs:
+            raise ValueError(f"no non-null values in column {args.lang_col!r}")
+        W, langs = T.train_langid_classifier(
+            df.filter(F.col(args.lang_col).isNotNull()),
+            args.text_col,
+            args.lang_col,
+            langs,
+        )
+        summary["output"] = T.save_langid_model(args.output, W, langs)
         summary["langs"] = list(langs)
         summary["nonzero_buckets"] = int((W != 0.0).any(axis=1).sum())
     else:
         lang_col = args.lang_col or None
         models = T.train_char_lms(df, args.text_col, lang_col)
-        T.save_lm_models(args.output, models)
+        summary["output"] = T.save_lm_models(args.output, models)
         summary["models"] = {
             lang: {"total_chars": m.total, "trigram_vocab": int(len(m.tri_keys))}
             for lang, m in sorted(models.items())

@@ -95,6 +95,14 @@ def minhash_signature(text: str, num_hashes: int = 16, k: int = 3) -> List[int]:
     """
     import numpy as np
 
+    if num_hashes > MINHASH_MAX_HASHES:
+        # the affine constant tables are finite; silently truncating would
+        # give non-empty docs shorter signatures than the empty-doc
+        # sentinel path (inconsistent band spaces, halved LSH recall)
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds MINHASH_MAX_HASHES="
+            f"{MINHASH_MAX_HASHES}"
+        )
     sh = shingles(text, k)
     if not sh:
         return [U64] * num_hashes

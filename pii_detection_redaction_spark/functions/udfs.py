@@ -270,10 +270,14 @@ def make_ftquality_udf(spark=None, W=None):
         spark = SparkSession.getActiveSession()
     model = _ftq.model() if W is None else W
     bc = spark.sparkContext.broadcast(model) if spark else None
+    # the closure must NOT capture the matrix when a broadcast exists —
+    # cloudpickle would ship the ~2 MB ndarray inside the UDF command and
+    # re-unpickle it per task, defeating the broadcast it sits next to
+    model_local = None if bc is not None else model
 
     @pandas_udf("double")
     def ftquality_udf(texts: pd.Series) -> pd.Series:
-        WW = bc.value if bc is not None else model
+        WW = bc.value if bc is not None else model_local
         return pd.Series(_ftq.predict_quality_many(texts.fillna("").to_numpy(), WW))
 
     return ftquality_udf

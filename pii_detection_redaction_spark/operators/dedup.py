@@ -85,6 +85,8 @@ def minhash_signatures(
     in an Arrow-batched UDF; unsigned 64-bit values are exposed as
     ``decimal(20,0)``-compatible strings cast to DOUBLE-safe BIGINT via
     signed two's complement for storage efficiency."""
+    # fail on the DRIVER, not inside the first executor task
+    H.minhash_signature("", num_hashes=num_hashes)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -106,6 +108,8 @@ def minhash_band_table(
     k: int = 3,
 ) -> DataFrame:
     """(id, band_idx, band_hash): b = num_hashes/band_size rows per doc."""
+    # fail on the DRIVER, not inside the first executor task
+    H.minhash_signature("", num_hashes=num_hashes)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def bands_udf(texts: pd.Series) -> pd.Series:

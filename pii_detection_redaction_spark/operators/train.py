@@ -67,8 +67,8 @@ def ngram_class_counts(
         acc: Dict[str, Dict[int, int]] = {}
         for pdf in batches:
             for t, c in zip(pdf[text_col], pdf[class_col]):
-                if t is None or c is None or (t is not t) or (c is not c):
-                    continue  # NaN != NaN: drops pandas-NULL floats too
+                if pd.isna(t) or pd.isna(c):
+                    continue  # None, float NaN (nullable numeric cols), pd.NA
                 bag = bucket_counts(t)
                 if not bag:
                     continue
@@ -116,9 +116,22 @@ def train_quality_classifier(
     ``ftquality.predict_quality(text, W)``."""
     labeled = df.select(
         F.col(text_col).alias("text"),
-        F.col(label_col).cast("int").cast("string").alias("cls"),
+        # try_cast, not cast: under ANSI an uncastable label (e.g. 'good')
+        # would throw an opaque NumberFormatException inside an executor;
+        # NULLing it routes every bad-label shape into the loud check below
+        F.col(label_col).try_cast("int").cast("string").alias("cls"),
     )
-    return nb_loglik(_counts_matrix(labeled, "text", "cls", ("0", "1")))
+    counts = _counts_matrix(labeled, "text", "cls", ("0", "1"))
+    if counts.sum() == 0:
+        # uncastable labels null out under try_cast and every row is
+        # dropped map-side — an all-zero count matrix would save as a
+        # valid-looking artifact that scores every document 0.5. Fail the
+        # training job instead.
+        raise ValueError(
+            f"no usable training rows: column {label_col!r} must cast to "
+            f"int 0 (junk) / 1 (good) and {text_col!r} must be non-empty"
+        )
+    return nb_loglik(counts)
 
 
 def train_langid_classifier(
@@ -157,8 +170,8 @@ def char_ngram_counts(
             texts = pdf[text_col]
             classes = pdf[class_col] if class_col else [""] * len(pdf)
             for t, c in zip(texts, classes):
-                if t is None or c is None or (t is not t) or (c is not c):
-                    continue
+                if pd.isna(t) or pd.isna(c):
+                    continue  # None, float NaN (nullable numeric cols), pd.NA
                 per_order = doc_ngram_counts(t)
                 for o, (keys, cnt) in enumerate(per_order, start=1):
                     tgt = acc.setdefault((str(c), o), {})
@@ -209,21 +222,34 @@ def train_char_lm(df: DataFrame, text_col: str = "text") -> CharTrigramLM:
 # ---------------------------------------------------------------------------
 
 
-def save_quality_model(path: str, W: np.ndarray) -> None:
+def _npz_path(path: str) -> str:
+    # np.savez silently APPENDS '.npz' to a suffix-less path, which would
+    # make the path we report/return diverge from the file actually written
+    # (and load_model on the reported path would FileNotFoundError)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_quality_model(path: str, W: np.ndarray) -> str:
+    path = _npz_path(path)
     np.savez_compressed(path, kind="ftquality", W=W)
+    return path
 
 
-def save_langid_model(path: str, W: np.ndarray, langs: Sequence[str]) -> None:
+def save_langid_model(path: str, W: np.ndarray, langs: Sequence[str]) -> str:
+    path = _npz_path(path)
     np.savez_compressed(path, kind="ftlang", W=W, langs=np.asarray(list(langs)))
+    return path
 
 
-def save_lm_models(path: str, models: Dict[str, CharTrigramLM]) -> None:
+def save_lm_models(path: str, models: Dict[str, CharTrigramLM]) -> str:
+    path = _npz_path(path)
     arrays = {"kind": "charlm", "langs": np.asarray(sorted(models))}
     for lang, m in models.items():
         for part in ("uni", "bi", "tri"):
             arrays[f"{lang}__{part}_keys"] = getattr(m, f"{part}_keys")
             arrays[f"{lang}__{part}_cnt"] = getattr(m, f"{part}_cnt")
     np.savez_compressed(path, **arrays)
+    return path
 
 
 def load_model(path: str):

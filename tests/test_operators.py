@@ -78,6 +78,24 @@ def test_minhash_signature_matches_core(spark, dup_df):
     assert list(rows[0]["sig"]) == expected
 
 
+def test_minhash_num_hashes_bounded(spark, dup_df):
+    """num_hashes beyond the affine constant table must raise everywhere —
+    silently truncating would give non-empty docs shorter signatures than
+    the empty-doc sentinel path (inconsistent band spaces)."""
+    with pytest.raises(ValueError, match="MINHASH_MAX_HASHES"):
+        H.minhash_signature("some text", num_hashes=H.MINHASH_MAX_HASHES + 1)
+    with pytest.raises(ValueError, match="MINHASH_MAX_HASHES"):
+        H.minhash_signature("", num_hashes=128)  # empty-doc path too
+    # operator entry points fail on the driver at plan-build time
+    with pytest.raises(ValueError, match="MINHASH_MAX_HASHES"):
+        D.minhash_signatures(dup_df, num_hashes=128)
+    with pytest.raises(ValueError, match="MINHASH_MAX_HASHES"):
+        D.minhash_band_table(dup_df, num_hashes=128)
+    # the max itself works, both paths
+    assert len(H.minhash_signature("abcdef", num_hashes=H.MINHASH_MAX_HASHES)) == 64
+    assert len(H.minhash_signature("", num_hashes=H.MINHASH_MAX_HASHES)) == 64
+
+
 def test_simhash_near_pairs(spark, dup_df):
     pairs = D.simhash_near_pairs(dup_df, max_hamming=10).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

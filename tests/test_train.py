@@ -72,6 +72,31 @@ def test_quality_classifier_ignores_null_and_empty(spark):
     )
 
 
+def test_quality_classifier_nullable_float_labels(spark):
+    """Nullable NUMERIC label columns reach pandas as float NaN, not None —
+    those rows must be skipped, not counted as class 'nan'."""
+    rows = _quality_training_rows()[:100]
+    base = spark.createDataFrame(rows, "text string, label int")
+    floaty = spark.createDataFrame(
+        [(t, float(y)) for t, y in rows] + [("noise text", None)],
+        "text string, label double",
+    )
+    assert np.array_equal(
+        T.train_quality_classifier(base), T.train_quality_classifier(floaty)
+    )
+
+
+def test_quality_classifier_unusable_labels_raise(spark):
+    """String labels that don't cast to int null out silently in Spark; the
+    trainer must fail loudly instead of saving an all-zero artifact."""
+    df = spark.createDataFrame(
+        [("some fine text", "good"), ("junky stuff", "junk")],
+        "text string, label string",
+    )
+    with pytest.raises(ValueError, match="no usable training rows"):
+        T.train_quality_classifier(df)
+
+
 def test_langid_classifier_distributed_bitwise(spark):
     df = spark.createDataFrame(
         _langid_training_rows(), "text string, lang string"
@@ -221,6 +246,16 @@ def test_pipeline_scores_with_trained_artifact(spark, pages_small, tmp_path):
     bad = PipelineConfig(num_buckets=8, groups=1, quality_model=lm_path)
     with _pytest.raises(ValueError, match="kind='charlm'"):
         transform_pages(pages, bad)
+
+
+def test_save_model_normalizes_npz_suffix(tmp_path):
+    """np.savez appends '.npz' to suffix-less paths; the savers must return
+    the REAL written path so callers can reload what they wrote."""
+    W = np.zeros((4, 2))
+    written = T.save_quality_model(str(tmp_path / "model_v1"), W)
+    assert written.endswith("model_v1.npz")
+    kind, W2 = T.load_model(written)
+    assert kind == "ftquality" and W2.shape == (4, 2)
 
 
 def test_custom_model_scores_through_udf(spark):
