@@ -52,6 +52,11 @@ def main() -> None:
     p.add_argument("--quality-model", default=None, metavar="NPZ",
                    help="score quality_prob with a run_train.py 'quality' "
                         ".npz artifact instead of the embedded seed model")
+    p.add_argument("--decontam", default=None, metavar="PARQUET",
+                   help="eval-set parquet: drop prepared docs sharing any "
+                        "word n-gram with it (test-set decontamination)")
+    p.add_argument("--decontam-text-col", default="text",
+                   help="text column in the --decontam parquet")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -84,6 +89,8 @@ def main() -> None:
         input_format=args.format,
         output_format=args.output_format,
         quality_threshold=args.quality_threshold,
+        decontam_path=args.decontam,
+        decontam_text_col=args.decontam_text_col,
     )
     print(json.dumps(counters))
     spark.stop()

@@ -51,6 +51,8 @@ def prepare_corpus(
     input_format: str = "parquet",
     output_format: str = "parquet",
     quality_threshold: Optional[float] = None,
+    decontam_path: Optional[str] = None,
+    decontam_text_col: str = "text",
 ) -> Dict[str, int]:
     from ..core.exsub import EXSUB_K
 
@@ -126,6 +128,29 @@ def prepare_corpus(
         )
     )
 
+    # 4b) optional test-set decontamination (after dedup/exsub, before
+    # sampling — the canonical pipeline position): drop documents sharing
+    # any word n-gram with the eval set. flag_contaminated broadcasts the
+    # eval gram set (the corpus side never shuffles); the removal is an
+    # anti-join against only the CONTAMINATED url set, which is eval-sized
+    # and broadcastable — the 10^12-doc side moves nowhere.
+    n_decontam_base = n_near
+    decontam_removed = 0
+    if decontam_path is not None:
+        from ..operators.decontam import flag_contaminated
+
+        # flag_contaminated reads ONE text_col name on both sides
+        eval_df = spark.read.parquet(decontam_path).select(
+            F.col(decontam_text_col).alias("scrubbed_text")
+        )
+        flags = flag_contaminated(
+            d, eval_df, id_col="url", text_col="scrubbed_text"
+        )
+        bad = flags.filter(F.col("contaminated")).select("url")
+        d = d.join(F.broadcast(bad), "url", "left_anti")
+        n_decontam_base = d.count()
+        decontam_removed = n_near - n_decontam_base
+
     # 5) optional mixture sampling on the predicted language
     if budgets:
         d = token_budget_sample(d, "url", "lang_pred", "n_tokens", budgets)
@@ -171,8 +196,9 @@ def prepare_corpus(
             "exact_dups_removed": n_kept - n_exact,
             "near_dups_removed": n_exact - n_near,
             "cc_rounds": cc_rounds,
+            "decontaminated_out": decontam_removed,
             "docs_final": agg["docs"],
-            "docs_sampled_out": n_near - agg["docs"],
+            "docs_sampled_out": n_decontam_base - agg["docs"],
             "exsub_chars_removed": int(agg["exsub_chars"] or 0),
             "total_tokens": int(agg["tokens"] or 0),
             "n_shards": agg["shards"],

@@ -97,6 +97,45 @@ def test_prepare_corpus_jsonl_export(spark, tmp_path):
     assert n == c["docs_final"]
 
 
+def test_prepare_corpus_decontamination(spark, tmp_path):
+    """--decontam drops prepared docs sharing an n-gram with the eval set:
+    plant an eval parquet built from three final docs' own text, re-prepare,
+    and those urls must be gone with the counter balancing exactly."""
+    base = prepare_corpus(spark, ensure_pages_parquet(), str(tmp_path / "o1"))
+    final1 = spark.read.parquet(str(tmp_path / "o1" / "final"))
+    planted = (
+        final1.select("url", "scrubbed_text")
+        # longest docs: guaranteed >= NGRAM_N words, deterministic tiebreak
+        .orderBy(F.length("scrubbed_text").desc(), "url")
+        .limit(3)
+        .collect()
+    )
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(r["scrubbed_text"],) for r in planted], "text string"
+    ).write.parquet(eval_path)
+
+    c = prepare_corpus(
+        spark,
+        ensure_pages_parquet(),
+        str(tmp_path / "o2"),
+        decontam_path=eval_path,
+    )
+    out = spark.read.parquet(str(tmp_path / "o2" / "final"))
+    planted_urls = {r["url"] for r in planted}
+    assert out.filter(F.col("url").isin(*planted_urls)).count() == 0
+    # at least the three planted docs go; near-dup family members sharing
+    # their grams may legitimately go with them
+    assert c["decontaminated_out"] >= 3
+    assert (
+        c["docs_final"]
+        == c["docs_kept"] - c["near_dups_removed"] - c["decontaminated_out"]
+    )
+    # without the flag the counter is zero and arithmetic unchanged
+    assert base["decontaminated_out"] == 0
+    assert base["docs_final"] == base["docs_kept"] - base["near_dups_removed"]
+
+
 def test_ingest_increment_admits_only_never_seen(spark, tmp_path):
     import re
 
