@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--format", default="parquet",
                    choices=("parquet", "warc", "jsonl"))
     p.add_argument("--strip-boilerplate", action="store_true")
+    p.add_argument("--decontam", default=None, metavar="PARQUET",
+                   help="eval-set parquet: drop increment docs sharing any "
+                        "word n-gram with it (same gate as run_prepare)")
+    p.add_argument("--decontam-text-col", default="text")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -48,6 +52,8 @@ def main() -> None:
         args.name,
         cfg=PipelineConfig(strip_boilerplate=args.strip_boilerplate),
         input_format=args.format,
+        decontam_path=args.decontam,
+        decontam_text_col=args.decontam_text_col,
     )
     print(json.dumps(counters))
     spark.stop()

@@ -83,6 +83,8 @@ def ingest_increment(
     cfg: Optional[PipelineConfig] = None,
     input_format: str = "parquet",
     shard_tokens: int = SHARD_TOKENS,
+    decontam_path: Optional[str] = None,
+    decontam_text_col: str = "text",
 ) -> Dict[str, int]:
     inc_root = os.path.join(corpus_root, "increments", name)
 
@@ -152,6 +154,23 @@ def ingest_increment(
         .withColumn("scrubbed_text", F.col("clean_text"))
         .drop("clean_text")
     )
+    # 4b) optional test-set decontamination of the increment (same stage
+    # position and plan shape as prepare_corpus: broadcast eval gram probe,
+    # anti-join against the eval-sized contaminated set) — without it a
+    # contaminated page could enter a decontaminated corpus via ingest
+    n_decontam_base = n_near
+    if decontam_path is not None:
+        from ..operators.decontam import flag_contaminated
+
+        eval_df = spark.read.parquet(decontam_path).select(
+            F.col(decontam_text_col).alias("scrubbed_text")
+        )
+        flags = flag_contaminated(
+            final_inc, eval_df, id_col="url", text_col="scrubbed_text"
+        )
+        bad = flags.filter(F.col("contaminated")).select("url")
+        final_inc = final_inc.join(F.broadcast(bad), "url", "left_anti")
+        n_decontam_base = final_inc.count()
     final_inc = final_inc.withColumn(
         "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
     )
@@ -180,6 +199,7 @@ def ingest_increment(
             "content_dups_skipped": n_new_url - n_new,
             "increment_exact_dups_removed": n_new - n_exact,
             "increment_near_dups_removed": n_exact - n_near,
+            "decontaminated_out": n_near - n_decontam_base,
             "docs_ingested": n_final,
         }
     )

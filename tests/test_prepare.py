@@ -169,6 +169,26 @@ def test_ingest_increment_admits_only_never_seen(spark, tmp_path):
     # every ingested page is from the genuinely-new half (id >= 500)
     for r in inc.select("url").collect():
         assert int(re.search(r"page-(\d+)", r.url).group(1)) >= 500
+    assert c["decontaminated_out"] == 0
+
+    # decontamination gates ingest exactly like prepare: an eval set built
+    # from one ingested doc's own text keeps that doc out of a fresh run
+    target = (
+        inc.orderBy(F.length("scrubbed_text").desc(), "url").limit(1).collect()[0]
+    )
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(target["scrubbed_text"],)], "text string"
+    ).write.parquet(eval_path)
+    root2 = str(tmp_path / "corpus2")
+    prepare_corpus(spark, ensure_pages_parquet(), root2)
+    c2 = ingest_increment(
+        spark, ensure_batch_parquet(), root2, "day2", decontam_path=eval_path
+    )
+    assert c2["decontaminated_out"] >= 1
+    inc2 = spark.read.parquet(root2 + "/increments/day2/final")
+    assert inc2.filter(F.col("url") == target["url"]).count() == 0
+    assert c2["docs_ingested"] == c["docs_ingested"] - c2["decontaminated_out"]
 
 
 def test_compact_corpus_removes_cross_batch_near_dups(spark, tmp_path):
