@@ -147,6 +147,11 @@ class CharTrigramLM:
 
     @staticmethod
     def _lookup(keys: np.ndarray, cnt: np.ndarray, q: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            # empty model (trained on zero documents, e.g. train_char_lm on
+            # an empty DataFrame): every count reads 0.0 and perplexity
+            # degrades to the backoff floor instead of an IndexError
+            return np.zeros(len(q), dtype=np.float64)
         idx = np.searchsorted(keys, q)
         idx_c = np.clip(idx, 0, len(keys) - 1)
         hit = keys[idx_c] == q
@@ -212,7 +217,8 @@ class CharTrigramLM:
                 p_bi = BACKOFF * np.where(
                     unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0
                 )
-                p_uni = BACKOFF * BACKOFF * uni_c / self.total
+                # max(total, 1): see perplexity() — empty-model 0/0 guard
+                p_uni = BACKOFF * BACKOFF * uni_c / max(self.total, 1)
             p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
             logp = np.log(np.maximum(p, FLOOR))
             for i, start, n in spans:
@@ -256,7 +262,11 @@ class CharTrigramLM:
         with np.errstate(divide="ignore", invalid="ignore"):
             p_tri = np.where(bictx_c > 0, tri_c / np.maximum(bictx_c, 1.0), 0.0)
             p_bi = BACKOFF * np.where(unictx_c > 0, bi2_c / np.maximum(unictx_c, 1.0), 0.0)
-            p_uni = BACKOFF * BACKOFF * uni_c / self.total
+            # max(total, 1): an EMPTY model (zero training docs) has
+            # total==0 and uni_c all zeros — 0/0 would poison p with NaN
+            # (np.maximum propagates NaN past the FLOOR); with the guard
+            # every position reads the floor, perplexity = 1/FLOOR
+            p_uni = BACKOFF * BACKOFF * uni_c / max(self.total, 1)
         p = np.where(tri_c > 0, p_tri, np.where(bi2_c > 0, p_bi, p_uni))
         p = np.maximum(p, FLOOR)
         return float(np.exp(-np.mean(np.log(p))))

@@ -416,3 +416,78 @@ def test_ocr_words_properties(text):
     if words:
         assert O.boxes_for_span(words, 0, len(ocr_text)) == words
     assert O.boxes_for_span(words, len(ocr_text) + 5, len(ocr_text) + 6) == []
+
+
+# --- distributed-trainer core specs (operators.train's building blocks) ------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 2), st.integers(1, 50)),
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_nb_loglik_properties(entries):
+    """Seen rows are strictly negative in EVERY class (log of p<1); all-zero
+    rows are exactly 0.0 (the OOV marker predict relies on); smoothed class
+    probabilities over seen+unseen buckets sum to 1."""
+    import numpy as np
+
+    from pii_detection_redaction_spark.core.ftlang import ALPHA, nb_loglik
+
+    n_buckets, n_cls = 32, 3
+    counts = np.zeros((n_buckets, n_cls), dtype=np.int64)
+    for b, c, n in entries:
+        counts[b % n_buckets, c] += n
+    W = nb_loglik(counts)
+    seen = counts.sum(axis=1) > 0
+    assert (W[~seen] == 0.0).all()
+    assert (W[seen] < 0.0).all()
+    # exp(W) restores the smoothed conditional distribution per class
+    smoothed = counts.astype(float) + ALPHA
+    expect = smoothed / smoothed.sum(axis=0)
+    assert np.allclose(np.exp(W[seen]), expect[seen], rtol=1e-12)
+
+
+_uni_text = st.text(
+    alphabet=st.characters(max_codepoint=0x2FFF), max_size=400
+)
+
+
+@given(_uni_text)
+@settings(max_examples=80, deadline=None)
+def test_doc_ngram_counts_totals(text):
+    """Totals follow the document length exactly: n chars, n-1 bigrams,
+    n-2 trigrams (floored at 0); keys are sorted and unique."""
+    from pii_detection_redaction_spark.core.lm import _encode, doc_ngram_counts
+
+    n = len(_encode(text))
+    (uk, uc), (bk, bc), (tk, tc) = doc_ngram_counts(text)
+    assert uc.sum() == n
+    assert bc.sum() == max(0, n - 1)
+    assert tc.sum() == max(0, n - 2)
+    for keys in (uk, bk, tk):
+        assert (keys[1:] > keys[:-1]).all() if len(keys) > 1 else True
+
+
+@given(_uni_text)
+@settings(max_examples=40, deadline=None)
+def test_lm_from_counts_equals_constructor(text):
+    """CharTrigramLM.from_counts on one document's own counts IS the
+    text constructor — same arrays, same total, same perplexity."""
+    import numpy as np
+
+    from pii_detection_redaction_spark.core.lm import CharTrigramLM, doc_ngram_counts
+
+    uni, bi, tri = doc_ngram_counts(text)
+    m = CharTrigramLM.from_counts(uni, bi, tri)
+    ref = CharTrigramLM(text)
+    for part in ("uni", "bi", "tri"):
+        assert np.array_equal(
+            getattr(m, f"{part}_keys"), getattr(ref, f"{part}_keys")
+        )
+        assert np.array_equal(getattr(m, f"{part}_cnt"), getattr(ref, f"{part}_cnt"))
+    assert m.total == ref.total
+    probe = (text[:40] or "probe") + " tail"
+    assert m.perplexity(probe) == ref.perplexity(probe)
