@@ -12,14 +12,17 @@ char/stopword evidence scorer with the same interface — it IS the pinned spec
   ``zh``; confidence = that fraction (capped at 1.0);
 - otherwise per language L in ``_SCORED_LANGS`` (de, en, es, fr, it, nl, pt):
   ``score_L = 2 * stopword_hits_L + charset_hits_L`` where stopword hits are
-  word-bounded case-insensitive matches of ``langprofiles.STOPWORDS[L]`` and
-  charset hits are occurrences of ``langprofiles.CHARSETS[L]`` characters;
+  lowercased ``\\w+`` tokens equal to a member of
+  ``langprofiles.STOPWORDS[L]`` (``stopword_hit_rows`` — the token spec; see
+  its note for the case-fold contract) and charset hits are occurrences of
+  ``langprofiles.CHARSETS[L]`` characters;
 - prediction = argmax (ties broken in ``_SCORED_LANGS`` order), confidence =
   ``top / sum(scores)``; all-zero evidence -> ("und", 0.0).
 
-The exact same counts/arithmetic are computed vectorized (pandas ``str.count``)
-in ``..functions.udfs.langid_batch`` — both paths share ``score_from_counts``
-so Spark output equals this oracle bit-for-bit.
+The exact same counts/arithmetic are computed vectorized in
+``..functions.udfs.langid_batch`` (``stopword_hit_rows`` per doc +
+``charclass_count_matrix``'s codepoint-LUT pass) — both paths share
+``score_from_counts`` so Spark output equals this oracle bit-for-bit.
 """
 
 from __future__ import annotations
@@ -54,20 +57,27 @@ _nonspace_re = re.compile(r"\S")
 _stop_res = {lang: re.compile(p, re.IGNORECASE) for lang, p in STOPWORD_PATTERNS.items()}
 _charset_res = {lang: re.compile(p) for lang, p in CHARSET_PATTERNS.items() if p}
 
-# --- token-path stopword counting -----------------------------------------
-# An optimized EQUIVALENT of the STOPWORD_PATTERNS regexes (which remain the
-# spec consumed by the DuckDB-SQL and JVM engines). For a pattern
-# ``\b(?:w1|…|wk)\b`` whose alternatives are all pure word-char strings
-# (asserted below), every Python-re match must start and end on a \b — i.e.
-# on the edges of a maximal ``\w+`` run — and contains only word chars, so
-# the matches are exactly the maximal \w+ tokens case-insensitively equal to
-# some wi; the hit count per language is therefore the number of tokens in
-# that language's word set. For the character repertoire in the stopword
-# lists (ASCII + Latin-1 accents) ``(?i)`` equality coincides with
-# ``str.lower()`` equality. One tokenization pass replaces 7 alternation
-# scans — measured 6.5x faster on the corpus, which matters because langid
-# is ~35% of the pipeline's fused-UDF wall time. Cross-engine equality with
-# the regex spec is pinned on every corpus generator by
+# --- token-path stopword counting (THE stopword spec) ----------------------
+# The spec is: tokenize into maximal ``\w+`` runs of the simple-lowercased
+# text, count tokens that are members of a language's stopword set. All
+# three engines implement exactly this — Python/UDF via this function, the
+# DuckDB oracle via ``[\p{L}\p{N}_]+`` tokens of ``lower(text)`` +
+# ``list_contains`` (``plans.oracles._langid_sql``; cross-engine equality on
+# adversarial unicode pinned by ``test_stopword_token_spec_cross_engine``).
+#
+# The STOPWORD_PATTERNS regexes above are the readable derivation: for a
+# pattern ``\b(?:w1|…|wk)\b`` whose alternatives are all pure word-char
+# strings (asserted below), every Python-re match starts and ends on the
+# edges of a maximal ``\w+`` run, so matches are exactly the tokens equal to
+# some wi. The ONE deliberate divergence from a literal ``(?i)`` regex
+# reading: case matching is ``str.lower()`` (simple lowercase), not Unicode
+# case folding — ``(?i)`` engines disagree among themselves on fold-only
+# characters (Python re folds both ı→i and ſ→s, RE2 only ſ→s, lower()
+# neither), so the spec pins the one behavior every engine can reproduce.
+# One tokenization pass replaces 7 alternation scans — measured 6.5x faster
+# on the corpus, which matters because langid is ~35% of the pipeline's
+# fused-UDF wall time. Token-vs-regex equality on the simple-fold
+# repertoire (every corpus generator + boundary cases) is pinned by
 # ``test_token_stopword_path_equals_regex_spec``.
 for _lang in _SCORED_LANGS:
     for _w in STOPWORDS[_lang]:
@@ -125,22 +135,34 @@ assert len(_CLASS_RES) <= 16  # bits must fit the uint16 LUT
 _LUT = None  # lazy: ~2.2 MB, built once per process (executor)
 
 
+def build_class_lut(bit_rx_pairs, dtype):
+    """Codepoint→class-bitmask LUT: run each spec regex over the
+    all-codepoints string (surrogate gap excluded), OR the given bit into
+    every member's cell — exact membership by construction. The ONE builder
+    behind both per-process LUTs (``_char_class_lut`` here and
+    ``core.scanvec._class_lut``)."""
+    import numpy as np
+
+    all_cp = "".join(map(chr, range(0xD800))) + "".join(
+        map(chr, range(0xE000, 0x110000))
+    )
+    lut = np.zeros(0x110000, dtype=dtype)
+    for bit, rx in bit_rx_pairs:
+        members = np.array([ord(ch) for ch in rx.findall(all_cp)], dtype=np.int64)
+        if len(members):
+            lut[members] |= dtype(bit)
+    return lut
+
+
 def _char_class_lut():
     global _LUT
     if _LUT is None:
         import numpy as np
 
-        all_cp = "".join(map(chr, range(0xD800))) + "".join(
-            map(chr, range(0xE000, 0x110000))
+        _LUT = build_class_lut(
+            [(1 << j, rx) for j, (_name, rx) in enumerate(_CLASS_RES)],
+            np.uint16,
         )
-        lut = np.zeros(0x110000, dtype=np.uint16)
-        for j, (_name, rx) in enumerate(_CLASS_RES):
-            members = np.array(
-                [ord(ch) for ch in rx.findall(all_cp)], dtype=np.int64
-            )
-            if len(members):
-                lut[members] |= np.uint16(1 << j)
-        _LUT = lut
     return _LUT
 
 

@@ -699,7 +699,7 @@ def default_bank() -> List[RecognizerSpec]:
 
 
 _DEFAULT_BANK: Optional[List[RecognizerSpec]] = None
-_COMPILED: Dict[int, list] = {}
+_COMPILED: Dict[int, tuple] = {}  # id(bank) -> (bank ref, flattened form)
 
 
 def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
@@ -716,27 +716,34 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
         if _DEFAULT_BANK is None:
             _DEFAULT_BANK = default_bank()
         bank = _DEFAULT_BANK
+    # key on id() for speed, but GUARD against CPython address reuse: a
+    # dropped custom bank's id can be recycled by a brand-new list, which
+    # would silently serve the old bank's compiled patterns. Keeping a
+    # strong reference to the keyed bank in the cache entry (a) makes the
+    # stored id immortal while cached, so a hit can only be the same
+    # object, and (b) lets us verify identity explicitly.
     key = id(bank)
-    flat = _COMPILED.get(key)
-    if flat is None:
-        flat = []
-        for spec in bank:
-            pats = []
-            for p, rx, danchor in spec.compiled():
-                if p.token_prefilter is not None:
-                    kind = 2
-                elif danchor:
-                    kind = 1
-                elif p.upper_run_anchor:
-                    kind = 3
-                else:
-                    kind = 0
-                pats.append((rx.match, rx.finditer, kind, p.precondition,
-                             p.token_prefilter, p.score, p.name))
-            flat.append((spec.entity_type, spec.precondition, spec.context,
-                         spec.validator, spec.entity_type in _TRIMMED_TYPES,
-                         pats))
-        _COMPILED[key] = flat
+    hit = _COMPILED.get(key)
+    if hit is not None and hit[0] is bank:
+        return hit[1]
+    flat = []
+    for spec in bank:
+        pats = []
+        for p, rx, danchor in spec.compiled():
+            if p.token_prefilter is not None:
+                kind = 2
+            elif danchor:
+                kind = 1
+            elif p.upper_run_anchor:
+                kind = 3
+            else:
+                kind = 0
+            pats.append((rx.match, rx.finditer, kind, p.precondition,
+                         p.token_prefilter, p.score, p.name))
+        flat.append((spec.entity_type, spec.precondition, spec.context,
+                     spec.validator, spec.entity_type in _TRIMMED_TYPES,
+                     pats))
+    _COMPILED[key] = (bank, flat)
     return flat
 
 

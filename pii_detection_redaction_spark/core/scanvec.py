@@ -65,23 +65,21 @@ _LUT: Optional[np.ndarray] = None
 
 def _class_lut() -> np.ndarray:
     """uint8 class-bit LUT over all codepoints, built by running the spec
-    regexes over every codepoint (exact membership by construction)."""
+    regexes over every codepoint (exact membership by construction —
+    ``langid.build_class_lut`` is the one builder)."""
     global _LUT
     if _LUT is None:
-        all_cp = "".join(map(chr, range(0xD800))) + "".join(
-            map(chr, range(0xE000, 0x110000))
+        from .langid import build_class_lut
+
+        _LUT = build_class_lut(
+            (
+                (_B_DIGIT, _DIGIT_RE),
+                (_B_UPPER, _UPPER_RE),
+                (_B_LOWER, _LOWER_RE),
+                (_B_UALNUM, _UPPER_ALNUM_RE),
+            ),
+            np.uint8,
         )
-        lut = np.zeros(0x110000, dtype=np.uint8)
-        for bit, rx in (
-            (_B_DIGIT, _DIGIT_RE),
-            (_B_UPPER, _UPPER_RE),
-            (_B_LOWER, _LOWER_RE),
-            (_B_UALNUM, _UPPER_ALNUM_RE),
-        ):
-            members = np.array([ord(c) for c in rx.findall(all_cp)], dtype=np.int64)
-            if len(members):
-                lut[members] |= np.uint8(bit)
-        _LUT = lut
     return _LUT
 
 

@@ -322,8 +322,12 @@ def make_perplexity_udf():
         )
         for lang, grp in frame.groupby("l", sort=False):
             model = models.get(lang, fallback)
-            for pos, t in zip(grp.index.to_numpy(), grp["t"].to_numpy()):
-                out[pos] = model.perplexity(t)
+            # batched dense-table lookups (bit-identical to per-doc
+            # perplexity — test_perplexity_batch_bitwise), same path the
+            # fused pipeline UDF uses
+            out[grp.index.to_numpy()] = model.perplexity_batch(
+                grp["t"].to_numpy()
+            )
         return pd.Series(out)
 
     return ppl_udf

@@ -393,7 +393,18 @@ def _langid_sql() -> str:
     """Generated from the same language tables as the Python/UDF/JVM paths
     (``_SCORED_LANGS``, ``SCRIPT_OVERRIDES``): per-language stopword/charset
     counts, left-to-right total, script-fraction overrides (ja > ko > zh),
-    und on zero evidence, first-max tie-break in evidence order."""
+    und on zero evidence, first-max tie-break in evidence order.
+
+    Stopword counts use the TOKEN spec (``core.langid.stopword_hit_rows``):
+    maximal word-char runs of the simple-lowercased text, membership
+    against ``STOPWORD_SETS``. Replicated here as one tokenization
+    (``[\\p{{L}}\\p{{N}}_]+`` over ``lower(text)`` — RE2's spelling of
+    Python's ``\\w+``; equality incl. combining marks pinned by
+    ``test_stopword_token_spec_cross_engine``) + ``list_contains`` probes.
+    The previous ``(?i)`` regex replay diverged from the token path on
+    Unicode case-fold-only characters (RE2 simple-folds ſ→s; neither
+    engine's ``lower`` does), so the fold behavior is now pinned to
+    ``lower()`` in every engine."""
     langs = list(LID._SCORED_LANGS)
     count_cols = [f"len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace"]
     for lg, pat, _thr in LID.SCRIPT_OVERRIDES:
@@ -401,9 +412,15 @@ def _langid_sql() -> str:
             f"len(regexp_extract_all(text, '{_q(pat)}')) AS sc_{lg}"
         )
     score_cols = []
+    toks = r"regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')"
     for lg in langs:
-        sw = _q("(?i)" + LID.STOPWORD_PATTERNS[lg])
-        count_cols.append(f"len(regexp_extract_all(text, '{sw}')) AS sw_{lg}")
+        words = ", ".join(
+            "'" + w + "'" for w in sorted(LID.STOPWORD_SETS[lg])
+        )
+        count_cols.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], t)))"
+            f" AS sw_{lg}"
+        )
         ch_pat = LID.CHARSET_PATTERNS[lg]
         if ch_pat:
             count_cols.append(

@@ -294,3 +294,38 @@ def test_perplexity_batch_bitwise():
                 lang,
                 t[:40],
             )
+
+
+def test_stopword_token_spec_cross_engine():
+    """The stopword TOKEN spec (lowercased \\w+ token membership) is
+    replayed identically by the DuckDB oracle fragment — including the
+    Unicode fold-only characters where (?i) regex engines disagree among
+    themselves (Python re folds ı→i and ſ→s, RE2 only ſ→s, lower()
+    neither): the spec pins lower()-equality in every engine."""
+    import duckdb
+
+    from pii_detection_redaction_spark.core import langid as L
+
+    toks = r"regexp_extract_all(lower(t), '[\p{L}\p{N}_]+')"
+    samples = [
+        "ıt ıs ın the box",          # dotless i: no engine may fold
+        "iſt das gut iſt",           # long s: RE2's (?i) used to fold this
+        "müfür für dafür fürs",      # accent-adjacent boundaries
+        "café étre être the",
+        "日本語 the中文 und",
+        "étre et les the",     # combining mark inside a token
+        "",
+        "the THE ThE tHE",
+        "das ist für alle über",
+    ]
+    con = duckdb.connect()
+    for s in samples:
+        rows = L.stopword_hit_rows(s)
+        for i, lg in enumerate(L._SCORED_LANGS):
+            words = ", ".join("'" + w + "'" for w in sorted(L.STOPWORD_SETS[lg]))
+            got = con.execute(
+                f"SELECT len(list_filter({toks},"
+                f" x -> list_contains([{words}], x))) FROM (SELECT ? AS t)",
+                [s],
+            ).fetchone()[0]
+            assert got == rows[i], (lg, s)

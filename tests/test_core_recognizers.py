@@ -448,3 +448,36 @@ def test_severity_color_dim_parity():
         assert (r, g, b) == SEVERITY_COLORS[sev]
     assert color_of("AU_TFN") == SEVERITY_COLORS["critical"]
     assert color_of("NO_SUCH_TYPE") == SEVERITY_COLORS["medium"]
+
+
+def test_compiled_bank_cache_guards_id_reuse():
+    """_get_compiled keys on id(bank): a stale entry whose address was
+    recycled by a DIFFERENT bank object must be rebuilt, not served (the
+    cache stores the bank reference and verifies identity)."""
+    from pii_detection_redaction_spark.core import recognizers as R
+
+    bank_a = [
+        R.RecognizerSpec(
+            entity_type="ONLY_A",
+            patterns=[R.PatternSpec("a", r"\balpha\b", 0.9)],
+        )
+    ]
+    flat_a = R._get_compiled(bank_a)
+    assert flat_a[0][0] == "ONLY_A"
+    stored_bank, stored_flat = R._COMPILED[id(bank_a)]
+    assert stored_bank is bank_a and stored_flat is flat_a
+
+    bank_b = [
+        R.RecognizerSpec(
+            entity_type="ONLY_B",
+            patterns=[R.PatternSpec("b", r"\bbeta\b", 0.9)],
+        )
+    ]
+    # simulate CPython address reuse: plant bank A's compiled form under
+    # bank B's id — the identity guard must reject it and rebuild
+    R._COMPILED[id(bank_b)] = (bank_a, flat_a)
+    flat_b = R._get_compiled(bank_b)
+    assert flat_b[0][0] == "ONLY_B"
+    # analyze() through the custom bank sees B's patterns, not A's
+    dets = R.analyze("alpha beta", bank=bank_b)
+    assert [d.entity_type for d in dets] == ["ONLY_B"]
