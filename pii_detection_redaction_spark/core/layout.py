@@ -31,9 +31,23 @@ arithmetic as JVM columns; plans/oracles re-derives it in DuckDB SQL.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Tuple
 
 from .entities import ENTITY_SEVERITY, SEVERITY_COLORS
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark/DuckDB-style HALF_UP decimal rounding — the same recipe as
+    ``testing.goldens.spark_round`` (equality pinned by
+    ``test_layout_round_matches_spark_round``). Python's builtin ``round``
+    is banker's (half-to-even): on a tie score like 0.625 it would emit
+    'conf: 0.62' while both the Spark operator (``F.round``) and the DuckDB
+    oracle emit 'conf: 0.63' — this keeps the pure-Python spec on the
+    engines' side."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
 
 # US-Letter page, 0.5" margin, 6x12pt monospace cell (declared layout model)
 PAGE_W = 612.0
@@ -146,5 +160,5 @@ def plan_row(text: str, start: int, end: int, entity_type: str, score: float) ->
         "label_x": x0 + LABEL_DX,
         "label_y": y1 - LABEL_DY,
         "conf_y": y1 - CONF_DY,
-        "conf_text": f"conf: {round(score, 2):.2f}",
+        "conf_text": f"conf: {_round_half_up(score, 2):.2f}",
     }

@@ -280,15 +280,23 @@ def c4_line_keep_cond(line):
     )
 
 
+def c4_lines_kept_cols(text_col):
+    """The C4 line-filter building blocks as (lines, kept) column pair —
+    the ONE Spark spelling (split + NULL-as-'' coalesce + keep condition)
+    consumed by ``c4_filter_lines`` and the fused ``page_signals`` catalog
+    query alike (one-spec rule: a fork here would silently diverge the
+    gated entries)."""
+    lines = F.split(F.coalesce(text_col, F.lit("")), "\n")
+    return lines, F.filter(lines, c4_line_keep_cond)
+
+
 def c4_filter_lines(
     df, id_col: str = "url", text_col: str = "text"
 ):
     """(id, text_clean, n_lines_removed): the C4 line filter (Raffel et al.
     2020 §2.2) as pure row-local JVM higher-order expressions — no shuffle,
     no Python, whole-stage codegen; at 100 TB this runs at scan speed."""
-    # coalesce: NULL text behaves as '' in all three engines (one-spec rule)
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    kept = F.filter(lines, c4_line_keep_cond)
+    lines, kept = c4_lines_kept_cols(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("text_clean"),

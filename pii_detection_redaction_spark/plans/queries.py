@@ -1522,15 +1522,14 @@ def q_page_signals(spark, sf_dir):
     Gopher repetition metrics (dup-line char fraction, top bi/tri-gram char
     fraction; operators.textstats.repetition_stats). All pure row-local JVM
     higher-order expressions — zero shuffle before the catalog ORDER BY."""
-    from ..functions.quality import c4_line_keep_cond, repetition_metric_columns
+    from ..functions.quality import c4_lines_kept_cols, repetition_metric_columns
 
     d = _pages(spark)
     # single pass: the C4 filter exprs and the repetition metrics share one
     # projection over one scan (both are row-local higher-order exprs) —
-    # no two-branch self-join shuffle. Same line/coalesce spelling as
-    # functions.quality.c4_filter_lines (one-spec rule).
-    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
-    kept = F.filter(lines, c4_line_keep_cond)
+    # no two-branch self-join shuffle. The line/kept expressions are the
+    # SAME columns c4_filter_lines consumes (one shared builder).
+    lines, kept = c4_lines_kept_cols(F.col("text"))
     rep = repetition_metric_columns(F.col("text"))
     return d.select(
         "url",

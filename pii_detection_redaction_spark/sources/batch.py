@@ -139,9 +139,21 @@ def batch_redact(
         red_path = os.path.join(output_dir, red_name)
         _single_csv(out["redacted"], red_path, delimiter, header)
         artifacts.append(red_path)
+        # 0-based input row numbers for the JSON (reference formatter.py
+        # shape): __row_id is monotonically_increasing_id, whose VALUE
+        # jumps by 2^33 at scan-partition boundaries — only its ORDER is
+        # the row order. Rank it. The collect is one long per row of one
+        # file — fine for this zip-bundle surface (the reference's UI
+        # batch path, small files by contract).
+        row_order = {
+            rid: i
+            for i, (rid,) in enumerate(
+                df.select(ROW_ID).orderBy(ROW_ID).collect()
+            )
+        }
         det_rows = [
             {
-                "row": r[ROW_ID],
+                "row": row_order[r[ROW_ID]],
                 "column": r["col_name"],
                 "entity_type": r["entity_type"],
                 "start": r["start"],

@@ -115,6 +115,38 @@ def test_batch_redact_row_order_many_rows(spark, tmp_path):
     assert all("@" not in r[1] for r in got[1:])
 
 
+def test_batch_redact_json_rows_are_input_indices_multipartition(
+    spark, tmp_path
+):
+    """The detections JSON 'row' field is the 0-based INPUT row number even
+    when the CSV scan splits into several partitions — the raw __row_id
+    (monotonically_increasing_id) jumps by 2^33 at partition boundaries
+    and must never leak into the artifact."""
+    src = tmp_path / "in3"
+    out = tmp_path / "out3"
+    src.mkdir()
+    rows = [["seq", "contact"]] + [
+        [str(i), f"user{i}@ex.com"] for i in range(60)
+    ]
+    with open(src / "mp.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+    try:
+        batch_redact(spark, str(src), str(out), save_json=True)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    with open(out / "mp_detections.json") as f:
+        dets = json.load(f)
+    got_rows = sorted(d["row"] for d in dets if d["entity_type"] == "EMAIL_ADDRESS")
+    # every data row has exactly one planted email: dense 0..59
+    assert got_rows == list(range(60))
+    # and each row index points at the matching input row's email
+    by_row = {d["row"]: d for d in dets if d["entity_type"] == "EMAIL_ADDRESS"}
+    for i in (0, 31, 59):
+        assert by_row[i]["cell_value"] == f"user{i}@ex.com"
+
+
 def test_batch_redact_stem_collision_and_uri_names(spark, tmp_path):
     """A .csv and a .txt sharing a stem must not overwrite each other's
     detections JSON (the second claim gets a _2 suffix); txt names with

@@ -1083,3 +1083,22 @@ def test_image_redaction_boxes_match_python_spec(spark):
     assert wrap_box["x1"] - wrap_box["x0"] <= (
         O.OCR_WRAP_COLS - col
     ) * O.OCR_CHAR_PX + 2 * O.IMG_PADDING
+
+
+def test_layout_round_matches_spark_round():
+    """core.layout._round_half_up IS goldens.spark_round (one rounding
+    behavior across the pure-Python spec, Spark F.round, and the DuckDB
+    oracle) — including the half-tie scores where Python's banker's round
+    diverges, and plan_row's conf_text uses it."""
+    from pii_detection_redaction_spark.core import layout as LAY
+    from pii_detection_redaction_spark.testing.goldens import spark_round
+
+    ties = [0.625, 0.125, 0.375, 0.875, 0.005, 0.015, 0.465, 0.995]
+    vals = ties + [0.0, 1.0, 0.33333, 0.299999, 0.62499999]
+    for v in vals:
+        assert LAY._round_half_up(v, 2) == spark_round(v, 2), v
+    # the banker's-round divergence is real on ties...
+    assert round(0.625, 2) == 0.62 and LAY._round_half_up(0.625, 2) == 0.63
+    # ...and plan_row's conf text takes the HALF_UP side
+    row = LAY.plan_row("some sample text here", 0, 10, "EMAIL_ADDRESS", 0.625)
+    assert row["conf_text"] == "conf: 0.63"
