@@ -37,6 +37,8 @@ def main() -> None:
     p.add_argument("--no-json", action="store_true",
                    help="skip the per-file detections JSON")
     p.add_argument("--zip-name", default="redacted_bundle.zip")
+    p.add_argument("--multiline", action="store_true",
+                   help="RFC-4180 quoted embedded newlines in CSV cells")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -55,6 +57,7 @@ def main() -> None:
         entities=args.entities,
         scrub_mode=args.scrub_mode,
         save_json=not args.no_json,
+        multiline=args.multiline,
         zip_name=args.zip_name,
     )
     print(json.dumps(manifest, sort_keys=True))

@@ -31,6 +31,9 @@ def main() -> None:
                    help="output dir (redacted/, detections/, summary printed)")
     p.add_argument("--delimiter", default=",")
     p.add_argument("--no-header", action="store_true")
+    p.add_argument("--multiline", action="store_true",
+                   help="RFC-4180 quoted embedded newlines (one scan "
+                        "partition per file — use for UI-parity inputs)")
     p.add_argument("--labels", action="store_true",
                    help="replace with <ENTITY_TYPE> labels instead of '*' mask")
     p.add_argument("--min-score", type=float, default=0.0)
@@ -48,15 +51,15 @@ def main() -> None:
 
     spark = build_session(app_name="pii-csv-redact", master=args.master)
     df = read_csv(spark, args.input, delimiter=args.delimiter,
-                  header=not args.no_header)
+                  header=not args.no_header, multiline=args.multiline)
     out = redact_csv(df, use_entity_labels=args.labels,
                      min_score=args.min_score, entities=args.entities,
                      cache=True)  # three sinks share the detection pass
     write_csv(out["redacted"], os.path.join(args.output, "redacted"),
               delimiter=args.delimiter, header=not args.no_header)
-    detections_to_json(out["detections"]).write.mode("overwrite").text(
-        os.path.join(args.output, "detections")
-    )
+    detections_to_json(out["detections"], source=df).write.mode(
+        "overwrite"
+    ).text(os.path.join(args.output, "detections"))
     summary = {
         r["entity_type"]: {"n_detections": r["n_detections"], "n_cells": r["n_cells"]}
         for r in out["summary"].collect()

@@ -35,7 +35,16 @@ def unpivot_cells(
     """Wide -> long (id, [passthrough...], col_name, cell) via stack — one
     narrow projection, no shuffle. ``passthrough_cols`` ride along unchanged
     (e.g. the source-file column the ordered CSV sink sorts on)."""
-    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in value_cols)
+    # escape before interpolating into SQL: a legitimate header like
+    # "employee's email" or one containing a backtick would otherwise break
+    # the stack() parse (SQL string literals double ', quoted identifiers
+    # double `)
+    pairs = ", ".join(
+        "'{lit}', cast(`{ident}` as string)".format(
+            lit=c.replace("'", "''"), ident=c.replace("`", "``")
+        )
+        for c in value_cols
+    )
     expr = f"stack({len(value_cols)}, {pairs}) as (col_name, cell)"
     keep = [F.col(id_col)] + [F.col(c) for c in passthrough_cols]
     return df.select(*keep, F.expr(expr))

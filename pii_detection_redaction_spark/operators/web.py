@@ -32,13 +32,20 @@ from pyspark.sql import functions as F
 from ..core import urlnorm as UN
 
 # shared Spark (Java) / DuckDB (RE2) / Python re — ASCII classes, no
-# lookaround: scheme://authority, authority = everything up to the first '/'
-HOST_REGEX = r"^[a-z]+://([^/]+)"
+# lookaround. Scheme per RFC 3986 (any case — 'HTTP://…' is a valid
+# spelling of the same host); authority stops at '/', '?', or '#' (a
+# query/fragment directly after the authority — 'http://h?x=1' — must not
+# leak into the host, or a blocked host evades its blocklist/cap by
+# varying query strings). The previous ^[a-z]+://([^/]+) had both holes.
+HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 
 
 def host_col(url_col: str = "url") -> Column:
-    """Authority component of the URL ('' when the URL has no scheme)."""
-    return F.regexp_extract(F.col(url_col), HOST_REGEX, 1)
+    """Authority component of the URL, lowercased ('' when the URL has no
+    scheme). Lowercasing is part of the host spec — host keys, blocklists,
+    and caps must treat 'Blocked.COM' and 'blocked.com' as one host (the
+    DuckDB oracle fragments apply the same ``lower``)."""
+    return F.lower(F.regexp_extract(F.col(url_col), HOST_REGEX, 1))
 
 
 def filter_blocked_hosts(

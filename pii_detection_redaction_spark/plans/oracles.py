@@ -921,7 +921,7 @@ def _host_rollup_sql() -> str:
     return f"""
 WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
 h AS (
-  SELECT regexp_extract(url, '{_q(HOST_REGEX)}', 1) AS host,
+  SELECT lower(regexp_extract(url, '{_q(HOST_REGEX)}', 1)) AS host,
          length(text) AS n
   FROM pages
 )
@@ -1012,7 +1012,7 @@ def _host_quota_sql() -> str:
     return f"""
 WITH p AS (SELECT url, text FROM read_parquet('{path}')),
 h AS (
-  SELECT regexp_extract(url, '{_q(HOST_REGEX)}', 1) AS host,
+  SELECT lower(regexp_extract(url, '{_q(HOST_REGEX)}', 1)) AS host,
          url, CAST(length(text) AS INTEGER) AS n_chars
   FROM p
 ),

@@ -79,6 +79,7 @@ def batch_redact(
     scrub_mode: str = "relationship",
     save_json: bool = True,
     zip_name: str = "redacted_bundle.zip",
+    multiline: bool = False,
 ) -> Dict:
     """Redact every ``*.csv`` and ``*.txt`` under ``input_dir``; returns the
     manifest dict (also written as ``manifest.json`` and zipped).
@@ -126,7 +127,10 @@ def batch_redact(
 
     for path in csv_files:
         stem = os.path.splitext(os.path.basename(path))[0]
-        df = read_csv(spark, path, delimiter=delimiter, header=header)
+        df = read_csv(
+            spark, path, delimiter=delimiter, header=header,
+            multiline=multiline,
+        )
         out = redact_csv(
             df,
             use_entity_labels=use_entity_labels,

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.csvops import (
@@ -31,6 +31,7 @@ def read_csv(
     path: str,
     delimiter: str = ",",
     header: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV source with a row-order contract usable for multi-file inputs.
 
@@ -43,8 +44,19 @@ def read_csv(
     file first pins the contract to (file path lexicographic, position
     within file); within one file, ids rise with read order in every split,
     and splits of one file keep offset order under the planner's stable
-    size sort (equal-size chunks), so the composite key is total."""
-    df = spark.read.csv(path, sep=delimiter, header=header, inferSchema=False)
+    size sort (equal-size chunks), so the composite key is total.
+
+    ``multiline=True`` enables RFC-4180 quoted embedded newlines (which the
+    reference's Python ``csv`` reader always handles): without it Spark
+    splits such a cell mid-field into bogus extra rows. It is an explicit
+    knob, not the default, because multiLine makes each FILE a single
+    unsplittable scan partition — the right trade for UI-parity inputs,
+    the wrong default for the wide-table bench/scale path whose cells are
+    newline-free."""
+    df = spark.read.csv(
+        path, sep=delimiter, header=header, inferSchema=False,
+        multiLine=multiline,
+    )
     return df.withColumn(ROW_FILE, F.col("_metadata.file_path")).withColumn(
         ROW_ID, F.monotonically_increasing_id()
     )
@@ -136,9 +148,29 @@ def write_csv(
     df.write.mode("overwrite").csv(path, sep=delimiter, header=header)
 
 
-def detections_to_json(detections: DataFrame) -> DataFrame:
+def detections_to_json(
+    detections: DataFrame, source: Optional[DataFrame] = None
+) -> DataFrame:
     """JSON detections sink shape (reference formatter.py:8-21): one JSON
-    string per detection row."""
+    string per detection row.
+
+    Pass ``source`` (the ``read_csv`` frame the detections came from) to
+    export the reference's 0-based input row index as ``row``: the internal
+    ``__row_id`` is ``monotonically_increasing_id``, whose VALUE jumps by
+    2^33 at scan-partition boundaries — only its order is the row order, so
+    the raw id must never leak into an artifact. The rank needs the FULL
+    source row set (undetected rows still occupy indices), hence the
+    parameter; the global row_number sort is one narrow (id) column through
+    a single partition — fine for an export sink. Without ``source`` the
+    frame is serialized as-is (caller owns the columns)."""
+    if source is not None and ROW_ID in detections.columns:
+        order_cols = [c for c in (ROW_FILE, ROW_ID) if c in source.columns]
+        w = Window.orderBy(*order_cols)
+        rows = source.select(
+            F.col(ROW_ID), (F.row_number().over(w) - 1).alias("row")
+        )
+        keep = [c for c in detections.columns if c not in (ROW_ID, ROW_FILE)]
+        detections = detections.join(rows, ROW_ID).select("row", *keep)
     return detections.select(
         F.to_json(F.struct(*[F.col(c) for c in detections.columns])).alias("json")
     )

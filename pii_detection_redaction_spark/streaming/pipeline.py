@@ -34,12 +34,32 @@ def stream_pipeline(
 ):
     """Returns the started StreamingQuery; caller awaits termination."""
     cfg = cfg or PipelineConfig()
+    if cfg.strip_boilerplate:
+        # corpus-level hot-line derivation is a batch pass over the WHOLE
+        # input — there is no streaming equivalent here (a per-micro-batch
+        # hot set would be a different, weaker spec). Refuse loudly rather
+        # than silently emitting boiler_removed=0 for a config the batch
+        # path honors.
+        raise ValueError(
+            "strip_boilerplate is batch-only (corpus-level hot-line pass); "
+            "run run_pipeline, or pre-strip with a batch pass before "
+            "streaming ingestion"
+        )
     stream = (
         spark.readStream.schema(PAGES_DDL)
         .format("parquet")
         .load(pages_dir)
     )
-    out = transform_pages(with_bucket(stream, cfg), cfg).select(*OUTPUT_COLUMNS)
+    out_cols = OUTPUT_COLUMNS + (
+        # same column contract as the batch run_pipeline: a supplied
+        # quality_model implies the annotation (transform_pages normalizes
+        # the flag); dropping the computed column here would silently
+        # diverge the two sinks for one config
+        ["quality_prob"]
+        if (cfg.quality_classifier or cfg.quality_model is not None)
+        else []
+    )
+    out = transform_pages(with_bucket(stream, cfg), cfg).select(*out_cols)
     writer = (
         out.writeStream.format("parquet")
         .option("path", out_dir)

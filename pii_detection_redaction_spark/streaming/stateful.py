@@ -26,19 +26,28 @@ OUTPUT_SCHEMA = "content_md5 string, url string"
 STATE_SCHEMA = "n_seen long"
 
 
-def _first_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    seen_before = state.exists
-    n_prior = state.get[0] if seen_before else 0
-    state.update((n_prior + len(rows),))
-    if not seen_before and len(rows):
-        # deterministic within-batch winner: lexicographically smallest url
-        winner = rows.sort_values("url").iloc[0]
-        yield pd.DataFrame(
-            {"content_md5": [key[0]], "url": [winner["url"]]}
-        )
+def _make_first_seen_fn(key_out_col: str):
+    """ONE first-seen state handler (exists-check, counter update,
+    lexicographically-smallest-url within-batch winner), parameterized by
+    the output key column name — the content-hash and canonical-url dedup
+    streams share every semantic except that name."""
+
+    def first_seen_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen_before = state.exists
+        n_prior = state.get[0] if seen_before else 0
+        state.update((n_prior + len(rows),))
+        if not seen_before and len(rows):
+            # deterministic within-batch winner: smallest url
+            winner = rows.sort_values("url").iloc[0]
+            yield pd.DataFrame({key_out_col: [key[0]], "url": [winner["url"]]})
+
+    return first_seen_fn
+
+
+_first_seen_fn = _make_first_seen_fn("content_md5")
 
 
 def first_seen_dedup_stream(
@@ -91,16 +100,7 @@ def run_first_seen_dedup(
 URL_OUTPUT_SCHEMA = "canonical_url string, url string"
 
 
-def _first_seen_url_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    seen_before = state.exists
-    n_prior = state.get[0] if seen_before else 0
-    state.update((n_prior + len(rows),))
-    if not seen_before and len(rows):
-        winner = rows.sort_values("url").iloc[0]
-        yield pd.DataFrame({"canonical_url": [key[0]], "url": [winner["url"]]})
+_first_seen_url_fn = _make_first_seen_fn("canonical_url")
 
 
 def first_seen_url_dedup_stream(stream: DataFrame, url_col: str = "url") -> DataFrame:

@@ -99,3 +99,70 @@ def test_multifile_csv_preserves_input_order(spark, tmp_path):
     assert got == expected
     # every pii cell across EVERY part file was actually redacted
     assert all("@ex.com" not in ",".join(r) for r in all_rows)
+
+
+def test_multiline_quoted_newlines(spark, tmp_path):
+    """RFC-4180 quoted embedded newlines (reference's Python csv reader
+    handles these): multiline=True parses the cell as ONE row; the default
+    fast path documents the limitation."""
+    src = str(tmp_path / "ml.csv")
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "notes"])
+        w.writerow(["Bob Smith", "line one\nemail bob.smith@ex.com, done"])
+        w.writerow(["Plain", "nothing here"])
+    df = read_csv(spark, src, multiline=True)
+    assert df.count() == 2
+    out = redact_csv(df)
+    red = {r["name"]: r["notes"] for r in out["redacted"].collect()}
+    assert "bob.smith@ex.com" not in red["Bob Smith"]
+    assert "\n" in red["Bob Smith"]  # the cell is still one two-line value
+    dets = out["detections"].collect()
+    assert {r["entity_type"] for r in dets} >= {"EMAIL_ADDRESS"}
+
+
+def test_quoted_header_names_survive_unpivot(spark, tmp_path):
+    """Headers containing ' or ` are legitimate CSV — the stack() SQL must
+    escape them instead of crashing the job."""
+    src = str(tmp_path / "q.csv")
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["employee's email", "back`tick", "plain"])
+        w.writerow(["bob.smith@ex.com", "x", "y"])
+    out = redact_csv(read_csv(spark, src))
+    red = out["redacted"].collect()[0]
+    assert "bob.smith@ex.com" not in red["employee's email"]
+    dets = out["detections"].collect()
+    assert any(
+        r["col_name"] == "employee's email"
+        and r["entity_type"] == "EMAIL_ADDRESS"
+        for r in dets
+    )
+
+
+def test_detections_json_rows_are_input_indices(spark, tmp_path):
+    """detections_to_json(source=...) exports the 0-based input row index
+    as 'row' (reference formatter.py shape) — never the partition-encoded
+    raw __row_id — even when the scan splits into several partitions."""
+    import json as _json
+
+    src = str(tmp_path / "rows.csv")
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["seq", "contact"])
+        for i in range(40):
+            w.writerow([str(i), f"user{i}@ex.com"])
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+    try:
+        df = read_csv(spark, src)
+        out = redact_csv(df, cache=True)
+        lines = detections_to_json(out["detections"], source=df).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    recs = [_json.loads(r["json"]) for r in lines]
+    email_rows = sorted(
+        r["row"] for r in recs if r["entity_type"] == "EMAIL_ADDRESS"
+    )
+    assert email_rows == list(range(40))
+    assert all("__row_id" not in r for r in recs)

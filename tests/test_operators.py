@@ -1102,3 +1102,51 @@ def test_layout_round_matches_spark_round():
     # ...and plan_row's conf text takes the HALF_UP side
     row = LAY.plan_row("some sample text here", 0, 10, "EMAIL_ADDRESS", 0.625)
     assert row["conf_text"] == "conf: 0.63"
+
+
+def test_streaming_quality_prob_and_boilerplate_contract(
+    spark, pages_small, tmp_path
+):
+    """stream_pipeline honors the same PipelineConfig column contract as
+    batch: quality_classifier adds quality_prob to the streamed output, and
+    strip_boilerplate (a corpus-level batch pass with no streaming
+    equivalent) refuses loudly instead of silently no-opping."""
+    import os
+
+    from pii_detection_redaction_spark.plans.pipeline import PipelineConfig
+    from pii_detection_redaction_spark.streaming.pipeline import stream_pipeline
+
+    src_dir = tmp_path / "pages_in_q"
+    src_dir.mkdir()
+    os.symlink(pages_small, src_dir / "part-0.parquet")
+
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_pipeline(
+            spark,
+            str(src_dir),
+            str(tmp_path / "never"),
+            str(tmp_path / "never_ckpt"),
+            PipelineConfig(num_buckets=8, groups=1, strip_boilerplate=True),
+        )
+
+    out = str(tmp_path / "stream_q_out")
+    q = stream_pipeline(
+        spark,
+        str(src_dir),
+        out,
+        str(tmp_path / "q_ckpt"),
+        PipelineConfig(num_buckets=8, groups=1, quality_classifier=True),
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert "quality_prob" in got.columns
+    # batch==stream on the annotation (identical fused UDF, one spec)
+    from pii_detection_redaction_spark.plans.pipeline import transform_pages
+
+    batch = transform_pages(
+        spark.read.parquet(pages_small),
+        PipelineConfig(num_buckets=8, groups=1, quality_classifier=True),
+    )
+    want = {r["url"]: r["quality_prob"] for r in batch.select("url", "quality_prob").collect()}
+    stream_vals = {r["url"]: r["quality_prob"] for r in got.select("url", "quality_prob").collect()}
+    assert stream_vals == want and len(stream_vals) == 500

@@ -182,3 +182,41 @@ def test_cap_per_host_under_cap_rows_avoid_the_window(spark):
     # Spark pushes the rank<=cap filter into a partial WindowGroupLimit:
     # even head rows prune to <=cap per map partition BEFORE shuffling
     assert "WindowGroupLimit" in plan and ", Partial" in plan
+
+
+def test_host_extraction_spec_corners(spark):
+    """Host = lowercased authority, stopping at '/', '?', or '#', any-case
+    scheme — a blocked host must not evade its blocklist/cap via a query
+    string directly after the authority or scheme-case games."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.operators.web import (
+        filter_blocked_hosts_literal,
+        host_col,
+    )
+
+    urls = [
+        "http://blocked.com?x=1",      # query, no path slash
+        "http://blocked.com#frag",     # fragment, no path slash
+        "HTTP://blocked.com/page",     # scheme case
+        "https://Blocked.COM/page",    # authority case
+        "https+x.y://blocked.com/p",   # RFC-3986 scheme chars
+        "http://fine.org/ok?x=1",
+        "no-scheme-at-all",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = dict(
+        df.select("url", host_col().alias("h")).collect()
+    )
+    assert got["http://blocked.com?x=1"] == "blocked.com"
+    assert got["http://blocked.com#frag"] == "blocked.com"
+    assert got["HTTP://blocked.com/page"] == "blocked.com"
+    assert got["https://Blocked.COM/page"] == "blocked.com"
+    assert got["https+x.y://blocked.com/p"] == "blocked.com"
+    assert got["http://fine.org/ok?x=1"] == "fine.org"
+    assert got["no-scheme-at-all"] == ""
+    survivors = {
+        r["url"]
+        for r in filter_blocked_hosts_literal(df, ["blocked.com"]).collect()
+    }
+    assert survivors == {"http://fine.org/ok?x=1", "no-scheme-at-all"}
