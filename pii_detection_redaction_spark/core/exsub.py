@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterable, List, Tuple
 
+from .casefold import simple_lower
 
 EXSUB_K = 20  # window length in tokens (paper uses 50; corpus docs are short)
 
@@ -37,7 +38,12 @@ def token_spans(text: str) -> List[Tuple[str, int, int]]:
     """(lowercased token, char start, char end) — spans index the ORIGINAL
     text; lowercasing makes window keys case-insensitive (the repo's
     tokenize convention)."""
-    return [(m.group(0).lower(), m.start(), m.end()) for m in _tok_re.finditer(text)]
+    # simple_lower (one-char İ rule, core.casefold); İ→i is length-preserving
+    # so the spans still index the ORIGINAL text.
+    return [
+        (simple_lower(m.group(0)), m.start(), m.end())
+        for m in _tok_re.finditer(text)
+    ]
 
 
 _ROLL_B = 0x100000001B3  # FNV-ish odd multiplier; invertible mod 2^64

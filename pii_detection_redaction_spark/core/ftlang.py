@@ -42,6 +42,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from .casefold import simple_lower
 from .langprofiles import CHAR_BASED_LANGS, CONTENT_WORDS, LANGS, STOPWORDS
 
 NGRAM_SIZES = (2, 3)
@@ -98,7 +99,7 @@ def bucket_counts(text: str, sizes: Tuple[int, ...] = NGRAM_SIZES) -> Counter:
     """Hashed n-gram bag of one document (lowercased, spaces included —
     spaces at gram edges encode word boundaries, fastText-style)."""
     out: Counter = Counter()
-    t = text.lower()
+    t = simple_lower(text)  # one-char İ rule (core.casefold)
     n_chars = len(t)
     for n in sizes:
         for i in range(n_chars - n + 1):

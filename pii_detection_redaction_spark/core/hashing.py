@@ -17,6 +17,8 @@ import hashlib
 import re
 from typing import List, Sequence
 
+from .casefold import simple_lower
+
 U64 = (1 << 64) - 1
 SEP = "\x1f"  # unit separator joins seed/token pieces, same literal in SQL
 
@@ -36,7 +38,9 @@ _word_re = re.compile(r"\S+")
 
 
 def tokenize(text: str) -> List[str]:
-    return _word_re.findall(text.lower())
+    # simple_lower, not str.lower: the DuckDB replay is lower-then-tokenize,
+    # and the engines' lower()s disagree on İ (core.casefold).
+    return _word_re.findall(simple_lower(text))
 
 
 def shingles(text: str, k: int = 3) -> List[str]:

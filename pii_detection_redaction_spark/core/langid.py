@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .casefold import I_DOT, simple_lower
 from .langprofiles import CHARSETS, STOPWORDS
 
 CJK_THRESHOLD = 0.30
@@ -70,10 +71,17 @@ _charset_res = {lang: re.compile(p) for lang, p in CHARSET_PATTERNS.items() if p
 # strings (asserted below), every Python-re match starts and ends on the
 # edges of a maximal ``\w+`` run, so matches are exactly the tokens equal to
 # some wi. The ONE deliberate divergence from a literal ``(?i)`` regex
-# reading: case matching is ``str.lower()`` (simple lowercase), not Unicode
-# case folding — ``(?i)`` engines disagree among themselves on fold-only
-# characters (Python re folds both ı→i and ſ→s, RE2 only ſ→s, lower()
-# neither), so the spec pins the one behavior every engine can reproduce.
+# reading: case matching is ``casefold.simple_lower`` (one-char simple
+# lowercase: İ pinned to plain i, everything else ``str.lower()``), not
+# Unicode case folding — ``(?i)`` engines disagree among themselves on
+# fold-only characters (Python re folds both ı→i and ſ→s, RE2 only ſ→s,
+# lower() neither), and the engines' OWN lower()s disagree on U+0130
+# (Python/Java expand İ→i+U+0307, DuckDB maps to i — see ``core.casefold``),
+# so the spec pins the one behavior every engine can reproduce.
+# Tokens from ``_WORD_RE.findall`` can never contain U+0307 (not ``\w``, so
+# a literal combining dot splits tokens identically in every engine);
+# pre-translating İ→i before tokenization is therefore exactly DuckDB's
+# lower-then-tokenize and leaves every İ-free text untouched.
 # One tokenization pass replaces 7 alternation scans — measured 6.5x faster
 # on the corpus, which matters because langid is ~35% of the pipeline's
 # fused-UDF wall time. Token-vs-regex equality on the simple-fold
@@ -84,7 +92,8 @@ for _lang in _SCORED_LANGS:
         assert re.fullmatch(r"\w+", _w), f"non-word-char stopword {_w!r}"
 _WORD_RE = re.compile(r"\w+")
 STOPWORD_SETS: Dict[str, frozenset] = {
-    lang: frozenset(w.lower() for w in STOPWORDS[lang]) for lang in _SCORED_LANGS
+    lang: frozenset(simple_lower(w) for w in STOPWORDS[lang])
+    for lang in _SCORED_LANGS
 }
 # word -> tuple of language INDICES it belongs to (set semantics: a word
 # listed twice in one language still matches each token once in the regex;
@@ -102,6 +111,8 @@ def stopword_hit_rows(text: str) -> List[int]:
 
     acc = [0] * len(_SCORED_LANGS)
     get = _WORD_LANG_IDX.get
+    if I_DOT in text:  # one-char İ rule (core.casefold) — free for İ-free text
+        text = text.replace(I_DOT, "i")
     for tok, c in Counter(map(str.lower, _WORD_RE.findall(text))).items():
         row = get(tok)
         if row is not None:

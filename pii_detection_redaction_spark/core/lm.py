@@ -27,6 +27,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from .casefold import simple_lower
 from .langprofiles import CHAR_BASED_LANGS, CONTENT_WORDS, LANGS, STOPWORDS
 
 SEED = 42
@@ -227,7 +228,7 @@ class CharTrigramLM:
             pos = 0
 
         for i, text in enumerate(texts):
-            t = " ".join(text.lower().split())
+            t = " ".join(simple_lower(text).split())
             if len(t) < 3:
                 out[i] = (
                     float("inf") if not t else float(np.exp(-np.log(FLOOR)))
@@ -243,7 +244,7 @@ class CharTrigramLM:
         return out
 
     def perplexity(self, text: str) -> float:
-        t = " ".join(text.lower().split())
+        t = " ".join(simple_lower(text).split())
         if len(t) < 3:
             return float("inf") if not t else float(np.exp(-np.log(FLOOR)))
         c = _encode(t)

@@ -46,6 +46,7 @@ containment rules) are OUR documented spec, frozen by fixtures:
 from __future__ import annotations
 
 import re
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
@@ -699,7 +700,13 @@ def default_bank() -> List[RecognizerSpec]:
 
 
 _DEFAULT_BANK: Optional[List[RecognizerSpec]] = None
-_COMPILED: Dict[int, tuple] = {}  # id(bank) -> (bank ref, flattened form)
+# id(bank) -> (bank ref, flattened form). Bounded LRU: the strong bank ref
+# (needed to defeat id() reuse) would otherwise make every custom bank ever
+# passed immortal — a caller constructing transient per-request banks would
+# leak both the banks and their compiled pattern tables for the process
+# lifetime. The default bank is never evicted.
+_COMPILED: "OrderedDict[int, tuple]" = OrderedDict()
+_COMPILED_MAX = 8
 
 
 def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
@@ -725,6 +732,7 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
     key = id(bank)
     hit = _COMPILED.get(key)
     if hit is not None and hit[0] is bank:
+        _COMPILED.move_to_end(key)
         return hit[1]
     flat = []
     for spec in bank:
@@ -744,6 +752,14 @@ def _get_compiled(bank: Optional[Sequence[RecognizerSpec]]):
                      spec.validator, spec.entity_type in _TRIMMED_TYPES,
                      pats))
     _COMPILED[key] = (bank, flat)
+    while len(_COMPILED) > _COMPILED_MAX:
+        stale = next(
+            (k for k, v in _COMPILED.items() if v[0] is not _DEFAULT_BANK),
+            None,
+        )
+        if stale is None:
+            break
+        del _COMPILED[stale]
     return flat
 
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
+from .casefold import simple_lower
+
 # step 1: fragment
 FRAGMENT_RE = r"#.*$"
 # step 2: tracking params — anchored to a real separator so e.g. a value
@@ -74,6 +76,6 @@ def canonicalize_url(url: str) -> str:
     u = re.sub(TRAILING_SEP_RE, "", u)
     m = re.match(AUTHORITY_RE, u)
     if m:
-        auth = re.sub(DEFAULT_PORT_RE, "", m.group(0).lower())
+        auth = re.sub(DEFAULT_PORT_RE, "", simple_lower(m.group(0)))
         u = auth + u[m.end():]
     return re.sub(TRAILING_SLASH_RE, "", u)

@@ -254,6 +254,30 @@ def make_ftlang_udf(spark=None):
     return ftlang_udf
 
 
+def _validated_quality_matrix(W, param: str) -> np.ndarray:
+    """Fail at FACTORY time (driver, clear message) instead of deep inside
+    ``predict_quality_many`` on an executor: a langid matrix
+    ``(N_BUCKETS, n_langs)``, a transposed array, or an integer count
+    matrix all reach that code path otherwise — erroring late or, worse,
+    silently mis-scoring if broadcasting happens to line up."""
+    from ..core.ftlang import N_BUCKETS
+
+    W = np.asarray(W)
+    if W.shape != (N_BUCKETS, 2):
+        raise ValueError(
+            f"{param} must be the (N_BUCKETS, 2) = ({N_BUCKETS}, 2) quality "
+            f"log-likelihood matrix (operators.train.train_quality_classifier "
+            f"/ ftquality.train_model), got shape {W.shape}"
+        )
+    if not np.issubdtype(W.dtype, np.floating):
+        raise ValueError(
+            f"{param} must be a float log-likelihood matrix, got dtype "
+            f"{W.dtype} (did you pass raw integer counts instead of "
+            f"nb_loglik output?)"
+        )
+    return W
+
+
 def make_ftquality_udf(spark=None, W=None):
     """fastText-architecture quality classifier (``core.ftquality``): same
     broadcast-once / Arrow-batched shape as ``make_ftlang_udf``; scoring
@@ -268,7 +292,7 @@ def make_ftquality_udf(spark=None, W=None):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-    model = _ftq.model() if W is None else W
+    model = _ftq.model() if W is None else _validated_quality_matrix(W, "W")
     bc = spark.sparkContext.broadcast(model) if spark else None
     # the closure must NOT capture the matrix when a broadcast exists —
     # cloudpickle would ship the ~2 MB ndarray inside the UDF command and
@@ -400,7 +424,11 @@ def make_quality_scrub_udf(
 
         from ..core import ftquality as _ftq
 
-        W = quality_model if quality_model is not None else _ftq.model()
+        W = (
+            _validated_quality_matrix(quality_model, "quality_model")
+            if quality_model is not None
+            else _ftq.model()
+        )
         sess = SparkSession.getActiveSession()
         if sess is not None:
             qprob_bc = sess.sparkContext.broadcast(W)

@@ -25,13 +25,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core import casefold as CF
 from ..core import decontam as C
 
 
 def tokens_col(text_col: Column) -> Column:
-    """Lowercased alphanumeric word tokens (spec tokenization)."""
+    """Lowercased alphanumeric word tokens (spec tokenization). translate
+    İ→i before lower: JVM lower expands U+0130 to i+U+0307 (which this
+    ASCII split would cut at) while DuckDB lowers it to plain i — the
+    one-char rule of ``core.casefold`` keeps all three engines' tokens
+    identical."""
     return F.filter(
-        F.split(F.lower(text_col), C.TOKEN_SPLIT_RE), lambda x: x != ""
+        F.split(F.lower(F.translate(text_col, CF.I_DOT, "i")), C.TOKEN_SPLIT_RE),
+        lambda x: x != "",
     )
 
 

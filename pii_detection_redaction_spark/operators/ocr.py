@@ -118,6 +118,53 @@ def _grid_box(cs: Column, ce: Column) -> dict:
             "height": F.lit(O.OCR_LINE_PX)}
 
 
+def make_image_ocr_detect_udf():
+    """The fused kernel over REAL image bytes: binary (BMP / P6 PPM) →
+    struct(ocr_text, words, detections). Same single-Arrow-crossing shape
+    as ``make_ocr_detect_udf``; the kernel body is ``core.imagecodec.
+    ocr_from_image`` (pure-Python pixel decode + glyph classification on
+    the declared grid) instead of the text stand-in, closing the decode
+    seam for the formats this environment can honestly decode. Everything
+    downstream (``image_redaction_boxes``) is shared and unchanged."""
+    from ..core.chunker import analyze_long_text
+    from ..core.imagecodec import ocr_from_image
+
+    fields = list(OCR_TYPE.fields) + [
+        T.StructField(
+            "detections",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("entity_type", T.StringType()),
+                        T.StructField("start", T.IntegerType()),
+                        T.StructField("end", T.IntegerType()),
+                        T.StructField("score", T.DoubleType()),
+                    ]
+                )
+            ),
+        )
+    ]
+
+    @pandas_udf(T.StructType(fields))
+    def image_ocr_detect_udf(images: pd.Series) -> pd.DataFrame:
+        ocr_texts, words, dets = [], [], []
+        for data in images:
+            ot, ws = ocr_from_image(bytes(data)) if data is not None else ("", [])
+            ocr_texts.append(ot)
+            words.append(ws)
+            dets.append(
+                [
+                    (d.entity_type, d.start, d.end, d.score)
+                    for d in (analyze_long_text(ot) if ot else [])
+                ]
+            )
+        return pd.DataFrame(
+            {"ocr_text": ocr_texts, "words": words, "detections": dets}
+        )
+
+    return image_ocr_detect_udf
+
+
 def image_redaction_boxes(
     d: DataFrame,
     id_col: str = "url",

@@ -84,6 +84,28 @@ def cosine_sim_col(a, b):
     return _cosine_from(_dot(a, b), _norm(a), _norm(b))
 
 
+# Loud-failure bounds on the quadratic arms. These are correctness
+# baselines, not scale paths: past the bound the caller almost certainly
+# reached for the wrong operator, and the job would run for hours (or OOM a
+# driver-broadcast) before anyone noticed. Overridable per call (None
+# disables — e.g. a deliberately oversized offline verification run).
+PAIRS_MAX_ROWS = 100_000     # n² candidate pairs: 100k rows ≈ 5e9 pairs
+TOPK_MAX_QUERIES = 10_000    # broadcast side of the O(n·q) cross join
+
+
+def _guard_rows(df: DataFrame, bound, what: str, use_instead: str) -> None:
+    """limit(bound+1).count() — stops scanning at the bound instead of
+    counting the full table just to reject it."""
+    if bound is None:
+        return
+    if df.limit(bound + 1).count() > bound:
+        raise ValueError(
+            f"{what} exceeds {bound} rows — this is the quadratic "
+            f"correctness baseline, not the scale path; use {use_instead} "
+            f"(or pass the bound parameter explicitly, None to disable)"
+        )
+
+
 def cosine_topk_bruteforce(
     items: DataFrame,
     queries: DataFrame,
@@ -91,10 +113,17 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: Optional[int] = TOPK_MAX_QUERIES,
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be small (broadcast).
-    Norms are computed once per ROW before the join (not once per pair —
-    bit-identical doubles, a third of the FLOPs on the O(n x q) hot path)."""
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast;
+    ``max_queries`` guards the O(n·q) blowup — ``items`` may be any size,
+    the scan stays linear and distributed). Norms are computed once per ROW
+    before the join (not once per pair — bit-identical doubles, a third of
+    the FLOPs on the O(n x q) hot path)."""
+    _guard_rows(
+        queries, max_queries, "cosine_topk_bruteforce queries side",
+        "cosine_topk_ivf / cosine_topk_lsh",
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -139,11 +168,15 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: Optional[int] = PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: all (id_a < id_b) with rounded cosine
-    >= threshold. O(n²) self-join — the correctness baseline; use
+    >= threshold. O(n²) self-join — the correctness baseline, guarded by
+    ``max_rows`` (fails loudly instead of launching a quadratic job); use
     ``cosine_near_dup_lsh`` at scale. Threshold compares the 6dp-rounded
     cosine so the decision is engine-stable (matches the DuckDB oracle)."""
+    _guard_rows(items, max_rows, "cosine_near_dup_pairs input",
+                "cosine_near_dup_lsh")
     a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
                      _norm(F.col(vec_col)).alias("__na"))
     b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),

@@ -131,6 +131,18 @@ def train_quality_classifier(
             f"no usable training rows: column {label_col!r} must cast to "
             f"int 0 (junk) / 1 (good) and {text_col!r} must be non-empty"
         )
+    per_class = counts.sum(axis=0)
+    if (per_class == 0).any():
+        # one-class input: the absent class's column would be pure Laplace
+        # smoothing, so the saved artifact scores essentially every document
+        # toward the seen class with no signal behind it. Fail loudly — a
+        # real labeling job always has both classes.
+        missing = [name for name, tot in zip(("0", "1"), per_class) if tot == 0]
+        raise ValueError(
+            f"single-class training input: class(es) {missing} contributed "
+            f"zero n-gram counts (per-class totals {per_class.tolist()}); "
+            "provide labeled examples of both 0 (junk) and 1 (good)"
+        )
     return nb_loglik(counts)
 
 

@@ -404,7 +404,11 @@ def _langid_sql() -> str:
     The previous ``(?i)`` regex replay diverged from the token path on
     Unicode case-fold-only characters (RE2 simple-folds ſ→s; neither
     engine's ``lower`` does), so the fold behavior is now pinned to
-    ``lower()`` in every engine."""
+    ``lower()`` in every engine — with the one place the engines' OWN
+    lower()s disagree, U+0130 İ (Python/JVM expand to i+U+0307, DuckDB
+    maps to plain i), pinned to DuckDB's one-char mapping by the İ→i
+    pre-translate in ``core.casefold``; this SQL needs no change because
+    DuckDB's ``lower`` IS the one-char mapping."""
     langs = list(LID._SCORED_LANGS)
     count_cols = [f"len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace"]
     for lg, pat, _thr in LID.SCRIPT_OVERRIDES:

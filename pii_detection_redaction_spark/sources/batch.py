@@ -80,6 +80,7 @@ def batch_redact(
     save_json: bool = True,
     zip_name: str = "redacted_bundle.zip",
     multiline: bool = False,
+    max_export_rows: Optional[int] = 1_000_000,
 ) -> Dict:
     """Redact every ``*.csv`` and ``*.txt`` under ``input_dir``; returns the
     manifest dict (also written as ``manifest.json`` and zipped).
@@ -88,7 +89,15 @@ def batch_redact(
     ``{stem}_redacted.csv`` / ``{stem}_redacted.txt`` and (``save_json``)
     ``{stem}_detections.json``. The zip holds all artifacts + the manifest;
     per-file summaries are the reference's ``summarize_detections`` shape
-    (total_detections / affected_cells / by_entity_type)."""
+    (total_detections / affected_cells / by_entity_type).
+
+    Driver-memory contract: the TXT pass streams one file at a time
+    (``toLocalIterator`` — resident driver state is the largest single
+    file, not the batch), and the per-CSV row-order map and detections
+    list are bounded by ``max_export_rows`` PER FILE — past it the job
+    fails loudly (this sink is the operator-sized download surface; a
+    bigger extract belongs on the corpus-scale directory/snapshot sinks).
+    ``None`` disables the bound."""
     os.makedirs(output_dir, exist_ok=True)
     csv_files = sorted(glob.glob(os.path.join(input_dir, "*.csv")))
     txt_files = sorted(glob.glob(os.path.join(input_dir, "*.txt")))
@@ -143,12 +152,25 @@ def batch_redact(
         red_path = os.path.join(output_dir, red_name)
         _single_csv(out["redacted"], red_path, delimiter, header)
         artifacts.append(red_path)
+        if max_export_rows is not None:
+            # detect pass is cached — these counts materialize it once,
+            # the collects below read the cache
+            n_rows = df.limit(max_export_rows + 1).count()
+            n_det = out["detections"].limit(max_export_rows + 1).count()
+            if max(n_rows, n_det) > max_export_rows:
+                raise ValueError(
+                    f"{os.path.basename(path)}: "
+                    f"{'rows' if n_rows > max_export_rows else 'detections'}"
+                    f" exceed max_export_rows={max_export_rows} — batch_"
+                    f"redact is the operator-sized zip-download surface; "
+                    f"use run_csv_redact / the directory sinks for large "
+                    f"extracts, or pass max_export_rows=None"
+                )
         # 0-based input row numbers for the JSON (reference formatter.py
         # shape): __row_id is monotonically_increasing_id, whose VALUE
         # jumps by 2^33 at scan-partition boundaries — only its ORDER is
         # the row order. Rank it. The collect is one long per row of one
-        # file — fine for this zip-bundle surface (the reference's UI
-        # batch path, small files by contract).
+        # file — bounded by max_export_rows above.
         row_order = {
             rid: i
             for i, (rid,) in enumerate(
@@ -202,7 +224,10 @@ def batch_redact(
                 F.col("value").alias("text"),
             )
         )
-        for r in tdf.collect():  # one row per txt file — export-bounded
+        # toLocalIterator, not collect: one row per txt file, each holding
+        # the full text twice (raw + scrubbed) — streaming keeps resident
+        # driver memory at the largest single file instead of the batch
+        for r in tdf.toLocalIterator():
             # input_file_name() returns a percent-encoded URI
             # ('file:///.../my%20memo.txt'): parse + unquote so output names
             # and manifest keys carry the real filesystem name (matching the

@@ -160,17 +160,28 @@ def detections_to_json(
     2^33 at scan-partition boundaries — only its order is the row order, so
     the raw id must never leak into an artifact. The rank needs the FULL
     source row set (undetected rows still occupy indices), hence the
-    parameter; the global row_number sort is one narrow (id) column through
-    a single partition — fine for an export sink. Without ``source`` the
-    frame is serialized as-is (caller owns the columns)."""
+    parameter. ``row`` is PER FILE (window partitioned by ``__row_file``):
+    the reference CLI redacts one file at a time, so its ``row`` restarts
+    at 0 per input file (csv_redactor/cli.py:172-178); for a directory
+    input the export also carries ``file`` (the source path) — a per-file
+    index with the file identity dropped would locate nothing. Single-file
+    sources are byte-identical to the reference (no ``file`` field, same
+    indices; one window partition ≡ the old global sort). Without
+    ``source`` the frame is serialized as-is (caller owns the columns)."""
     if source is not None and ROW_ID in detections.columns:
-        order_cols = [c for c in (ROW_FILE, ROW_ID) if c in source.columns]
-        w = Window.orderBy(*order_cols)
-        rows = source.select(
-            F.col(ROW_ID), (F.row_number().over(w) - 1).alias("row")
-        )
+        if ROW_FILE in source.columns:
+            w = Window.partitionBy(ROW_FILE).orderBy(ROW_ID)
+            # one narrow distinct over the metadata column — export-time only
+            multi = source.select(ROW_FILE).distinct().limit(2).count() > 1
+        else:
+            w, multi = Window.orderBy(ROW_ID), False
+        sel = [F.col(ROW_ID), (F.row_number().over(w) - 1).alias("row")]
+        if multi:
+            sel.append(F.col(ROW_FILE).alias("file"))
+        rows = source.select(*sel)
         keep = [c for c in detections.columns if c not in (ROW_ID, ROW_FILE)]
-        detections = detections.join(rows, ROW_ID).select("row", *keep)
+        lead = ["file", "row"] if multi else ["row"]
+        detections = detections.join(rows, ROW_ID).select(*lead, *keep)
     return detections.select(
         F.to_json(F.struct(*[F.col(c) for c in detections.columns])).alias("json")
     )

@@ -184,3 +184,26 @@ def test_batch_redact_stem_collision_and_uri_names(spark, tmp_path):
     on_disk = json.loads((out / "manifest.json").read_text())
     assert on_disk == zipped
     assert on_disk["zip"] == manifest["zip"] == "redacted_bundle.zip"
+
+
+def test_batch_redact_export_row_cap_errors_cleanly(spark, tmp_path):
+    """A CSV over max_export_rows must fail loudly BEFORE the driver-side
+    row-order/detections collect (this sink is the operator-sized download
+    surface), with a pointer to the corpus-scale paths; the same input
+    passes with the cap lifted."""
+    import pytest
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    with open(src / "big.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["seq", "contact"])
+        for i in range(25):
+            w.writerow([str(i), f"user{i}@ex.com"])
+    with pytest.raises(ValueError, match="max_export_rows"):
+        batch_redact(spark, str(src), str(out), max_export_rows=10)
+    man = batch_redact(
+        spark, str(src), str(out / "ok"), max_export_rows=100
+    )
+    assert man["files"]["big.csv"]["total_detections"] == 25

@@ -1,0 +1,98 @@
+"""Cross-engine İ (U+0130) lowering — the one codepoint whose lowercase
+mapping changes string length (core.casefold). Python str.lower() and
+JVM lower() expand İ→i+U+0307; DuckDB maps it to plain i. Every
+lowercase-then-tokenize spec pre-translates İ→i so all three engines
+produce identical tokens/keys. These tests pin each engine PAIR on
+adversarial İ inputs (the driver corpora contain no İ, so the
+differential gate alone would never exercise this)."""
+
+import duckdb
+import pytest
+
+from pii_detection_redaction_spark.core import casefold as CF
+from pii_detection_redaction_spark.core import decontam as DC
+from pii_detection_redaction_spark.core import hashing as H
+from pii_detection_redaction_spark.core.urlnorm import canonicalize_url
+
+I_TEXTS = [
+    "dİe İst das İN the",
+    "altrİ beİ depoİs İ",
+    "İİ dİedİe dı̇e di̇e",  # doubled İ, dotless-i+dot, literal i+U+0307
+    "İ",
+    "plain ascii only",
+    "",
+]
+
+
+def test_simple_lower_equals_duckdb_lower():
+    con = duckdb.connect()
+    for t in I_TEXTS + ["ſ ı I İ i̇ Σς"]:
+        assert CF.simple_lower(t) == con.execute(
+            "SELECT lower(?)", [t]
+        ).fetchone()[0], repr(t)
+
+
+def test_simple_lower_is_the_only_length_change():
+    """İ is the only codepoint where lower() changes length — the premise
+    the whole rule rests on; re-verified so a Unicode-table bump in a
+    future Python can't silently invalidate it."""
+    changed = [c for c in map(chr, range(0x110000)) if len(c.lower()) != 1]
+    assert changed == [CF.I_DOT]
+
+
+def test_hashing_tokenize_matches_duckdb_words():
+    """core.hashing.tokenize (minhash/shingles/token_shards spec) ==
+    DuckDB's regexp_extract_all(lower(t), '\\S+') replay."""
+    con = duckdb.connect()
+    for t in I_TEXTS:
+        got = con.execute(
+            r"SELECT regexp_extract_all(lower(?), '\S+')", [t]
+        ).fetchone()[0]
+        assert H.tokenize(t) == got, repr(t)
+
+
+def test_decontam_tokens_three_engines(spark):
+    """JVM tokens_col == DuckDB string_split_regex replay on İ text."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.operators.decontam import tokens_col
+
+    df = spark.createDataFrame([(t,) for t in I_TEXTS], "text string")
+    jvm = [r.t for r in df.select(tokens_col(F.col("text")).alias("t")).collect()]
+    con = duckdb.connect()
+    for t, got in zip(I_TEXTS, jvm):
+        want = con.execute(
+            "SELECT list_filter(string_split_regex(lower(?), ?), x -> x <> '')",
+            [t, DC.TOKEN_SPLIT_RE],
+        ).fetchone()[0]
+        assert got == want, repr(t)
+
+
+def test_host_and_canonical_url_three_engines(spark):
+    """host_col / canonical_url_col (JVM) == Python urlnorm == DuckDB lower
+    on a host containing İ."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.operators.web import (
+        HOST_REGEX,
+        canonical_url_col,
+        host_col,
+    )
+
+    urls = [
+        "http://Wİkİ.example.com/Path",
+        "https://İ.example.org:443/x?utm_source=t",
+        "http://plain.example.net/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url", host_col().alias("h"), canonical_url_col().alias("c")
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        duck_host = con.execute(
+            "SELECT lower(regexp_extract(?, ?, 1))", [r.url, HOST_REGEX]
+        ).fetchone()[0]
+        assert r.h == duck_host, r.url
+        assert r.c == canonicalize_url(r.url), r.url
+        assert "̇" not in r.h and "̇" not in r.c

@@ -218,6 +218,7 @@ def test_token_stopword_path_equals_regex_spec(sf001_dir):
         "the's that's 'the' (and) [of]",
         "und7 7und 7und7 und",
         "あいtheう",  # kana adjacent to a stopword (\w boundary)
+        "dİe İst das İN the",  # İ: token fold (casefold İ→i) == (?i) regex
     ]
     for text in texts:
         rows = L.stopword_hit_rows(text)
@@ -309,6 +310,9 @@ def test_stopword_token_spec_cross_engine():
     toks = r"regexp_extract_all(lower(t), '[\p{L}\p{N}_]+')"
     samples = [
         "ıt ıs ın the box",          # dotless i: no engine may fold
+        "dİe İst das İN the",        # İ (U+0130): the one length-changing
+        "altrİ beİ depoİs sİn İl",   # lower(); pinned to DuckDB's one-char
+        "İ dİedİe ̇die di̇e",         # i̇ mapping via core.casefold İ→i
         "iſt das gut iſt",           # long s: RE2's (?i) used to fold this
         "müfür für dafür fürs",      # accent-adjacent boundaries
         "café étre être the",

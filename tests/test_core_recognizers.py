@@ -481,3 +481,26 @@ def test_compiled_bank_cache_guards_id_reuse():
     # analyze() through the custom bank sees B's patterns, not A's
     dets = R.analyze("alpha beta", bank=bank_b)
     assert [d.entity_type for d in dets] == ["ONLY_B"]
+
+
+def test_compiled_cache_bounded_lru_keeps_default():
+    """The strong bank ref in _COMPILED defeats id() reuse but must not
+    make every transient per-request bank immortal: the cache is a bounded
+    LRU that never evicts the default bank."""
+    from pii_detection_redaction_spark.core import recognizers as R
+
+    R.analyze("warm the default bank")  # ensure default is compiled+cached
+    default_key = next(
+        k for k, v in R._COMPILED.items() if v[0] is R._DEFAULT_BANK
+    )
+    for i in range(3 * R._COMPILED_MAX):
+        bank = [
+            R.RecognizerSpec(
+                entity_type=f"T{i}",
+                patterns=[R.PatternSpec("p", r"\bzz\b", 0.5)],
+            )
+        ]
+        R._get_compiled(bank)
+    assert len(R._COMPILED) <= R._COMPILED_MAX
+    assert default_key in R._COMPILED
+    assert R._COMPILED[default_key][0] is R._DEFAULT_BANK

@@ -166,3 +166,36 @@ def test_detections_json_rows_are_input_indices(spark, tmp_path):
     )
     assert email_rows == list(range(40))
     assert all("__row_id" not in r for r in recs)
+    # single-file export stays reference-shaped: no 'file' field
+    assert all("file" not in r for r in recs)
+
+
+def test_detections_json_directory_source_per_file_rows(spark, tmp_path):
+    """For a directory source the reference CLI processes one file at a
+    time, so 'row' restarts at 0 per input file; the export must carry the
+    source file path too, or the per-file index locates nothing."""
+    import json as _json
+
+    d = tmp_path / "many"
+    d.mkdir()
+    sizes = {"a.csv": 3, "b.csv": 5}
+    for name, n in sizes.items():
+        with open(d / name, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seq", "contact"])
+            for i in range(n):
+                w.writerow([str(i), f"{name.split('.')[0]}{i}@ex.com"])
+    df = read_csv(spark, str(d))
+    out = redact_csv(df, cache=True)
+    recs = [
+        _json.loads(r["json"])
+        for r in detections_to_json(out["detections"], source=df).collect()
+    ]
+    emails = [r for r in recs if r["entity_type"] == "EMAIL_ADDRESS"]
+    assert all("file" in r for r in emails)
+    by_file = {}
+    for r in emails:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(r["row"])
+    assert {k: sorted(v) for k, v in by_file.items()} == {
+        name: list(range(n)) for name, n in sizes.items()
+    }

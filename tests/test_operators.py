@@ -1150,3 +1150,27 @@ def test_streaming_quality_prob_and_boilerplate_contract(
     want = {r["url"]: r["quality_prob"] for r in batch.select("url", "quality_prob").collect()}
     stream_vals = {r["url"]: r["quality_prob"] for r in got.select("url", "quality_prob").collect()}
     assert stream_vals == want and len(stream_vals) == 500
+
+
+def test_quadratic_arms_guarded_by_row_bounds(spark):
+    """The O(n²) / O(n·q) correctness baselines must fail loudly above
+    their row bounds (with a pointer to the LSH/IVF scale path) instead of
+    launching a quadratic job; explicit bound=None disables."""
+    import pytest as _pytest
+
+    from pii_detection_redaction_spark.operators import similarity as SIM
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        SIM.cosine_near_dup_pairs(df, threshold=0.5, max_rows=5)
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="cosine_topk_ivf"):
+        SIM.cosine_topk_bruteforce(df, q, k=2, max_queries=5)
+    # at/under the bound and with bound disabled, both still run
+    assert SIM.cosine_near_dup_pairs(df, threshold=0.0, max_rows=8).count() > 0
+    assert (
+        SIM.cosine_near_dup_pairs(df.limit(3), threshold=0.0, max_rows=None)
+        .count() > 0
+    )
+    assert SIM.cosine_topk_bruteforce(df, q.limit(5), k=2, max_queries=5).count() > 0

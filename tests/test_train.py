@@ -30,6 +30,16 @@ def _quality_training_rows():
     return rows
 
 
+def _balanced_rows(n):
+    """First n//2 positives + first n-n//2 negatives — the full list puts
+    all 1600 positives first, so a bare head slice is single-class and the
+    trainer (correctly) refuses it."""
+    rows = _quality_training_rows()
+    pos = [r for r in rows if r[1] == 1]
+    neg = [r for r in rows if r[1] == 0]
+    return pos[: n // 2] + neg[: n - n // 2]
+
+
 def _langid_training_rows():
     rows = []
     for lang in ftlang.LANGS:
@@ -51,7 +61,7 @@ def test_quality_classifier_distributed_bitwise(spark):
 
 
 def test_quality_classifier_partition_invariant(spark):
-    rows = _quality_training_rows()[:300]
+    rows = _balanced_rows(300)
     one = T.train_quality_classifier(
         spark.createDataFrame(rows, "text string, label int").coalesce(1)
     )
@@ -62,7 +72,7 @@ def test_quality_classifier_partition_invariant(spark):
 
 
 def test_quality_classifier_ignores_null_and_empty(spark):
-    rows = _quality_training_rows()[:200]
+    rows = _balanced_rows(200)
     base = spark.createDataFrame(rows, "text string, label int")
     noisy = spark.createDataFrame(
         rows + [(None, 1), ("", 0), ("x", None)], "text string, label int"
@@ -75,7 +85,7 @@ def test_quality_classifier_ignores_null_and_empty(spark):
 def test_quality_classifier_nullable_float_labels(spark):
     """Nullable NUMERIC label columns reach pandas as float NaN, not None —
     those rows must be skipped, not counted as class 'nan'."""
-    rows = _quality_training_rows()[:100]
+    rows = _balanced_rows(100)
     base = spark.createDataFrame(rows, "text string, label int")
     floaty = spark.createDataFrame(
         [(t, float(y)) for t, y in rows] + [("noise text", None)],
@@ -95,6 +105,22 @@ def test_quality_classifier_unusable_labels_raise(spark):
     )
     with pytest.raises(ValueError, match="no usable training rows"):
         T.train_quality_classifier(df)
+
+
+def test_quality_classifier_single_class_raises(spark):
+    """Every-label-1 (or a 0 class whose texts are all empty) leaves one
+    count column pure Laplace smoothing — the artifact would score every
+    document toward the seen class with no signal. Must fail loudly."""
+    all_one = spark.createDataFrame(
+        [("some fine text", 1), ("more fine text", 1)], "text string, label int"
+    )
+    with pytest.raises(ValueError, match="single-class training input"):
+        T.train_quality_classifier(all_one)
+    empty_zero = spark.createDataFrame(
+        [("some fine text", 1), ("", 0), (None, 0)], "text string, label int"
+    )
+    with pytest.raises(ValueError, match="single-class training input"):
+        T.train_quality_classifier(empty_zero)
 
 
 def test_langid_classifier_distributed_bitwise(spark):
@@ -180,7 +206,7 @@ def test_char_lms_per_language_grouping(spark):
 
 
 def test_model_artifact_roundtrip(spark, tmp_path):
-    rows = _quality_training_rows()[:200]
+    rows = _balanced_rows(200)
     df = spark.createDataFrame(rows, "text string, label int")
     W = T.train_quality_classifier(df)
     qpath = str(tmp_path / "quality.npz")
@@ -214,7 +240,7 @@ def test_pipeline_scores_with_trained_artifact(spark, pages_small, tmp_path):
         transform_pages,
     )
 
-    rows = [(t, 1 - y) for t, y in _quality_training_rows()[:400]]
+    rows = [(t, 1 - y) for t, y in _balanced_rows(400)]
     W = T.train_quality_classifier(
         spark.createDataFrame(rows, "text string, label int")
     )
@@ -266,7 +292,7 @@ def test_custom_model_scores_through_udf(spark):
     from pii_detection_redaction_spark.functions.udfs import make_ftquality_udf
 
     df = spark.createDataFrame(
-        _quality_training_rows()[:300], "text string, label int"
+        _balanced_rows(300), "text string, label int"
     )
     W = T.train_quality_classifier(df)
     udf = make_ftquality_udf(spark, W=W)
@@ -278,3 +304,31 @@ def test_custom_model_scores_through_udf(spark):
     )
     want = [ftquality.predict_quality(t, W) for t in probes]
     assert [r["p"] for r in got] == want
+
+
+def test_quality_udf_factories_validate_matrix_shape(spark):
+    """make_ftquality_udf(W=...) / make_quality_scrub_udf(quality_model=...)
+    must reject wrong-shaped or integer matrices at FACTORY time (driver,
+    clear message) — a langid matrix, a transposed array, or raw counts
+    would otherwise fail deep inside predict_quality_many on an executor
+    (or silently mis-score)."""
+    from pii_detection_redaction_spark.core.ftlang import N_BUCKETS
+    from pii_detection_redaction_spark.functions.udfs import (
+        make_ftquality_udf,
+        make_quality_scrub_udf,
+    )
+
+    bad_shapes = [
+        np.zeros((N_BUCKETS, 7)),      # langid-shaped
+        np.zeros((2, N_BUCKETS)),      # transposed
+        np.zeros((N_BUCKETS,)),        # 1-D
+    ]
+    for W in bad_shapes:
+        with pytest.raises(ValueError, match="quality log-likelihood matrix"):
+            make_ftquality_udf(spark, W=W)
+        with pytest.raises(ValueError, match="quality log-likelihood matrix"):
+            make_quality_scrub_udf(quality_prob=True, quality_model=W)
+    with pytest.raises(ValueError, match="dtype"):
+        make_ftquality_udf(spark, W=np.zeros((N_BUCKETS, 2), dtype=np.int64))
+    # the real artifact still passes
+    make_ftquality_udf(spark, W=ftquality.model())
