@@ -134,13 +134,34 @@ def _decode_bmp(data: bytes) -> Tuple[int, int, bytes]:
 
 
 def _decode_ppm(data: bytes) -> Tuple[int, int, bytes]:
-    parts = data.split(None, 4)
-    if parts[0] != b"P6":
+    """Manual header scan, NOT ``split(None, 4)``: split with sep=None
+    strips leading whitespace from the remainder too, which would eat
+    raster bytes whose pixel VALUES happen to be ASCII whitespace
+    (9-13/32) at the start of the body — the spec is exactly ONE
+    whitespace byte after maxval, then raw raster."""
+    if data[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos] in b" \t\r\n\x0b\x0c":
+            pos += 1
+        if pos < len(data) and data[pos] == 0x23:  # '#' comment to EOL
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos] not in b" \t\r\n\x0b\x0c":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    w, h, maxval = vals
     if maxval != 255:
         raise ValueError("only maxval 255 PPM")
-    body = parts[4]
+    pos += 1  # the single whitespace byte terminating the header
+    body = data[pos : pos + 3 * w * h]
+    if len(body) < 3 * w * h:
+        raise ValueError("truncated PPM raster")
     px = bytes(body[i * 3] for i in range(w * h))
     return w, h, px
 
@@ -176,12 +197,11 @@ def ocr_from_image(data: bytes) -> Tuple[str, List[Tuple[str, int, int]]]:
             if bits == 0:
                 chars.append(" ")
             else:
-                ch = _DECODE.get(bits)
-                if ch is None:
-                    raise ValueError(
-                        f"unrecognized glyph pattern at line {line} col {col}"
-                    )
-                chars.append(ch)
+                # unknown pattern (bit-flipped pixel, foreign renderer)
+                # degrades to the declared replacement — one bad cell must
+                # not abort a whole Spark task+job the way a raise inside
+                # the pandas UDF would; real OCR mis-reads per glyph too
+                chars.append(_DECODE.get(bits, REPLACEMENT))
     ocr_text = "".join(chars).rstrip(" ")
     words: List[Tuple[str, int, int]] = []
     i, n = 0, len(ocr_text)

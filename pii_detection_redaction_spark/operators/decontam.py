@@ -34,7 +34,11 @@ def tokens_col(text_col: Column) -> Column:
     İ→i before lower: JVM lower expands U+0130 to i+U+0307 (which this
     ASCII split would cut at) while DuckDB lowers it to plain i — the
     one-char rule of ``core.casefold`` keeps all three engines' tokens
-    identical."""
+    identical. İ is the ONLY casefold pin this tokenizer needs: for the
+    spec's 70 identity-pinned late-Unicode capitals, both the char and
+    every engine's lowering of it are non-[a-z0-9] — a separator either
+    way, so token streams agree without the full ``simple_lower_col``
+    machinery."""
     return F.filter(
         F.split(F.lower(F.translate(text_col, CF.I_DOT, "i")), C.TOKEN_SPLIT_RE),
         lambda x: x != "",

@@ -93,12 +93,18 @@ PAIRS_MAX_ROWS = 100_000     # n² candidate pairs: 100k rows ≈ 5e9 pairs
 TOPK_MAX_QUERIES = 10_000    # broadcast side of the O(n·q) cross join
 
 
-def _guard_rows(df: DataFrame, bound, what: str, use_instead: str) -> None:
-    """limit(bound+1).count() — stops scanning at the bound instead of
-    counting the full table just to reject it."""
+def _guard_rows(
+    df: DataFrame, bound, what: str, use_instead: str, probe_col: str
+) -> None:
+    """EAGER probe (a deliberate exception to builder laziness): one
+    column-pruned ``limit(bound+1).count()`` job at construction time —
+    scanning stops at the bound and only ``probe_col`` is read, so the
+    cost is a sliver of the quadratic job being vetoed. Callers that need
+    pure-builder semantics (plan inspection, speculative construction)
+    pass the bound parameter as None and own the blast radius."""
     if bound is None:
         return
-    if df.limit(bound + 1).count() > bound:
+    if df.select(probe_col).limit(bound + 1).count() > bound:
         raise ValueError(
             f"{what} exceeds {bound} rows — this is the quadratic "
             f"correctness baseline, not the scale path; use {use_instead} "
@@ -122,7 +128,7 @@ def cosine_topk_bruteforce(
     the FLOPs on the O(n x q) hot path)."""
     _guard_rows(
         queries, max_queries, "cosine_topk_bruteforce queries side",
-        "cosine_topk_ivf / cosine_topk_lsh",
+        "cosine_topk_ivf / cosine_topk_lsh", query_id_col,
     )
     q = queries.select(
         F.col(query_id_col),
@@ -176,7 +182,7 @@ def cosine_near_dup_pairs(
     ``cosine_near_dup_lsh`` at scale. Threshold compares the 6dp-rounded
     cosine so the decision is engine-stable (matches the DuckDB oracle)."""
     _guard_rows(items, max_rows, "cosine_near_dup_pairs input",
-                "cosine_near_dup_lsh")
+                "cosine_near_dup_lsh", id_col)
     a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
                      _norm(F.col(vec_col)).alias("__na"))
     b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),

@@ -29,8 +29,8 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import casefold as CF
 from ..core import urlnorm as UN
+from ..functions.casefold import simple_lower_col
 
 # shared Spark (Java) / DuckDB (RE2) / Python re — ASCII classes, no
 # lookaround. Scheme per RFC 3986 (any case — 'HTTP://…' is a valid
@@ -45,12 +45,11 @@ def host_col(url_col: str = "url") -> Column:
     """Authority component of the URL, lowercased ('' when the URL has no
     scheme). Lowercasing is part of the host spec — host keys, blocklists,
     and caps must treat 'Blocked.COM' and 'blocked.com' as one host (the
-    DuckDB oracle fragments apply the same ``lower``). translate(İ→i) first:
-    JVM lower expands U+0130 to i+U+0307 while DuckDB maps it to plain i —
-    the one length-changing lowercase mapping (core.casefold)."""
-    return F.lower(
-        F.translate(F.regexp_extract(F.col(url_col), HOST_REGEX, 1), CF.I_DOT, "i")
-    )
+    DuckDB oracle fragments apply the same ``lower``). Lowering goes
+    through the cross-engine spec (core.casefold / functions.casefold):
+    the engines' own lower()s disagree on İ and 70 late-Unicode capitals,
+    either of which would let a blocked host evade its key."""
+    return simple_lower_col(F.regexp_extract(F.col(url_col), HOST_REGEX, 1))
 
 
 def filter_blocked_hosts(
@@ -86,11 +85,9 @@ def canonical_url_col(url_col: str = "url") -> Column:
     u = F.regexp_replace(u, UN.TRAILING_SEP_RE, "")
     auth = F.regexp_extract(u, f"({UN.AUTHORITY_RE})", 1)
     rest = F.regexp_replace(u, UN.AUTHORITY_RE, "")
-    # lower via the one-char İ rule (core.casefold; matches urlnorm's
-    # simple_lower and DuckDB's lower)
-    auth = F.regexp_replace(
-        F.lower(F.translate(auth, CF.I_DOT, "i")), UN.DEFAULT_PORT_RE, ""
-    )
+    # lower via the cross-engine one-char spec (matches urlnorm's
+    # simple_lower and DuckDB's lower on every codepoint)
+    auth = F.regexp_replace(simple_lower_col(auth), UN.DEFAULT_PORT_RE, "")
     return F.regexp_replace(F.concat(auth, rest), UN.TRAILING_SLASH_RE, "")
 
 

@@ -148,59 +148,66 @@ def batch_redact(
             cache=True,  # redacted + detections share the detect pass
             include_cell_value=True,
         )
-        red_name = _claim(f"{stem}_redacted.csv")
-        red_path = os.path.join(output_dir, red_name)
-        _single_csv(out["redacted"], red_path, delimiter, header)
-        artifacts.append(red_path)
-        if max_export_rows is not None:
-            # detect pass is cached — these counts materialize it once,
-            # the collects below read the cache
-            n_rows = df.limit(max_export_rows + 1).count()
-            n_det = out["detections"].limit(max_export_rows + 1).count()
-            if max(n_rows, n_det) > max_export_rows:
-                raise ValueError(
-                    f"{os.path.basename(path)}: "
-                    f"{'rows' if n_rows > max_export_rows else 'detections'}"
-                    f" exceed max_export_rows={max_export_rows} — batch_"
-                    f"redact is the operator-sized zip-download surface; "
-                    f"use run_csv_redact / the directory sinks for large "
-                    f"extracts, or pass max_export_rows=None"
+        try:
+            if max_export_rows is not None:
+                # BEFORE the expensive reassembly+write: the guard exists
+                # to veto the work, not to complain after it ran. The
+                # counts are the first action, so they also materialize
+                # the shared detect cache that everything below reads.
+                n_rows = df.limit(max_export_rows + 1).count()
+                n_det = out["detections"].limit(max_export_rows + 1).count()
+                if max(n_rows, n_det) > max_export_rows:
+                    raise ValueError(
+                        f"{os.path.basename(path)}: "
+                        f"{'rows' if n_rows > max_export_rows else 'detections'}"
+                        f" exceed max_export_rows={max_export_rows} — batch_"
+                        f"redact is the operator-sized zip-download surface; "
+                        f"use run_csv_redact / the directory sinks for large "
+                        f"extracts, or pass max_export_rows=None"
+                    )
+            red_name = _claim(f"{stem}_redacted.csv")
+            red_path = os.path.join(output_dir, red_name)
+            _single_csv(out["redacted"], red_path, delimiter, header)
+            artifacts.append(red_path)
+            # 0-based input row numbers for the JSON (reference
+            # formatter.py shape): __row_id is monotonically_increasing_id,
+            # whose VALUE jumps by 2^33 at scan-partition boundaries — only
+            # its ORDER is the row order. Rank it. The collect is one long
+            # per row of one file — bounded by max_export_rows above.
+            row_order = {
+                rid: i
+                for i, (rid,) in enumerate(
+                    df.select(ROW_ID).orderBy(ROW_ID).collect()
                 )
-        # 0-based input row numbers for the JSON (reference formatter.py
-        # shape): __row_id is monotonically_increasing_id, whose VALUE
-        # jumps by 2^33 at scan-partition boundaries — only its ORDER is
-        # the row order. Rank it. The collect is one long per row of one
-        # file — bounded by max_export_rows above.
-        row_order = {
-            rid: i
-            for i, (rid,) in enumerate(
-                df.select(ROW_ID).orderBy(ROW_ID).collect()
-            )
-        }
-        det_rows = [
-            {
-                "row": row_order[r[ROW_ID]],
-                "column": r["col_name"],
-                "entity_type": r["entity_type"],
-                "start": r["start"],
-                "end": r["end"],
-                "score": r["score"],
-                "value": r["value"],
-                "cell_value": r["cell_value"],
             }
-            for r in out["detections"].collect()
-        ]
-        if save_json:
-            jp = os.path.join(output_dir, _claim(f"{stem}_detections.json"))
-            with open(jp, "w", encoding="utf-8") as f:
-                f.write(_detections_json(det_rows))
-            artifacts.append(jp)
-        manifest["files"][os.path.basename(path)] = {
-            "kind": "csv", "output": red_name, **_summary(det_rows)
-        }
-        manifest["total_detections"] += len(det_rows)
-        if out["cached"] is not None:
-            out["cached"].unpersist()  # release before the next file's pass
+            det_rows = [
+                {
+                    "row": row_order[r[ROW_ID]],
+                    "column": r["col_name"],
+                    "entity_type": r["entity_type"],
+                    "start": r["start"],
+                    "end": r["end"],
+                    "score": r["score"],
+                    "value": r["value"],
+                    "cell_value": r["cell_value"],
+                }
+                for r in out["detections"].collect()
+            ]
+            if save_json:
+                jp = os.path.join(output_dir, _claim(f"{stem}_detections.json"))
+                with open(jp, "w", encoding="utf-8") as f:
+                    f.write(_detections_json(det_rows))
+                artifacts.append(jp)
+            manifest["files"][os.path.basename(path)] = {
+                "kind": "csv", "output": red_name, **_summary(det_rows)
+            }
+            manifest["total_detections"] += len(det_rows)
+        finally:
+            if out["cached"] is not None:
+                # release before the next file's pass — and on the raise
+                # path, or the persisted detect partitions would pin
+                # executor memory for the rest of the driver lifetime
+                out["cached"].unpersist()
 
     if txt_files:
         detect = make_detect_udf(entities=entities, min_score=min_score)

@@ -177,7 +177,18 @@ def detections_to_json(
             w, multi = Window.orderBy(ROW_ID), False
         sel = [F.col(ROW_ID), (F.row_number().over(w) - 1).alias("row")]
         if multi:
-            sel.append(F.col(ROW_FILE).alias("file"))
+            # _metadata.file_path is a percent-encoded file:// URI; export
+            # the real filesystem path (strip scheme, url_decode) so the
+            # field joins against input names / the batch manifest keys.
+            # Literal '+' pre-escapes to %2B: url_decode is form-decoding,
+            # which would otherwise read '+' as a space.
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.col(ROW_FILE), r"^file:(//)?", ""),
+                    r"\+", "%2B",
+                )
+            )
+            sel.append(decoded.alias("file"))
         rows = source.select(*sel)
         keep = [c for c in detections.columns if c not in (ROW_ID, ROW_FILE)]
         lead = ["file", "row"] if multi else ["row"]

@@ -18,6 +18,7 @@ differentially-gated math); ``pdf_redactor/redactor.py:75-151`` semantics,
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 import pandas as pd
@@ -93,20 +94,39 @@ def save_redacted_pdfs(
     a time (driver holds one file's bytes); returns the file count.
     ``max_files`` bounds this export surface the same way the zip sink is
     bounded — corpus-scale output belongs in parquet (the ``rendered``
-    frame itself writes as a binary column)."""
-    os.makedirs(out_dir, exist_ok=True)
+    frame itself writes as a binary column).
+
+    All-or-nothing on disk: files stage in a sibling ``.tmp-partial`` dir
+    and move into ``out_dir`` only after the full stream succeeds, so a
+    cap overflow (detected at file ``max_files``+1, before the remaining
+    render work) or any mid-stream failure leaves ``out_dir`` exactly as
+    it was — never a half-written export indistinguishable from a
+    complete one."""
+    tmp = out_dir.rstrip("/") + ".tmp-partial"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     n = 0
-    for row in rendered.select(id_col, "pdf").toLocalIterator():
-        if max_files is not None and n >= max_files:
-            raise ValueError(
-                f"save_redacted_pdfs passed {max_files} files — this is an "
-                f"operator-sized export; write the DataFrame as parquet for "
-                f"corpus-scale output, or pass max_files=None"
-            )
-        name = safe_filename(f"{row[id_col]}.pdf")
-        with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(row["pdf"])
-        n += 1
+    try:
+        for row in rendered.select(id_col, "pdf").toLocalIterator():
+            if max_files is not None and n >= max_files:
+                raise ValueError(
+                    f"save_redacted_pdfs passed {max_files} files — this is "
+                    f"an operator-sized export; write the DataFrame as "
+                    f"parquet for corpus-scale output, or pass "
+                    f"max_files=None"
+                )
+            name = safe_filename(f"{row[id_col]}.pdf")
+            with open(os.path.join(tmp, name), "wb") as f:
+                f.write(row["pdf"])
+            n += 1
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(tmp):
+        os.replace(os.path.join(tmp, name), os.path.join(out_dir, name))
+    shutil.rmtree(tmp)
     return n
 
 

@@ -24,20 +24,72 @@ I_TEXTS = [
 ]
 
 
+ALL_CPS = "".join(
+    chr(c) for c in range(1, 0x110000) if not (0xD800 <= c <= 0xDFFF)
+)
+
+
 def test_simple_lower_equals_duckdb_lower():
     con = duckdb.connect()
-    for t in I_TEXTS + ["ſ ı I İ i̇ Σς"]:
+    for t in I_TEXTS + ["ſ ı I İ i̇ Σς", "Ꟈield Ᲊa 𐕰b Ƛc"]:
         assert CF.simple_lower(t) == con.execute(
             "SELECT lower(?)", [t]
         ).fetchone()[0], repr(t)
 
 
+def test_simple_lower_equals_duckdb_on_full_domain():
+    """THE premise: simple_lower == DuckDB lower() for EVERY codepoint.
+    Exhaustive, one call per engine — this is what re-derives the PINNED
+    table, so a CPython or DuckDB Unicode-table bump that shifts the
+    divergence set fails here loudly instead of leaking into the
+    differential gates."""
+    con = duckdb.connect()
+    duck = con.execute("SELECT lower(?)", [ALL_CPS]).fetchone()[0]
+    assert CF.simple_lower(ALL_CPS) == duck
+    # the py-vs-duck divergence is covered by the pin table (İ + a subset
+    # of PINNED — the rest of PINNED is JVM-only divergence, Unicode-16
+    # capitals this CPython doesn't lower either; the JVM test pins those)
+    div = {c for c, d in zip(ALL_CPS, duck) if c.lower() != d}
+    pinned = {chr(cp) for cp in CF.PINNED}
+    assert CF.I_DOT in div
+    assert div - {CF.I_DOT} <= pinned
+    # every pinned char really is identity under DuckDB's lower
+    for cp in CF.PINNED:
+        assert duck[ALL_CPS.index(chr(cp))] == chr(cp)
+
+
 def test_simple_lower_is_the_only_length_change():
-    """İ is the only codepoint where lower() changes length — the premise
-    the whole rule rests on; re-verified so a Unicode-table bump in a
-    future Python can't silently invalidate it."""
+    """İ is the only codepoint where lower() changes length — the property
+    that makes one-char pinning sufficient for token-boundary agreement;
+    re-verified so a Unicode-table bump can't silently invalidate it."""
     changed = [c for c in map(chr, range(0x110000)) if len(c.lower()) != 1]
     assert changed == [CF.I_DOT]
+
+
+def test_jvm_simple_lower_col_equals_duckdb_on_full_domain(spark):
+    """The JVM arm (functions.casefold.simple_lower_col) matches DuckDB
+    lower() for EVERY codepoint too — Java's own lower() diverges on İ
+    plus all 70 pinned capitals (its tables are newer than both)."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.functions.casefold import (
+        simple_lower_col,
+    )
+
+    con = duckdb.connect()
+    # chunk so one row stays well under UTF8String limits
+    n = len(ALL_CPS)
+    chunks = [ALL_CPS[i : i + 200_000] for i in range(0, n, 200_000)]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chunks)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["l"]
+        for r in df.select("i", simple_lower_col(F.col("s")).alias("l")).collect()
+    }
+    for i, chunk in enumerate(chunks):
+        duck = con.execute("SELECT lower(?)", [chunk]).fetchone()[0]
+        assert got[i] == duck, f"chunk {i}"
 
 
 def test_hashing_tokenize_matches_duckdb_words():

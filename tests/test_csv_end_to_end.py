@@ -178,13 +178,16 @@ def test_detections_json_directory_source_per_file_rows(spark, tmp_path):
 
     d = tmp_path / "many"
     d.mkdir()
-    sizes = {"a.csv": 3, "b.csv": 5}
+    # names with a space and a '+' pin the file field to the DECODED
+    # filesystem path (the metadata column is a percent-encoded URI, and
+    # naive url_decode would read '+' as a space)
+    sizes = {"a report.csv": 3, "b+c.csv": 5}
     for name, n in sizes.items():
         with open(d / name, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["seq", "contact"])
             for i in range(n):
-                w.writerow([str(i), f"{name.split('.')[0]}{i}@ex.com"])
+                w.writerow([str(i), f"user{i}@ex.com"])
     df = read_csv(spark, str(d))
     out = redact_csv(df, cache=True)
     recs = [

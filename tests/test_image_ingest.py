@@ -90,3 +90,34 @@ def test_binary_path_boxes_equal_text_path(spark):
     b = sorted(map(tuple, via_text.collect()))
     assert a == b and len(a) > 0
     assert any(r[1] == "EMAIL_ADDRESS" for r in a)
+
+
+def test_ppm_whitespace_valued_leading_pixels_decode_exactly():
+    """The raster begins immediately after ONE whitespace byte following
+    maxval; pixels whose VALUES are ASCII whitespace (9-13/32) at the
+    body start must decode as pixels, not be eaten as header separators
+    (the bytes.split(None) trap)."""
+    body = bytes([10, 10, 10, 32, 32, 32, 9, 9, 9, 200, 200, 200])
+    data = b"P6\n2 2\n255\n" + body
+    w, h, px = IC.decode_image(data)
+    assert (w, h) == (2, 2)
+    assert list(px) == [10, 32, 9, 200]
+    # comments in the header parse too
+    data2 = b"P6\n# made by hand\n2 2\n255\n" + body
+    assert IC.decode_image(data2) == (2, 2, px)
+
+
+def test_corrupt_glyph_degrades_to_replacement_not_raise():
+    """One flipped pixel must cost one character ('?', ordinary OCR
+    lossiness), not abort the decode — inside the pandas UDF a raise
+    would fail the whole Spark job for every other valid image."""
+    data = bytearray(IC.render_page_bmp("hello world"))
+    # find the first dark glyph byte in the raster and flip it
+    off = 54
+    i = next(i for i in range(off, len(data)) if data[i] == 0)
+    data[i] = 255
+    ot, words = IC.ocr_from_image(bytes(data))
+    assert "?" in ot and ot != "hello world"
+    # exactly one cell degraded; everything else still reads back
+    assert len(ot) == len("hello world")
+    assert sum(a == b for a, b in zip(ot, "hello world")) == len(ot) - 1

@@ -120,3 +120,7 @@ def test_save_redacted_pdfs_streams_and_caps(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_files"):
         save_redacted_pdfs(rendered, str(tmp_path / "pdfs2"), max_files=1)
+    # all-or-nothing: the failed export leaves NOTHING behind — no
+    # half-written out_dir masquerading as a complete run, no temp dir
+    assert not (tmp_path / "pdfs2").exists()
+    assert not (tmp_path / "pdfs2.tmp-partial").exists()
