@@ -941,7 +941,10 @@ def propagate_repeated_names(
     extra: List[Detection] = []
     for m in pat.finditer(text):
         s, e = m.span()
-        if any(spans_overlap(s, e, ts, te) for ts, te in taken):
+        # inlined spans_overlap (s < te and ts < e): this loop runs per
+        # match x per taken span inside the Arrow UDF hot path, and the
+        # generator + call frame were ~8% of the detect stage (profiled)
+        if any(s < te and ts < e for ts, te in taken):
             continue
         extra.append(Detection("REPEATED_NAME", s, e, REPEATED_NAME_SCORE,
                                "repeated_name"))
