@@ -59,6 +59,7 @@ def _run_cc(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    prev_ckpt = labels  # previous round's checkpoint, released each round
 
     for rounds in range(1, max_iter + 1):
         # 1. propagate: candidate label = min(own, min over neighbors)
@@ -96,6 +97,13 @@ def _run_cc(
         ).localCheckpoint()
 
         changed = new.filter(F.col("label") != F.col("old")).limit(1).count()
+        # `new` is materialized (the count above) and no longer depends on
+        # the previous checkpoint — release it NOW. Waiting for GC/
+        # ContextCleaner lets block-manager storage grow O(rounds x |V|)
+        # on long convergences (each localCheckpoint stores a full copy).
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new
         labels = new.select("id", "label")
         if changed == 0:
             return labels.withColumnRenamed("label", "component"), rounds

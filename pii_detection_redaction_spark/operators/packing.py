@@ -51,10 +51,21 @@ def token_shards(
         F.md5(F.col(id_col).cast("string")).alias("__ticket"),
     ).withColumn("__bucket", F.substring("__ticket", 1, bucket_hex))
 
-    totals = {
-        r["__bucket"]: r["total"]
-        for r in d.groupBy("__bucket").agg(F.sum("__n").alias("total")).collect()
-    }
+    agg = d.groupBy("__bucket").agg(
+        F.sum("__n").alias("total"),
+        F.count(F.when(F.col("__n").isNull(), 1)).alias("nulls"),
+    ).collect()
+    bad = sum(r["nulls"] for r in agg)
+    if bad:
+        # a NULL token count would make its doc's start_offset/shard_id
+        # NULL silently (F.sum skips NULLs, so later docs still pack) —
+        # an unassigned document in a training export with no error.
+        # That is an upstream counting bug; fail the export loudly.
+        raise ValueError(
+            f"token_shards: {bad} row(s) have NULL {tokens_col} — every "
+            f"document must carry a token count before packing"
+        )
+    totals = {r["__bucket"]: r["total"] for r in agg}
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((b, acc))
@@ -72,7 +83,12 @@ def token_shards(
         d.join(F.broadcast(odf), "__bucket")
         .withColumn("start_offset", start)
         .withColumn(
-            "shard_id", F.floor(F.col("start_offset") / F.lit(shard_tokens))
+            # integer division (div), not floor(double /): start_offset is
+            # a long and at real corpus scale cumulative token totals pass
+            # 2^53, where the double round-trip can misplace a boundary
+            # doc by one shard. div is exact at any magnitude (and
+            # start_offset is never negative, so div == floor-div).
+            "shard_id", F.expr(f"start_offset div {int(shard_tokens)}")
         )
         .select(
             F.col(id_col),

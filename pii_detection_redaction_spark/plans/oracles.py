@@ -1886,7 +1886,7 @@ r AS (
 )
 SELECT doc_id, n_tokens,
        CAST(start_offset AS BIGINT) AS start_offset,
-       CAST(floor(start_offset / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+       CAST(start_offset // {SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM r ORDER BY doc_id
 """
 

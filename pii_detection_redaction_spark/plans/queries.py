@@ -208,15 +208,20 @@ def q_segment_setops(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
+    """Hourly event rollup VIA the streaming windowed operator
+    (streaming.windows.windowed_event_counts — one plan shape for batch
+    and streaming; a 1-hour tumbling window's start == date_trunc('hour'),
+    which is exactly what the DuckDB oracle re-derives independently).
+    Routing the catalog entry through the operator makes the operator
+    itself differentially gated, not merely self-compared against its own
+    batch output in the streaming test (CLAUDE.md catalog contract)."""
+    from ..streaming.windows import windowed_event_counts
+
     ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, ts_col="ts", window="1 hour")
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
-            .alias("hour"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+        out.withColumnRenamed("window_start", "hour")
+        .select("hour", "event_type", "n_events", "sum_value")
         .orderBy("hour", "event_type")
     )
 

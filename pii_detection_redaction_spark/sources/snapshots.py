@@ -161,6 +161,33 @@ class SnapshotStore:
                 f"snapshot {sid} already committed by a concurrent writer"
             )
         os.unlink(tmp)
+        if not checkpoint:
+            # The sid CAS alone serializes snapshot IDs, not GROUPS: two
+            # runs that both read committed_groups()={g} before either
+            # published would each commit g under a different sid, and
+            # readers would double-read/double-count the group silently.
+            # Post-link validation closes that window: every commit that
+            # happened-before our link has sid < ours and is visible now
+            # (manifests are immutable), so a duplicate group can always
+            # be detected by exactly one of the two racers — roll our
+            # manifest back and abort loudly. Checkpoint commits are
+            # exempt: re-listing every live group is their job.
+            prior = {
+                g
+                for s in self.live_snapshots()
+                if s.snapshot_id < sid
+                for g in s.group_ids
+            }
+            dup = sorted(set(group_ids) & prior)
+            if dup:
+                os.unlink(final)
+                raise RuntimeError(
+                    f"groups {dup} were committed concurrently by another "
+                    f"run on {self.root} — two pipelines are writing the "
+                    f"same store; this run's snapshot {sid} was rolled "
+                    f"back (its data/group dirs may have been overwritten "
+                    f"mid-write: re-run to reprocess)"
+                )
         # make the directory entry itself durable
         dfd = os.open(self.snap_dir, os.O_RDONLY)
         try:
@@ -243,5 +270,17 @@ class SnapshotStore:
             )
             if now - newest >= min_age_s:
                 shutil.rmtree(path)
+                removed.append(path)
+        # also sweep stranded commit temp files: a crash between mkstemp
+        # and the link/unlink pair leaves a *.tmp in _snapshots that no
+        # other path ever cleans (reads filter on manifest-*.json, so they
+        # are invisible — but every snapshots() listdir pays for them
+        # forever). Same age guard: an in-flight committer's tmp survives.
+        for name in sorted(os.listdir(self.snap_dir)):
+            if not name.endswith(".tmp"):
+                continue
+            path = os.path.join(self.snap_dir, name)
+            if now - os.path.getmtime(path) >= min_age_s:
+                os.unlink(path)
                 removed.append(path)
         return removed

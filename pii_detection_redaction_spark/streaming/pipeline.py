@@ -14,6 +14,7 @@ last checkpoint are processed exactly once).
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -34,6 +35,11 @@ def stream_pipeline(
 ):
     """Returns the started StreamingQuery; caller awaits termination."""
     cfg = cfg or PipelineConfig()
+    if cfg.quality_model is not None and not cfg.quality_classifier:
+        # normalize ONCE, exactly like run_pipeline (plans/pipeline.py): a
+        # supplied model implies the annotation — every later check keys on
+        # cfg.quality_classifier alone, so the implication has one spelling
+        cfg = replace(cfg, quality_classifier=True)
     if cfg.strip_boilerplate:
         # corpus-level hot-line derivation is a batch pass over the WHOLE
         # input — there is no streaming equivalent here (a per-micro-batch
@@ -51,13 +57,9 @@ def stream_pipeline(
         .load(pages_dir)
     )
     out_cols = OUTPUT_COLUMNS + (
-        # same column contract as the batch run_pipeline: a supplied
-        # quality_model implies the annotation (transform_pages normalizes
-        # the flag); dropping the computed column here would silently
-        # diverge the two sinks for one config
-        ["quality_prob"]
-        if (cfg.quality_classifier or cfg.quality_model is not None)
-        else []
+        # same column contract as the batch run_pipeline (cfg normalized
+        # above, so the one flag carries the whole implication)
+        ["quality_prob"] if cfg.quality_classifier else []
     )
     out = transform_pages(with_bucket(stream, cfg), cfg).select(*out_cols)
     writer = (

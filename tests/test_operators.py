@@ -1174,3 +1174,35 @@ def test_quadratic_arms_guarded_by_row_bounds(spark):
         .count() > 0
     )
     assert SIM.cosine_topk_bruteforce(df, q.limit(5), k=2, max_queries=5).count() > 0
+
+
+def test_token_shards_null_counts_fail_loudly(spark):
+    """NULL n_tokens would make its doc's shard NULL silently (F.sum skips
+    NULLs, later docs still pack) — an unassigned training document with
+    no error. The export must refuse instead."""
+    import pytest as _pytest
+
+    from pii_detection_redaction_spark.operators.packing import token_shards
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", None), ("c", 7)], "doc_id string, n_tokens int"
+    )
+    with _pytest.raises(ValueError, match="NULL n_tokens"):
+        token_shards(df).collect()
+
+
+def test_token_shards_integer_division_past_double_precision(spark):
+    """shard_id must be exact integer division: above 2^53 the double
+    round-trip (floor(long/int)) misplaces boundary docs by one shard —
+    exactly the regime of real corpus-scale token totals."""
+    from pii_detection_redaction_spark.operators.packing import token_shards
+
+    big = (1 << 53) + 1  # odd, not double-representable
+    df = spark.createDataFrame(
+        [("a", big), ("b", 5)], "doc_id string, n_tokens long"
+    )
+    rows = {r["doc_id"]: r for r in token_shards(df, shard_tokens=1).collect()}
+    # whichever doc packs second starts at the first doc's token count
+    second = rows["a"] if rows["a"]["start_offset"] else rows["b"]
+    assert second["start_offset"] in (big, 5)
+    assert second["shard_id"] == second["start_offset"]  # div 1 == identity

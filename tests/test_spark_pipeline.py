@@ -557,3 +557,53 @@ def test_remove_orphans_path_spelling_safe(tmp_path, monkeypatch):
     rel = SnapshotStore("store")
     assert rel.remove_orphans(min_age_s=0.0) == []
     assert os.path.isdir(store.group_path(0))
+
+
+def test_snapshot_commit_rejects_concurrently_committed_group(tmp_path):
+    """The sid CAS serializes snapshot IDS, not groups: two runs that both
+    read committed_groups()={} before either published would each commit
+    the same group under different sids — readers would then double-read
+    and double-count it silently. The post-link validation must roll the
+    later manifest back and abort loudly; checkpoint commits (which
+    legitimately re-list every live group) stay exempt."""
+    import pytest
+
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.commit([0], [store.group_path(0)], {"docs": 10})
+    # a second committer (same store dir, raced past the resume guard)
+    other = SnapshotStore(str(tmp_path / "store"))
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        other.commit([0], [store.group_path(0)], {"docs": 10})
+    # the duplicate manifest was rolled back: state is single-commit
+    assert [s.snapshot_id for s in store.snapshots()] == [1]
+    assert store.counters() == {"docs": 10}
+    # disjoint groups and checkpoint compaction still commit fine
+    other.commit([1], [store.group_path(1)], {"docs": 5})
+    ck = store.compact_manifests()
+    assert ck.checkpoint and sorted(ck.group_ids) == [0, 1]
+
+
+def test_remove_orphans_sweeps_stale_commit_tmp_files(tmp_path):
+    """A crash between mkstemp and link strands a *.tmp in _snapshots that
+    nothing else cleans; remove_orphans collects it under the same age
+    guard that protects in-flight writers."""
+    import os
+    import time
+
+    from pii_detection_redaction_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.commit([0], [store.group_path(0)], {"docs": 1})
+    stale = os.path.join(store.snap_dir, "stranded123.tmp")
+    fresh = os.path.join(store.snap_dir, "inflight456.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    removed = store.remove_orphans(min_age_s=3600)
+    assert stale in removed and not os.path.exists(stale)
+    assert os.path.exists(fresh)  # in-flight committer survives
+    assert [s.snapshot_id for s in store.snapshots()] == [1]
