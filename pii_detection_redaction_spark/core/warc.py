@@ -87,9 +87,14 @@ def write_warc(records: Iterable[bytes], path: str, per_record_gzip: bool = True
 
 def _decompress_if_gzip(data: bytes) -> bytes:
     if data[:2] == b"\x1f\x8b":
-        # concatenated members: gzip.GzipFile reads them all
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
-            return g.read()
+        # concatenated members: gzip.GzipFile reads them all. Corrupt
+        # members surface as WarcFormatError like every other malformation
+        # (the quarantine contract), not a raw gzip/EOF error.
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
+                return g.read()
+        except (gzip.BadGzipFile, EOFError, OSError) as e:
+            raise WarcFormatError(f"corrupt gzip container: {e}")
     return data
 
 
@@ -101,7 +106,24 @@ def _parse_headers(block: bytes, what: str, offset: int) -> List[Tuple[str, str]
         k, sep, v = line.partition(b":")
         if not sep:
             raise WarcFormatError(f"bad {what} header line at byte {offset}: {line!r}")
-        out.append((k.decode("ascii").strip().lower(), v.decode("utf-8").strip()))
+        try:
+            key = k.decode("ascii").strip().lower()
+        except UnicodeDecodeError:
+            raise WarcFormatError(
+                f"non-ASCII {what} header name at byte {offset}: {k!r}"
+            )
+        # WARC headers are UTF-8 per spec, but real Common Crawl HTTP
+        # headers routinely carry raw latin-1 bytes (Content-Disposition
+        # filenames, Server banners). utf-8 first (valid URIs stay exact),
+        # latin-1 fallback (decodes any byte sequence) — header VALUES
+        # never abort a record with a raw UnicodeDecodeError that callers
+        # filtering on WarcFormatError (the declared quarantine contract)
+        # would miss.
+        try:
+            val = v.decode("utf-8")
+        except UnicodeDecodeError:
+            val = v.decode("latin-1")
+        out.append((key, val.strip()))
     return out
 
 
@@ -130,6 +152,13 @@ def parse_warc(data: bytes) -> Iterator[WarcRecord]:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             raise WarcFormatError(f"missing/invalid Content-Length at byte {pos}")
+        if length < 0:
+            # a negative length would move block_end BEHIND the header and
+            # the loop would re-yield the same record forever (executor
+            # task hangs + row accumulation until OOM)
+            raise WarcFormatError(
+                f"negative Content-Length {length} at byte {pos}"
+            )
         block_start = head_end + 4
         block_end = block_start + length
         if block_end > n:

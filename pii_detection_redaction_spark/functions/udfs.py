@@ -71,7 +71,12 @@ def extract_text_expr(html_col):
     &amp; last). Whole-stage-codegen'd: no Python, no Arrow transfer of the
     ~30 MB/50k-doc html payload."""
     s = F.decode(html_col, "UTF-8")
-    joined = F.array_join(F.regexp_extract_all(s, F.lit("<p>(.*?)</p>"), 1), "\n")
+    parts = F.regexp_extract_all(s, F.lit("<p>(.*?)</p>"), 1)
+    # per-paragraph nested-tag strip BEFORE the join (core.extract order:
+    # an unterminated '<' must not eat across the paragraph boundary);
+    # no-op on the escaped fixture structure
+    parts = F.transform(parts, lambda x: F.regexp_replace(x, "<[^>]+>", " "))
+    joined = F.array_join(parts, "\n")
     unesc = F.replace(
         F.replace(
             F.replace(joined, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")

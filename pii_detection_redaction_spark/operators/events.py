@@ -33,11 +33,21 @@ def _transitions_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             "to_type": pdf["event_type"],
         }
     ).dropna(subset=["from_type", "to_type"])
+    # count WITHOUT re-grouping on user_id: the UDF already runs per Spark
+    # group so user_id is constant here — and a NULL user_id arrives as
+    # NaN, which pandas groupby (dropna=True default) would silently drop
+    # from the group KEYS, vanishing the whole NULL-user group's
+    # transitions while the DuckDB oracle (PARTITION BY user_id keeps the
+    # NULL partition) counts them.
     out = (
-        pairs.groupby(["user_id", "from_type", "to_type"], as_index=False)
+        pairs.groupby(["from_type", "to_type"], as_index=False)
         .size()
         .rename(columns={"size": "n"})
     )
+    uid = pdf["user_id"].iloc[0] if len(pdf) else None
+    if pd.isna(uid):
+        uid = None  # NaN would fail the Arrow long conversion; null is null
+    out.insert(0, "user_id", pd.Series([uid] * len(out), dtype="object"))
     return out
 
 

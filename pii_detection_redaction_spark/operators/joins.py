@@ -51,7 +51,25 @@ def asof_join(
     When several right rows share (key, right_ts), the winner is the one with
     the greatest ``tiebreak`` column (required then for determinism;
     irrelevant when (key, right_ts) is unique).
+
+    NULL semantics match SQL joins: right rows with a NULL key or NULL
+    ``right_ts`` never match anything (they are dropped from the right
+    side — Spark's default nulls-first ordering would otherwise make a
+    NULL-ts row an infinitely-OLD match for every left row, and
+    partitionBy groups NULL keys together so NULL-key left rows would
+    pick up NULL-key right payloads). Left rows always survive
+    (left-outer), with null value fields.
+
+    ``value_cols`` must not collide with ``left.columns`` — the output
+    carries both sets flat, and a silent duplicate column poisons every
+    downstream ``F.col``; checked loudly.
     """
+    dup = sorted(set(value_cols) & set(left.columns))
+    if dup:
+        raise ValueError(
+            f"asof_join value_cols {dup} collide with left columns — "
+            f"alias them on the right side first"
+        )
     row_type = left.select(
         F.struct(*[F.col(c) for c in left.columns]).alias("__row")
     ).schema["__row"].dataType
@@ -65,7 +83,9 @@ def asof_join(
     else:
         r_tb = F.lit(0)
 
-    r = right.select(
+    r = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(key).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -107,11 +127,21 @@ def bin_range_join(
     """Inner-join point rows to interval rows on ``lo <= point < hi`` via bin
     bucketing (equi-join on the bin id, exact predicate re-checked inside).
 
-    Columns from both sides are preserved; intervals must be half-open and
-    may overlap (a point matches every covering interval). Inner-only by
-    design: the exact range predicate is applied as a post-join filter, which
-    would silently drop the null-extended rows of any outer mode.
+    Columns from both sides are preserved, so the two schemas must be
+    DISJOINT (checked loudly — a shared name would either raise an
+    ambiguous-reference error at the filter or silently emit duplicate
+    output columns, depending on which name collides). Intervals must be
+    half-open and may overlap (a point matches every covering interval).
+    Inner-only by design: the exact range predicate is applied as a
+    post-join filter, which would silently drop the null-extended rows of
+    any outer mode.
     """
+    dup = sorted(set(points.columns) & set(intervals.columns))
+    if dup:
+        raise ValueError(
+            f"bin_range_join: columns {dup} exist on both sides — alias "
+            f"one side first (both schemas are preserved flat)"
+        )
     p = points.withColumn(
         "__bin", F.floor(F.col(point_col) / F.lit(bin_size)).cast("long")
     )

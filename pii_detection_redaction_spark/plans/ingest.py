@@ -39,11 +39,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact, incremental_new
-from ..operators.packing import SHARD_TOKENS, token_shards
+from ..operators.packing import SHARD_TOKENS
 from ..operators.textstats import TOKEN_RE
 from ..operators.web import canonical_url_col
 from .dedup_pass import near_dedup_df
 from .pipeline import PipelineConfig, read_output, run_pipeline
+from .prepare import decontaminate_against, pack_and_write
 
 
 def _increment_paths(
@@ -154,43 +155,24 @@ def ingest_increment(
         .withColumn("scrubbed_text", F.col("clean_text"))
         .drop("clean_text")
     )
-    # 4b) optional test-set decontamination of the increment (same stage
-    # position and plan shape as prepare_corpus: broadcast eval gram probe,
-    # anti-join against the eval-sized contaminated set) — without it a
-    # contaminated page could enter a decontaminated corpus via ingest
+    # 4b) optional test-set decontamination of the increment (shared stage
+    # helper — same position and plan shape as prepare_corpus; without it a
+    # contaminated page could enter a decontaminated corpus via ingest)
     n_decontam_base = n_near
     if decontam_path is not None:
-        from ..operators.decontam import flag_contaminated
-
-        eval_df = spark.read.parquet(decontam_path).select(
-            F.col(decontam_text_col).alias("scrubbed_text")
+        final_inc = decontaminate_against(
+            spark, final_inc, decontam_path, decontam_text_col
         )
-        flags = flag_contaminated(
-            final_inc, eval_df, id_col="url", text_col="scrubbed_text"
-        )
-        bad = flags.filter(F.col("contaminated")).select("url")
-        final_inc = final_inc.join(F.broadcast(bad), "url", "left_anti")
         n_decontam_base = final_inc.count()
     final_inc = final_inc.withColumn(
         "n_tokens", F.regexp_count(F.col("scrubbed_text"), F.lit(TOKEN_RE))
     )
-    # the admission + dedup + exsub chain is walked by token_shards' bucket
-    # totals, both join sides, and the final write — persist once instead
-    # of re-running the UDF chain ~4x (at real scale: a stage parquet)
-    final_inc = final_inc.persist()
-    shards = token_shards(
-        final_inc, id_col="url", tokens_col="n_tokens", shard_tokens=shard_tokens
-    )
+    # shared packing tail (prepare_corpus's pack_and_write: persist once,
+    # token-shard assignment, co-filed write, parquet read-back)
     out_path = os.path.join(inc_root, "final")
-    (
-        final_inc.drop("n_tokens")
-        .join(shards, "url")
-        .repartition(F.col("shard_id"))
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
-    n_final = spark.read.parquet(out_path).count()
-    final_inc.unpersist()
+    n_final = pack_and_write(
+        spark, final_inc, out_path, shard_tokens
+    ).count()
     new.unpersist()
     c.update(
         {
@@ -250,27 +232,15 @@ def compact_corpus(
         )
     )
     # fresh global shard packing (per-batch shard ids are meaningless after
-    # the merge); persist: the near-dedup + exsub chain feeds the bucket
-    # totals, both join sides, and the aggs below
-    d = d.persist()
-    shards = token_shards(d, id_col="url", tokens_col="n_tokens",
-                          shard_tokens=shard_tokens)
+    # the merge) via the shared tail helper
     out_path = os.path.join(corpus_root, "compacted", name, "final")
-    (
-        d.drop("n_tokens")
-        .join(shards, "url")
-        .repartition(F.col("shard_id"))
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
-    out = spark.read.parquet(out_path)
+    out = pack_and_write(spark, d, out_path, shard_tokens)
     agg = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.countDistinct("shard_id").alias("shards"),
         F.sum("n_chars_removed").alias("exsub_chars"),
     ).collect()[0]
-    d.unpersist()
     return {
         "docs_in": n_in,
         "cross_near_dups_removed": n_in - agg["docs"],

@@ -39,6 +39,49 @@ from .dedup_pass import near_dedup_df
 from .pipeline import PipelineConfig, read_output, run_pipeline
 
 
+def decontaminate_against(
+    spark: SparkSession,
+    d,
+    decontam_path: str,
+    decontam_text_col: str,
+    id_col: str = "url",
+    text_col: str = "scrubbed_text",
+):
+    """Shared decontamination stage (prepare_corpus AND ingest_increment —
+    one spelling, so a fix lands in both): drop documents sharing any word
+    n-gram with the eval set. flag_contaminated broadcasts the eval gram
+    set (the corpus side never shuffles); the removal anti-joins against
+    only the CONTAMINATED id set, which is eval-sized and broadcastable —
+    the 10^12-doc side moves nowhere."""
+    from ..operators.decontam import flag_contaminated
+
+    eval_df = spark.read.parquet(decontam_path).select(
+        F.col(decontam_text_col).alias(text_col)
+    )
+    flags = flag_contaminated(d, eval_df, id_col=id_col, text_col=text_col)
+    bad = flags.filter(F.col("contaminated")).select(id_col)
+    return d.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def pack_and_write(spark: SparkSession, d, final_path: str,
+                   shard_tokens: int = SHARD_TOKENS):
+    """Shared packing tail (prepare_corpus AND ingest_increment): persist
+    (token_shards' bucket totals, both join sides, and the write all walk
+    the upstream chain — without it the window UDFs re-run ~3-4x) →
+    token-shard assignment → shard join → co-filed write (repartitioned by
+    shard so a shard's docs are co-filed) → parquet read-back for
+    downstream counts/exports. ``d`` must carry url + n_tokens."""
+    d = d.persist()
+    shards = token_shards(d, id_col="url", tokens_col="n_tokens",
+                          shard_tokens=shard_tokens)
+    final = d.drop("n_tokens").join(shards, "url")
+    final.repartition(F.col("shard_id")).write.mode("overwrite").parquet(
+        final_path
+    )
+    d.unpersist()
+    return spark.read.parquet(final_path)
+
+
 def prepare_corpus(
     spark: SparkSession,
     input_path: str,
@@ -97,12 +140,13 @@ def prepare_corpus(
     if quality_threshold is not None:
         n_rule_kept = kept.count()
         kept = kept.filter(F.col("quality_prob") >= quality_threshold)
-        c["model_gated_out"] = n_rule_kept - kept.count()
+        n_kept = kept.count()  # counted ONCE — reused below
+        c["model_gated_out"] = n_rule_kept - n_kept
+    else:
+        n_kept = kept.count()
 
     # 2) exact dedup: keeper = lexicographically smallest url per content
     from ..operators.dedup import dedup_exact
-
-    n_kept = kept.count()
     d = dedup_exact(kept, id_col="url", text_col="scrubbed_text")
     n_exact = d.count()
 
@@ -129,25 +173,11 @@ def prepare_corpus(
     )
 
     # 4b) optional test-set decontamination (after dedup/exsub, before
-    # sampling — the canonical pipeline position): drop documents sharing
-    # any word n-gram with the eval set. flag_contaminated broadcasts the
-    # eval gram set (the corpus side never shuffles); the removal is an
-    # anti-join against only the CONTAMINATED url set, which is eval-sized
-    # and broadcastable — the 10^12-doc side moves nowhere.
+    # sampling — the canonical pipeline position); shared stage helper
     n_decontam_base = n_near
     decontam_removed = 0
     if decontam_path is not None:
-        from ..operators.decontam import flag_contaminated
-
-        # flag_contaminated reads ONE text_col name on both sides
-        eval_df = spark.read.parquet(decontam_path).select(
-            F.col(decontam_text_col).alias("scrubbed_text")
-        )
-        flags = flag_contaminated(
-            d, eval_df, id_col="url", text_col="scrubbed_text"
-        )
-        bad = flags.filter(F.col("contaminated")).select("url")
-        d = d.join(F.broadcast(bad), "url", "left_anti")
+        d = decontaminate_against(spark, d, decontam_path, decontam_text_col)
         n_decontam_base = d.count()
         decontam_removed = n_near - n_decontam_base
 
@@ -155,24 +185,15 @@ def prepare_corpus(
     if budgets:
         d = token_budget_sample(d, "url", "lang_pred", "n_tokens", budgets)
 
-    # 6) shard assignment + co-filed write (parquet, or gzip JSONL for
-    # trainers that consume text dumps — detections ride as JSON structs).
-    # Persist first: the exsub chain above feeds token_shards' bucket
-    # totals, both join sides, and the write — without it the window UDFs
-    # and dup-key shuffle re-run ~3x.
-    d = d.persist()
-    shards = token_shards(d, id_col="url", tokens_col="n_tokens",
-                          shard_tokens=shard_tokens)
-    final = d.drop("n_tokens").join(shards, "url")
+    # 6) shard assignment + co-filed write (shared tail: pack_and_write);
+    # parquet, or additionally gzip JSONL for trainers that consume text
+    # dumps — detections ride as JSON structs.
     if output_format not in ("parquet", "jsonl"):
         raise ValueError(f"unknown output_format {output_format!r}")
     # The parquet final/ is ALWAYS written — the ingest/compact registry
     # enumerates <root>/final and increments/*/final, so a jsonl-only
     # corpus would silently contribute nothing to compaction.
-    final.repartition(F.col("shard_id")).write.mode("overwrite").parquet(
-        final_path
-    )
-    out = spark.read.parquet(final_path)
+    out = pack_and_write(spark, d, final_path, shard_tokens)
     if output_format == "jsonl":
         # gzip JSONL for trainers that consume text dumps, derived from the
         # parquet read-back: a second independent action over the
@@ -189,7 +210,6 @@ def prepare_corpus(
         F.countDistinct("shard_id").alias("shards"),
         F.sum("n_chars_removed").alias("exsub_chars"),
     ).collect()[0]
-    d.unpersist()
     c.update(
         {
             "docs_kept": n_kept,

@@ -1206,3 +1206,100 @@ def test_token_shards_integer_division_past_double_precision(spark):
     second = rows["a"] if rows["a"]["start_offset"] else rows["b"]
     assert second["start_offset"] in (big, 5)
     assert second["shard_id"] == second["start_offset"]  # div 1 == identity
+
+
+def test_extract_strips_nested_tags_inside_paragraphs(spark):
+    """Generic pages write <p>Hello <b>world</b></p>: raw '<b>' must not
+    flow downstream as document text; Python spec and the JVM expression
+    stay byte-identical on it (and on the escaped fixture shape, where the
+    strip is a no-op)."""
+    from pii_detection_redaction_spark.core.extract import extract_text
+    from pii_detection_redaction_spark.functions.udfs import extract_text_expr
+
+    cases = [
+        b"<p>Hello <b>world</b></p><p>plain</p>",
+        b"<p>escaped &lt;b&gt; stays</p>",
+        b"<div>chrome outside paragraphs drops</div><p>body</p>",
+        b"<p>broken <unterminated</p><p>next</p>",
+    ]
+    py = [extract_text(c) for c in cases]
+    assert py[0] == "Hello  world \nplain"
+    assert py[1] == "escaped <b> stays"
+    assert py[2] == "body"
+    df = spark.createDataFrame([(c,) for c in cases], "html binary")
+    jvm = [r.t for r in df.select(extract_text_expr(F.col("html")).alias("t")).collect()]
+    assert jvm == py
+
+
+def test_asof_join_sql_null_semantics(spark):
+    """Right rows with NULL key or NULL ts never match (SQL semantics) —
+    unguarded, Spark's nulls-first ordering makes a NULL-ts row an
+    infinitely-old match and NULL keys match NULL keys."""
+    from pii_detection_redaction_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), (None, 100, "b")],
+        "user string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 1.0), (None, 50, 2.0), ("u1", 40, 3.0)],
+        "user string, ts long, price double",
+    )
+    rows = {
+        r["tag"]: r["p"]
+        for r in asof_join(
+            left, right.withColumnRenamed("price", "p"),
+            key="user", left_ts="ts", right_ts="ts", value_cols=["p"],
+        ).collect()
+    }
+    assert rows["a"] == 3.0   # the real ts=40 row, never the NULL-ts one
+    assert rows["b"] is None  # NULL key matches nothing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
+                  value_cols=["tag"])
+
+
+def test_bin_range_join_rejects_shared_column_names(spark):
+    import pytest as _pytest
+
+    from pii_detection_redaction_spark.operators.joins import bin_range_join
+
+    pts = spark.createDataFrame([(1.0, "x")], "v double, name string")
+    ivs = spark.createDataFrame([(0.0, 2.0, "y")], "lo double, hi double, name string")
+    with _pytest.raises(ValueError, match="exist on both sides"):
+        bin_range_join(pts, ivs, "v", "lo", "hi", 1.0)
+
+
+def test_event_transitions_keep_null_user_group(spark):
+    """NULL user_id events are one Spark group; their transitions must not
+    vanish through pandas groupby's dropna on group keys (the DuckDB
+    oracle's PARTITION BY keeps the NULL partition)."""
+    import datetime as _dt
+
+    from pii_detection_redaction_spark.operators.events import (
+        event_transitions,
+        transition_matrix,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (None, t0, 1, "view"),
+        (None, t0 + _dt.timedelta(minutes=1), 2, "cart"),
+        (7, t0, 3, "view"),
+        (7, t0 + _dt.timedelta(minutes=2), 4, "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    trans = event_transitions(ev).collect()
+    null_rows = [r for r in trans if r["user_id"] is None]
+    assert [(r["from_type"], r["to_type"], r["n"]) for r in null_rows] == [
+        ("view", "cart", 1)
+    ]
+    mat = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_matrix(ev).collect()
+    }
+    assert mat == {("view", "cart"): 1, ("view", "buy"): 1}

@@ -122,3 +122,50 @@ def test_pipeline_over_warc_input(spark, tmp_path):
     assert c["docs_seen"] == 500 and c["docs_kept"] == 335
     assert c["entities_scrubbed"] == 596 and c["tox_masked"] == 33
     assert c["extract_mismatch"] == 0
+
+
+def test_negative_content_length_raises_not_loops():
+    """A negative Content-Length would move the cursor backwards and
+    re-yield the same record forever (executor hang + OOM); it must raise
+    the quarantine error instead."""
+    import pytest
+
+    from pii_detection_redaction_spark.core.warc import (
+        WarcFormatError,
+        parse_warc,
+    )
+
+    data = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    with pytest.raises(WarcFormatError, match="negative Content-Length"):
+        list(parse_warc(data))
+
+
+def test_non_utf8_header_bytes_stay_in_the_quarantine_contract():
+    """Real Common Crawl HTTP headers carry raw latin-1 (Server banners,
+    Content-Disposition); values decode with a latin-1 fallback instead of
+    raising a bare UnicodeDecodeError that WarcFormatError-filtering
+    callers would miss; non-ASCII header NAMES and corrupt gzip containers
+    raise WarcFormatError with context."""
+    import gzip as _gzip
+
+    import pytest
+
+    from pii_detection_redaction_spark.core.warc import (
+        WarcFormatError,
+        parse_warc,
+    )
+
+    body = (b"HTTP/1.1 200 OK\r\nServer: caf\xe9-server\r\n"
+            b"Content-Type: text/html\r\n\r\npayload")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
+    (r,) = list(parse_warc(rec))
+    assert r.http_status == 200 and r.payload == b"payload"
+
+    bad_name = b"WARC/1.0\r\nCont\xe9nt-Length: 5\r\n\r\nxxxxx"
+    with pytest.raises(WarcFormatError, match="non-ASCII"):
+        list(parse_warc(bad_name))
+
+    corrupt = _gzip.compress(rec)[:20]  # truncated gzip member
+    with pytest.raises(WarcFormatError, match="corrupt gzip"):
+        list(parse_warc(corrupt))
