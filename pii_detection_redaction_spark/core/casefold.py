@@ -91,4 +91,64 @@ def simple_lower(text: str) -> str:
     return "".join(out)
 
 
-__all__ = ["I_DOT", "PINNED", "PINNED_CLASS", "simple_lower"]
+# --- cross-engine whitespace (the \x0b rule) -------------------------------
+# Probe-verified tables: Java `\s` == Python `re.ASCII` `\s` ==
+# [ \t\n\r\f\x0b]; RE2/DuckDB `\s` EXCLUDES \x0b; Python's default
+# (Unicode) `\s` additionally matches NBSP/U+2028/U+0085/U+3000/\x1c-\x1f.
+# Any "word = maximal \S+ run" spec therefore forks across engines on real
+# web text (&nbsp; is everywhere). The pin: the EXPLICIT class below — the
+# same raw pattern string parses identically in Python re, Java regex, and
+# RE2, so every engine tokenizes on the same six ASCII whitespace chars.
+WS_CHARS = " \t\n\r\f\x0b"  # the actual characters (str.strip/rstrip uses)
+SPACE_ONE = r"[ \t\n\r\f\x0b]"  # engine-portable `\s`
+NONSPACE_ONE = r"[^ \t\n\r\f\x0b]"  # engine-portable `\S`
+NONSPACE_RUN = NONSPACE_ONE + "+"  # engine-portable `\S+` (word runs)
+
+
+# --- cross-engine ASCII case-insensitivity ---------------------------------
+def ascii_ci_expand(rx: str) -> str:
+    """Rewrite a ``(?i)``-prefixed literal-word alternation to explicit
+    two-case classes (``the`` → ``[tT][hH][eE]``), dropping the flag.
+
+    The engines' ``(?i)`` tables disagree (probe-verified): Python re and
+    RE2/DuckDB fold Unicode (ſ→s, U+212A Kelvin→k), Java folds ASCII only.
+    Java's ASCII fold is the spec; Java therefore keeps the ``(?i)`` form
+    (plus its fast first-char-lookahead derivation), while the Python
+    oracle and the DuckDB SQL consume THIS expansion — explicit classes
+    fold nothing anywhere. ``\\b`` and every other escape pass through
+    untouched (escapes are skipped, so the ``b`` of ``\\b`` is never
+    expanded); word-boundary semantics keep their own documented
+    engine-table note (core.quality)."""
+    if not rx.startswith("(?i)"):
+        raise ValueError(f"expected a (?i)-prefixed pattern, got {rx[:20]!r}")
+    body, out, i = rx[4:], [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            out.append(body[i : i + 2])
+            i += 2
+            continue
+        if c.isascii() and c.isalpha():
+            out.append(f"[{c.lower()}{c.upper()}]")
+        elif c.isalpha():
+            raise ValueError(
+                f"non-ASCII letter {c!r} in alternation — the ASCII "
+                f"expansion would silently change its match semantics"
+            )
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+__all__ = [
+    "I_DOT",
+    "PINNED",
+    "PINNED_CLASS",
+    "simple_lower",
+    "WS_CHARS",
+    "SPACE_ONE",
+    "NONSPACE_ONE",
+    "NONSPACE_RUN",
+    "ascii_ci_expand",
+]

@@ -27,11 +27,11 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterable, List, Tuple
 
-from .casefold import simple_lower
+from .casefold import NONSPACE_RUN, simple_lower
 
 EXSUB_K = 20  # window length in tokens (paper uses 50; corpus docs are short)
 
-_tok_re = re.compile(r"\S+")
+_tok_re = re.compile(NONSPACE_RUN)  # engine-portable \S+ (core.casefold)
 
 
 def token_spans(text: str) -> List[Tuple[str, int, int]]:

@@ -17,7 +17,7 @@ import hashlib
 import re
 from typing import List, Sequence
 
-from .casefold import simple_lower
+from .casefold import NONSPACE_RUN, simple_lower
 
 U64 = (1 << 64) - 1
 SEP = "\x1f"  # unit separator joins seed/token pieces, same literal in SQL
@@ -34,7 +34,7 @@ def hash64_signed(s: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-_word_re = re.compile(r"\S+")
+_word_re = re.compile(NONSPACE_RUN)  # engine-portable \S+ (core.casefold)
 
 
 def tokenize(text: str) -> List[str]:

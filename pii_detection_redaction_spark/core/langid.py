@@ -30,6 +30,8 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .casefold import NONSPACE_ONE as CF_NONSPACE_ONE
+from .casefold import SPACE_ONE as CF_SPACE_ONE
 from .casefold import I_DOT, simple_lower
 from .langprofiles import CHARSETS, STOPWORDS
 
@@ -54,7 +56,7 @@ CHARSET_PATTERNS: Dict[str, str] = {
 _cjk_re = re.compile(CJK_PATTERN)
 _kana_re = re.compile(KANA_PATTERN)
 _hangul_re = re.compile(HANGUL_PATTERN)
-_nonspace_re = re.compile(r"\S")
+_nonspace_re = re.compile(CF_NONSPACE_ONE)  # engine-portable \S
 _stop_res = {lang: re.compile(p, re.IGNORECASE) for lang, p in STOPWORD_PATTERNS.items()}
 _charset_res = {lang: re.compile(p) for lang, p in CHARSET_PATTERNS.items() if p}
 
@@ -131,7 +133,7 @@ def stopword_hit_rows(text: str) -> List[int]:
 # compiled regexes themselves (one findall over the all-codepoints string per
 # class), so membership is exact by construction; cross-path count equality
 # is additionally pinned by ``test_charclass_matrix_equals_regex_counts``.
-_SPACE_RE = re.compile(r"\s")
+_SPACE_RE = re.compile(CF_SPACE_ONE)  # engine-portable \s (LUT ws bit)
 
 # (name, compiled single-char-class regex) in fixed bit order: whitespace
 # (bit 0, for the \S count), scored-language charsets, script overrides.

@@ -34,6 +34,7 @@ from __future__ import annotations
 from decimal import ROUND_HALF_UP, Decimal
 from typing import Tuple
 
+from .casefold import WS_CHARS as CF_WS_CHARS
 from .entities import ENTITY_SEVERITY, SEVERITY_COLORS
 
 
@@ -73,7 +74,7 @@ RECT_PAD = 1.5
 # .rstrip()/.isspace(); charset trims are what Python str.rstrip / Spark
 # rtrim(col, trim) / DuckDB rtrim(s, chars) share exactly — the corpus
 # contains no exotic unicode whitespace).
-WS_CHARS = " \t\n\r\f\x0b"
+WS_CHARS = CF_WS_CHARS  # one whitespace spec repo-wide (core.casefold)
 TRAIL_PUNCT_CHARS = ".,;:"
 TRIM_COLON_TYPES = ("PERSON", "ORGANIZATION")
 # reference write_redacted_pdf: severity defaults to 'low' for unknown types

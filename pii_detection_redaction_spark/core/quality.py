@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
+from .casefold import NONSPACE_RUN, ascii_ci_expand
 from .langprofiles import CHAR_BASED_LANGS
 from .toxicity import MAX_TOXICITY_HITS, TOXICITY_REGEX
 
@@ -62,14 +63,21 @@ RULE_NAMES = (
     "toxicity",
 )
 
-_word_re = re.compile(r"\S+")
+# engine-portable \S+ (core.casefold NONSPACE_RUN): Python's Unicode \S
+# forks from Java/RE2 on NBSP/U+2028/etc — the class every real web page
+# contains — so word counts and mean_word_len would disagree between the
+# oracle and both engines (the C4 path hit exactly this; now one constant)
+_word_re = re.compile(NONSPACE_RUN)
 # default (Unicode) \b in both \b-bearing patterns: matches Java regex
 # exactly (measured — Java's \b is Unicode-aware); RE2/DuckDB is ASCII-\b
 # and diverges on non-ASCII adjacency, guarded by a corpus test
-# (core.toxicity module doc).
-_stop_re = re.compile(STOPWORD_REGEX)
+# (core.toxicity module doc). CASE is pinned separately: Python's (?i)
+# folds Unicode (ſ→s) where Java folds ASCII only, so the compiled oracle
+# patterns use the explicit two-case expansion (core.casefold
+# ascii_ci_expand); the (?i) constants remain the JVM spelling.
+_stop_re = re.compile(ascii_ci_expand(STOPWORD_REGEX))
 _symbol_re = re.compile(SYMBOL_REGEX)
-_tox_re = re.compile(TOXICITY_REGEX)
+_tox_re = re.compile(ascii_ci_expand(TOXICITY_REGEX))
 
 
 def text_metrics(text: str) -> Dict[str, float]:
@@ -239,7 +247,7 @@ C4_MIN_LINE_WORDS = 3
 # ASCII \S: Java regex and RE2 treat only ASCII whitespace as \s, so a
 # NBSP-joined run is ONE word in all three engines — Python's default
 # Unicode \s (and str.split()) would fork on exactly that input
-_c4_word_re = re.compile(r"\S+", re.ASCII)
+_c4_word_re = re.compile(NONSPACE_RUN)  # same portable class as _word_re now
 
 
 def c4_keep_line(line: str) -> bool:

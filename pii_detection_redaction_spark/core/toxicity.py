@@ -41,6 +41,8 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
+from .casefold import ascii_ci_expand
+
 # Representative single-word profanity lexicon (ASCII letters only — keeps
 # \b semantics identical across re/Java/RE2). Both stem and common inflected
 # forms are listed explicitly: \b matching is exact-word, not prefix.
@@ -83,10 +85,15 @@ MAX_TOXICITY_HITS = 2
 TOXIC_MASK = "<TOXIC>"
 
 TOXICITY_REGEX = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+# two-case expansion for engines whose (?i) folds Unicode (Python re folds
+# ſ→s and U+212A→k; RE2/DuckDB likewise) — Java's ASCII-only fold is the
+# spec, so the JVM keeps the (?i) form and the Python oracle + DuckDB SQL
+# consume this expansion (core.casefold.ascii_ci_expand).
+TOXICITY_REGEX_CI = ascii_ci_expand(TOXICITY_REGEX)
 
 # default (Unicode) \b — matches Java regex exactly; see module doc for the
 # measured RE2 divergence on non-ASCII adjacency.
-_tox_re = re.compile(TOXICITY_REGEX)
+_tox_re = re.compile(TOXICITY_REGEX_CI)
 
 
 def toxicity_hits(text: str) -> int:

@@ -19,15 +19,21 @@ import re as _re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core import casefold as CF
 from ..core import quality as Q
 from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
 
-# Java-regex-safe equivalents of the oracle's patterns (verified identical
-# match semantics for these classes in Python re, Java regex, and RE2).
-WORD_RE = r"\S+"
-NONSPACE_RE = r"\S"
-STOP_RE = r"(?i)\b(?:" + "|".join(Q.GOPHER_STOPWORDS) + r")\b"
-SYMBOL_RE = "[#…{}<>\\\\^~|]"
+# One spec, three engines: the word/nonspace classes come from
+# core.casefold (the explicit six-char ASCII set — Java's own \S equals it,
+# Python's Unicode \S and RE2's \s do NOT, so the bare escape was never
+# actually identical across engines); the stopword/symbol patterns import
+# the core.quality constants verbatim. Case-insensitivity stays in Java's
+# (?i) spelling here — Java folds ASCII only, which IS the spec; the
+# Python oracle and DuckDB SQL consume the expanded two-case form.
+WORD_RE = CF.NONSPACE_RUN
+NONSPACE_RE = CF.NONSPACE_ONE
+STOP_RE = Q.STOPWORD_REGEX
+SYMBOL_RE = Q.SYMBOL_REGEX
 
 # --- JVM fast equivalents ---------------------------------------------------
 # Spark-engine derivations of the shared spec constants above. The CONSTANTS
@@ -40,7 +46,7 @@ SYMBOL_RE = "[#…{}<>\\\\^~|]"
 # Java \s without UNICODE_CHARACTER_CLASS is exactly these six ASCII chars;
 # unicode spaces (\xa0,  , ...) are \S in Java and survive translate,
 # so the counts agree on ALL inputs.
-_JAVA_WS = " \t\n\x0b\f\r"
+_JAVA_WS = CF.WS_CHARS  # the pinned six-char set (core.casefold)
 
 
 def nonspace_count(text: Column) -> Column:
@@ -84,10 +90,10 @@ def fast_word_alternation(rx: str) -> str:
 STOP_RE_JVM = fast_word_alternation(STOP_RE)
 TOXICITY_RE_JVM = fast_word_alternation(TOXICITY_REGEX)
 
-# Possessive run count: counting bare \S+ runs has no following constraint,
+# Possessive run count: counting word runs has no following constraint,
 # so possessive matching is observably identical while skipping Java's
 # backtrack bookkeeping (measured 1.35x). Spark-engine form of WORD_RE.
-WORD_RE_JVM = r"\S++"
+WORD_RE_JVM = CF.NONSPACE_ONE + "++"
 
 
 def _nonempty_lines(text: Column) -> Column:
@@ -129,7 +135,14 @@ def quality_metric_columns(text: Column) -> dict:
 
 
 def rule_flag_columns(m: dict, lang: Column) -> dict:
-    ws_lang = ~lang.isin(list(Q.CHAR_BASED_LANGS))
+    # NULL-lang rows (e.g. WARC sources carry no label) must take the
+    # WORD-based branches and auto-pass stopwords, exactly like the Python
+    # oracle's rule_flags(text, None): unguarded, NULL.isin() is NULL, so
+    # F.when falls to the char-based branch and `NULL != 'en'` turns
+    # rules_pass itself NULL — engine and oracle would fork on every
+    # unlabeled row.
+    ws_lang = F.coalesce(~lang.isin(list(Q.CHAR_BASED_LANGS)), F.lit(True))
+    lang_nn = F.coalesce(lang, F.lit(""))
     return {
         "min_words": F.when(ws_lang, m["n_words"] >= Q.MIN_WORDS).otherwise(
             m["n_chars"] >= Q.MIN_WORDS
@@ -141,7 +154,7 @@ def rule_flag_columns(m: dict, lang: Column) -> dict:
             & (m["mean_word_len"] <= Q.MAX_MEAN_WORD_LEN),
         ).otherwise(F.lit(True)),
         "symbol_ratio": m["symbol_ratio"] <= Q.MAX_SYMBOL_RATIO,
-        "stopwords": (lang != "en") | (m["stop_hits"] >= Q.MIN_STOPWORD_HITS),
+        "stopwords": (lang_nn != "en") | (m["stop_hits"] >= Q.MIN_STOPWORD_HITS),
         "dup_lines": m["dup_line_frac"] <= Q.MAX_DUP_LINE_FRAC,
         "ellipsis_lines": m["ellipsis_line_frac"] <= Q.MAX_ELLIPSIS_LINE_FRAC,
         "toxicity": m["tox_hits"] <= MAX_TOXICITY_HITS,

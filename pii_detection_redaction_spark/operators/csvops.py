@@ -38,10 +38,14 @@ def unpivot_cells(
     # escape before interpolating into SQL: a legitimate header like
     # "employee's email" or one containing a backtick would otherwise break
     # the stack() parse (SQL string literals double ', quoted identifiers
-    # double `)
+    # double `). Backslashes double too — Spark string literals process
+    # backslash escapes by default, so an unescaped 'price\total' would
+    # emit a TAB mid-name and a trailing backslash would swallow the
+    # closing quote (ParseException for the whole stack()).
     pairs = ", ".join(
         "'{lit}', cast(`{ident}` as string)".format(
-            lit=c.replace("'", "''"), ident=c.replace("`", "``")
+            lit=c.replace("\\", "\\\\").replace("'", "''"),
+            ident=c.replace("`", "``"),
         )
         for c in value_cols
     )

@@ -138,7 +138,12 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     return df.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("content_md5"),
+        # coalesce: the fingerprint column maps NULL text to fp('') (the
+        # UDF's `t or ""`), so content_md5 must hash '' too — a NULL md5
+        # in the same row would make md5-keyed dedup ignore the doc while
+        # shingle dedup clusters it with empty docs (one row, two
+        # NULL-text stories)
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
         fp_udf(F.col(text_col)).alias("fingerprint"),
     )
 
@@ -182,10 +187,18 @@ def ppl_threshold_buckets(df: DataFrame, cutoffs: DataFrame) -> DataFrame:
     """Scale-path bucketing: broadcast-join a tiny per-language cutoff table
     (lang_pred, t1, t2) and compare — no global sort, no hot-key window.
     ``cutoffs`` typically comes from ``ppl_tertile_buckets`` (or
-    percentile_approx) over a deterministic hash sample."""
+    percentile_approx) over a deterministic hash sample.
+
+    Languages ABSENT from the cutoff table (a rare language the sample
+    missed, or one newly appearing mid-stream) bucket as 'middle', not
+    'tail': with NULL thresholds both ``<=`` comparisons are NULL and the
+    otherwise-branch would silently route every such doc into the CC-Net
+    discard slice regardless of fluency; 'middle' is the neutral keep
+    bucket until real cutoffs exist for that language."""
     j = df.join(F.broadcast(cutoffs), "lang_pred", "left")
     bucket = (
-        F.when(F.col("ppl") <= F.col("t1"), PPL_BUCKET_LABELS[0])
+        F.when(F.col("t1").isNull(), PPL_BUCKET_LABELS[1])
+        .when(F.col("ppl") <= F.col("t1"), PPL_BUCKET_LABELS[0])
         .when(F.col("ppl") <= F.col("t2"), PPL_BUCKET_LABELS[1])
         .otherwise(PPL_BUCKET_LABELS[2])
     )

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from ..core import langid as LID
 from ..core import quality as Q
-from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX
+from ..core import casefold as CF
+from ..core.casefold import ascii_ci_expand
+from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK, TOXICITY_REGEX_CI
 from .queries import (
     ACCTBAL_BANDS,
     DATE_RE,
@@ -42,8 +44,11 @@ def _q(s: str) -> str:
 # shared fragments
 # ---------------------------------------------------------------------------
 
-_WORDS = r"\S+"
-_NONSPACE = r"\S"
+# engine-portable \S (core.casefold: RE2's \s excludes \x0b, Python's
+# Unicode \s adds NBSP & friends — the explicit class is what all three
+# engines parse identically)
+_WORDS = CF.NONSPACE_RUN
+_NONSPACE = CF.NONSPACE_ONE
 
 
 def _minhash_perms_sql(num_hashes: int = 16) -> str:
@@ -72,8 +77,10 @@ _MINHASH_SIG_CTES = f"""hashes AS (
 )"""
 # SQL IN-list of the char-based languages (word rules switch to char analogs)
 _CHAR_LANGS_SQL = "(" + ", ".join(f"'{l}'" for l in Q.CHAR_BASED_LANGS) + ")"
-_SYMBOLS = "[#…{}<>\\\\^~|]"  # same char class as functions.quality.SYMBOL_RE
-_STOPS = r"(?i)\b(?:" + "|".join(Q.GOPHER_STOPWORDS) + r")\b"
+_SYMBOLS = Q.SYMBOL_REGEX  # THE symbol-class spec (core.quality) — no fork
+# two-case expansion, not (?i): RE2's (?i) folds Unicode (ſ→s) where the
+# Java spec folds ASCII only (core.casefold.ascii_ci_expand)
+_STOPS = ascii_ci_expand(Q.STOPWORD_REGEX)
 
 _METRICS_CTE = f"""
 WITH m AS (
@@ -83,7 +90,7 @@ WITH m AS (
     len(regexp_extract_all(text, '{_NONSPACE}')) AS nonspace,
     len(regexp_extract_all(text, '{_SYMBOLS}')) AS n_symbols,
     len(regexp_extract_all(text, '{_STOPS}')) AS stop_hits,
-    len(regexp_extract_all(text, '{TOXICITY_REGEX}')) AS tox_hits,
+    len(regexp_extract_all(text, '{TOXICITY_REGEX_CI}')) AS tox_hits,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                 x -> x <> '') AS lines
   FROM documents
@@ -374,9 +381,9 @@ FROM fl GROUP BY lang ORDER BY lang
 
 ORACLE_SQL["toxicity_scrub"] = f"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '{TOXICITY_REGEX}')) AS INTEGER) AS tox_hits,
-  len(regexp_extract_all(text, '{TOXICITY_REGEX}')) <= {MAX_TOXICITY_HITS} AS rule_toxicity,
-  md5(regexp_replace(text, '{TOXICITY_REGEX}', '{TOXIC_MASK}', 'g')) AS masked_md5
+  CAST(len(regexp_extract_all(text, '{TOXICITY_REGEX_CI}')) AS INTEGER) AS tox_hits,
+  len(regexp_extract_all(text, '{TOXICITY_REGEX_CI}')) <= {MAX_TOXICITY_HITS} AS rule_toxicity,
+  md5(regexp_replace(text, '{TOXICITY_REGEX_CI}', '{TOXIC_MASK}', 'g')) AS masked_md5
 FROM documents ORDER BY doc_id
 """
 
@@ -478,7 +485,7 @@ WITH docs AS (
 ), sh AS (
   SELECT doc_id, text, {_SHINGLES} AS shingles FROM docs
 )
-SELECT doc_id, md5(text) AS content_md5,
+SELECT doc_id, md5(coalesce(text, '')) AS content_md5,
   {u64_signed_sql(
       "CASE WHEN len(shingles) = 0 THEN 18446744073709551615::UBIGINT "
       "ELSE list_aggregate(list_transform(shingles, x -> md5_number_lower('0' || chr(31) || x)), 'min') END"
@@ -950,7 +957,7 @@ def _c4_line_filter_sql() -> str:
     punct = ", ".join(f"'{p}'" for p in Q.C4_TERMINAL_PUNCT)
     cond = (
         "trim(x) <> '' AND right(trim(x), 1) IN (" + punct + ") "
-        f"AND len(regexp_extract_all(trim(x), '\\S+')) >= {Q.C4_MIN_LINE_WORDS} "
+        f"AND len(regexp_extract_all(trim(x), '{_WORDS}')) >= {Q.C4_MIN_LINE_WORDS} "
         "AND NOT contains(trim(x), '{')"
     )
     return f"""

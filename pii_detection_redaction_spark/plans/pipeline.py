@@ -295,6 +295,17 @@ def run_pipeline(
         cfg = replace(cfg, quality_classifier=True)
     store = SnapshotStore(out_root)
     done = store.committed_groups() if resume else set()
+    if not resume and store.committed_groups():
+        # reprocessing into a store with live commits would APPEND new
+        # snapshots for the same groups: counters() would sum both and
+        # read_output would list every group path twice — silent 2x
+        # double-counting (and the commit-time group guard would abort the
+        # run mid-way with half the groups rewritten). Refuse up front.
+        raise ValueError(
+            f"resume=False but {out_root!r} already holds committed "
+            f"snapshots — reprocessing would double-commit every group; "
+            f"use a fresh out_root (or delete the store) to rebuild"
+        )
 
     if input_format == "warc":
         from ..sources.warc import read_warc

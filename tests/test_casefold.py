@@ -94,11 +94,13 @@ def test_jvm_simple_lower_col_equals_duckdb_on_full_domain(spark):
 
 def test_hashing_tokenize_matches_duckdb_words():
     """core.hashing.tokenize (minhash/shingles/token_shards spec) ==
-    DuckDB's regexp_extract_all(lower(t), '\\S+') replay."""
+    DuckDB's regexp_extract_all(lower(t), NONSPACE_RUN) replay — the
+    oracle's exact pattern (the explicit class, not \\S: RE2's \\s
+    excludes \\x0b)."""
     con = duckdb.connect()
-    for t in I_TEXTS:
+    for t in I_TEXTS + ["a b\x0bc", "nb sp joined"]:
         got = con.execute(
-            r"SELECT regexp_extract_all(lower(?), '\S+')", [t]
+            f"SELECT regexp_extract_all(lower(?), '{CF.NONSPACE_RUN}')", [t]
         ).fetchone()[0]
         assert H.tokenize(t) == got, repr(t)
 
@@ -148,3 +150,56 @@ def test_host_and_canonical_url_three_engines(spark):
         assert r.h == duck_host, r.url
         assert r.c == canonicalize_url(r.url), r.url
         assert "̇" not in r.h and "̇" not in r.c
+
+
+def test_word_class_and_toxicity_pinned_cross_engine(spark):
+    """The \\S-class pin (core.casefold NONSPACE_*) and the ASCII-only
+    case expansion: word counts, stopword hits, and toxicity hits agree
+    across Python oracle, JVM columns, and DuckDB SQL on NBSP-joined and
+    fold-character text — exactly the inputs where the bare escapes fork
+    (Python's Unicode \\s eats NBSP; Python/RE2 (?i) folds ſ→s and
+    U+212A→k where Java does not; RE2's \\s excludes \\x0b)."""
+    from pyspark.sql import functions as F
+
+    from pii_detection_redaction_spark.core import quality as Q
+    from pii_detection_redaction_spark.core.toxicity import (
+        TOXICITY_REGEX_CI,
+        toxicity_hits,
+    )
+    from pii_detection_redaction_spark.functions.quality import (
+        TOXICITY_RE_JVM,
+        WORD_RE_JVM,
+    )
+
+    texts = [
+        "Un deux trois",          # NBSP-joined: ONE word everywhere
+        "a b\x0bc d",                        # \x0b is whitespace everywhere
+        "ſhit ſhit ſhit",     # ſhit: NOT a toxicity hit
+        "fucK fucK",               # Kelvin K: NOT a hit
+        "the shit of it",                    # real hits stay hits
+        "line one line two",            # U+2028: nonspace everywhere
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    jvm = {
+        r["i"]: (r["w"], r["x"])
+        for r in df.select(
+            "i",
+            F.regexp_count("t", F.lit(WORD_RE_JVM)).alias("w"),
+            F.regexp_count("t", F.lit(TOXICITY_RE_JVM)).alias("x"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        m = Q.text_metrics(t)
+        dw = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{CF.NONSPACE_RUN}'))", [t]
+        ).fetchone()[0]
+        dx = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{TOXICITY_REGEX_CI}'))", [t]
+        ).fetchone()[0]
+        assert m["n_words"] == jvm[i][0] == dw, (t, m["n_words"], jvm[i], dw)
+        assert toxicity_hits(t) == jvm[i][1] == dx, (t, toxicity_hits(t), jvm[i], dx)
+    # and the semantics themselves: ſ/K never fold into hits, NBSP never splits
+    assert toxicity_hits(texts[2]) == 0 and toxicity_hits(texts[3]) == 0
+    assert toxicity_hits(texts[4]) == 1
+    assert Q.text_metrics(texts[0])["n_words"] == 1

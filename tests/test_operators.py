@@ -1303,3 +1303,55 @@ def test_event_transitions_keep_null_user_group(spark):
         for r in transition_matrix(ev).collect()
     }
     assert mat == {("view", "cart"): 1, ("view", "buy"): 1}
+
+
+def test_unpivot_handles_backslash_headers(spark):
+    """Spark SQL string literals process backslash escapes: an unescaped
+    'price\\total' header would emit a TAB mid-name and a trailing
+    backslash would swallow the closing quote (ParseException)."""
+    from pii_detection_redaction_spark.operators.csvops import unpivot_cells
+
+    df = spark.createDataFrame(
+        [("r1", "a", "b")], ["__row_id", "price\\total", "dir\\"]
+    )
+    out = unpivot_cells(df, id_col="__row_id",
+                        value_cols=["price\\total", "dir\\"])
+    got = sorted((r["col_name"], r["cell"]) for r in out.collect())
+    assert got == [("dir\\", "b"), ("price\\total", "a")]
+
+
+def test_ppl_threshold_buckets_missing_lang_is_middle(spark):
+    """A language absent from the cutoff table must bucket 'middle' (the
+    neutral keep bucket), not silently fall through NULL comparisons into
+    'tail' (the CC-Net discard slice)."""
+    from pii_detection_redaction_spark.operators.textstats import (
+        ppl_threshold_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "en", 10.0), ("d2", "xx", 10.0)],
+        "doc_id string, lang_pred string, ppl double",
+    )
+    cutoffs = spark.createDataFrame(
+        [("en", 20.0, 40.0)], "lang_pred string, t1 double, t2 double"
+    )
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in ppl_threshold_buckets(docs, cutoffs).collect()}
+    assert got == {"d1": "head", "d2": "middle"}
+
+
+def test_fingerprints_null_text_one_story(spark):
+    """NULL text must read as the empty document in BOTH columns:
+    content_md5 = md5('') (not NULL — NULL never equi-joins, so md5-keyed
+    dedup would silently ignore the row) and fingerprint = fp('')."""
+    import hashlib
+
+    from pii_detection_redaction_spark.operators.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", "")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows["d1"]["content_md5"] == rows["d2"]["content_md5"] == empty_md5
+    assert rows["d1"]["fingerprint"] == rows["d2"]["fingerprint"]

@@ -607,3 +607,17 @@ def test_remove_orphans_sweeps_stale_commit_tmp_files(tmp_path):
     assert stale in removed and not os.path.exists(stale)
     assert os.path.exists(fresh)  # in-flight committer survives
     assert [s.snapshot_id for s in store.snapshots()] == [1]
+
+
+def test_run_pipeline_refuses_no_resume_on_committed_store(spark, pages_small, tmp_path):
+    """resume=False into a store with live commits would append duplicate
+    snapshots for every group — counters 2x, read_output doubled. Must
+    refuse up front."""
+    import pytest
+
+    from pii_detection_redaction_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "store")
+    run_pipeline(spark, pages_small, out)
+    with pytest.raises(ValueError, match="double-commit"):
+        run_pipeline(spark, pages_small, out, resume=False)
