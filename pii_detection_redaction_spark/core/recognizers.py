@@ -421,6 +421,25 @@ _STREET_SUFFIX = (
 )
 
 
+# --- RE2-subset recount patterns (semantic constants, CLAUDE.md one-spec
+# rule) -----------------------------------------------------------------
+# Deliberately SIMPLIFIED spellings of four builtin detectors for the
+# SQL-checkable recount queries (severity_rollup): no lookaround, ASCII
+# classes only, so Java regex and RE2/DuckDB match identically. They are
+# NOT the bank's detection patterns (email_basic above carries \b anchors,
+# phone/date have context machinery) — the recount is a cross-engine
+# arithmetic check over a simpler census, and keeping its patterns HERE
+# next to the bank keeps any future bank edit in the same diff as its
+# recount approximation.
+RE2_SUBSET_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE2_SUBSET_IP_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+RE2_SUBSET_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+RE2_SUBSET_DATE_RE = r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b"
+
+
 def _builtin_specs() -> List[RecognizerSpec]:
     return [
         RecognizerSpec(

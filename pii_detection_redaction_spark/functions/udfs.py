@@ -21,7 +21,7 @@ makes the pipeline embarrassingly parallel at 10^12 documents.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -171,7 +171,12 @@ def langid_batch(texts: pd.Series) -> pd.DataFrame:
             return counts[:, j]
 
     else:  # lone-surrogate batch: exact regex fallback (same spec)
-        nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
+        # the engine-portable nonspace class, NOT Python's Unicode \S
+        # (which excludes NBSP & friends — a forked constant vs the LUT
+        # path and the DuckDB oracle)
+        from ..core.casefold import NONSPACE_ONE as _NS1
+
+        nonspace = s.str.count(_NS1).to_numpy(dtype=np.int64)
         _pats = dict(_langid.CHARSET_PATTERNS)
         _pats.update({la: p for la, p, _th in _langid.SCRIPT_OVERRIDES})
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -376,8 +377,12 @@ def strip_boilerplate_lines(
     hot = boilerplate_hot_set(df, id_col, text_col, min_docs)
 
     if strategy == "array":
+        # same NULL rule as the 'join' strategy below (and c4_filter_lines/
+        # the DuckDB oracles): NULL text behaves as '' — without the
+        # coalesce, split(NULL) propagates and the strategy-equality
+        # contract breaks on NULL-text rows
         clean, removed = strip_hot_lines_exprs(
-            F.col(text_col), F.col("hot_lines")
+            F.coalesce(F.col(text_col), F.lit("")), F.col("hot_lines")
         )
         return df.crossJoin(F.broadcast(boilerplate_hot_array(hot))).select(
             F.col(id_col),
@@ -519,7 +524,15 @@ def incremental_new(
         b = bc.value
         return keys.map(lambda s: bool(all(b[p] for p in B.positions(s, m, k))))
 
-    annotated = batch.withColumn("bloom_maybe", probe_udf(F.col(key_col)))
+    # persist: both union branches filter this frame — unpersisted, Spark
+    # plans two independent scans, re-running the batch's upstream lineage
+    # AND the Arrow probe UDF over every row twice (the probe cost the
+    # bloom exists to bound). The increment is batch-sized by contract
+    # (a day's crawl, not the corpus); MEMORY_AND_DISK spills rather than
+    # recomputes, and Spark evicts it LRU after the consumer's action.
+    annotated = batch.withColumn(
+        "bloom_maybe", probe_udf(F.col(key_col))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     definite = annotated.filter(~F.col("bloom_maybe")).withColumn(
         "is_new", F.lit(True)
     )

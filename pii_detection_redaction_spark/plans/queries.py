@@ -21,10 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import langid as LID
 from ..core import quality as Q
 from ..core.toxicity import MAX_TOXICITY_HITS, TOXIC_MASK
-from ..core.langprofiles import STOPWORDS
 from ..functions.quality import (
     TOXICITY_RE_JVM,
     add_quality_columns,
@@ -49,12 +47,15 @@ from ..operators.multimodal import extract_features
 # VALUES list is generated from the same constant.
 from ..core.entities import SEVERITY_DIM  # noqa: E402
 
-# regexes shared verbatim between Spark (Java) and DuckDB (RE2) for the
-# SQL-checkable detection subset — no lookaround, ASCII classes only.
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IP_RE = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
-URL_RE = r"https?://[A-Za-z0-9./_-]+"
-DATE_RE = r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b"
+# RE2-subset recount regexes — semantic constants living in core next to
+# the bank they approximate (core.recognizers; CLAUDE.md one-spec rule),
+# re-exported here under their historical names for the oracle module.
+from ..core.recognizers import (  # noqa: E402
+    RE2_SUBSET_DATE_RE as DATE_RE,
+    RE2_SUBSET_EMAIL_RE as EMAIL_RE,
+    RE2_SUBSET_IP_RE as IP_RE,
+    RE2_SUBSET_URL_RE as URL_RE,
+)
 
 TOKEN_RE = TS.TOKEN_RE
 

@@ -80,7 +80,10 @@ def read_warc(
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield _records_frame(row["path"], bytes(row["content"]), wt)
+            # zip over the columns, not iterrows(): iterrows boxes every
+            # row into a pandas Series — pure overhead in the ingestion
+            # hot loop whose cells are whole WARC files
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield _records_frame(path, bytes(content), wt)
 
     return files.mapInPandas(parse, WARC_SCHEMA)

@@ -220,3 +220,17 @@ def test_null_text_row_matches_oracle(spark, tmp_path, monkeypatch):
         }
         assert got == exp, op.__name__
         assert got["https://a/null"] == ("", 0), op.__name__
+
+
+@pytest.mark.parametrize("strategy", ["join", "array"])
+def test_strip_boilerplate_null_text_both_strategies(spark, strategy):
+    """NULL text behaves as '' in BOTH strategies (the array form used to
+    skip the coalesce, emitting NULL text_clean and breaking the pinned
+    strategy-equality contract on NULL-text corpora)."""
+    docs = list(DOCS) + [("znull", None)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in strip_boilerplate_lines(df, min_docs=3, strategy=strategy).collect()
+    }
+    assert got["znull"] == ("", 0)
