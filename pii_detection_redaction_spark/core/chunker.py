@@ -82,8 +82,14 @@ def analyze_long_text(
 
         # Chunk overlap can surface span pairs that single-chunk conflict
         # resolution would have collapsed (a boundary-truncated match inside a
-        # full match seen by the next chunk); re-resolve globally so results
-        # are chunking-invariant.
+        # full match seen by the next chunk); re-resolve globally. NOT fully
+        # chunking-invariant: a pattern whose lookahead/anchor is cut at a
+        # chunk END can fire with truncated right context (e.g. NAME_TITLE's
+        # negative lookahead passing at end-of-chunk), producing a span
+        # whole-text analyze would not — the REFERENCE chunker has exactly
+        # the same artifact (chunker.py:29-68 scans truncated chunks and
+        # merges by (start, end, type) key), so this is behavior parity,
+        # not a defect to engineer away.
         dets = resolve_conflicts(list(best.values()))
 
     # Document-level repeated-name propagation (recognizers.

@@ -52,7 +52,7 @@ from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 from .entities import PERSON_TYPES, expand_entities
-from .spans import Detection, spans_overlap
+from .spans import Detection
 
 CONTEXT_BOOST = 0.35
 CONTEXT_WINDOW_BEFORE = 50

@@ -42,7 +42,7 @@ from itertools import accumulate
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .entities import PERSON_TYPES
-from .spans import Detection
+from .spans import Detection, splice_spans
 
 _TOKEN_SPLIT_RE = re.compile(r"[^A-Za-z0-9]+")
 _NON_ALNUM_RE = re.compile(r"[^a-z0-9]+")
@@ -184,10 +184,5 @@ def mask_with_relationships(text: str, results: Sequence[Detection]) -> str:
             )
         pieces.append((span[0], span[1], label))
 
-    # right-to-left splice (reference ``:149-153``): stable reverse sort on
-    # start, then sequential surgery — reproduces the reference's output even
-    # for overlapping spans.
-    out = text
-    for s, e, rep in sorted(pieces, key=lambda p: p[0], reverse=True):
-        out = out[:s] + rep + out[e:]
-    return out
+    # right-to-left splice — the one shared spelling (core.spans.splice_spans)
+    return splice_spans(text, pieces)

@@ -113,8 +113,10 @@ def _starts_only(mask: np.ndarray) -> np.ndarray:
     return np.nonzero(s)[0]
 
 
-def _split_counts(doc_idx: np.ndarray, n_docs: int) -> List[Tuple[int, int]]:
-    """[lo, hi) ranges per doc for a sorted doc-index array."""
+def _split_counts(doc_idx: np.ndarray, n_docs: int) -> np.ndarray:
+    """Length-(n_docs+1) CUTS array for a sorted doc-index array: doc i's
+    rows live at [cuts[i], cuts[i+1]) — callers index the cuts, they do
+    not receive (lo, hi) pairs."""
     cuts = np.searchsorted(doc_idx, np.arange(n_docs + 1), side="left")
     return cuts
 

@@ -12,10 +12,15 @@ Re-expresses the reference's anonymization operators:
 - ``relationship``: see ``relationships.mask_with_relationships``.
 
 Because the reference applies replacements by blind right-to-left splicing,
-its input spans must not overlap. Presidio guarantees that upstream; our
-documented equivalent is ``select_nonoverlapping``: sort candidates by
-``(start, -score, end, entity_type)`` and greedily accept spans that do not
-overlap an already-accepted span. Fixtures pin this choice.
+its input spans must not overlap. Presidio guarantees that upstream (its
+``_remove_conflicts`` keeps the HIGHER-SCORE span of an intersecting
+pair); our documented equivalent is ``select_nonoverlapping``:
+score-descending greedy — sort candidates by ``(-score, start, end,
+entity_type)`` and accept spans that do not overlap an already-accepted
+span. Score-first matters for safety, not just parity: an
+earlier-starting weaker span (a 0.5 AU_STATE overlapping a 0.6
+REPEATED_NAME surname) must not evict the stronger PII span and leak it
+unscrubbed. Fixtures pin this choice.
 """
 
 from __future__ import annotations
@@ -23,30 +28,28 @@ from __future__ import annotations
 from typing import List, Sequence
 
 from .relationships import mask_with_relationships
-from .spans import Detection
+from .spans import Detection, splice_spans
 
 MASK_CHARS_TO_MASK = 100  # presidio cap used by the reference (redactor.py:111)
 
 
 def select_nonoverlapping(results: Sequence[Detection]) -> List[Detection]:
-    ordered = sorted(results, key=lambda d: (d.start, -d.score, d.end, d.entity_type))
+    ordered = sorted(
+        results, key=lambda d: (-d.score, d.start, d.end, d.entity_type)
+    )
     accepted: List[Detection] = []
-    last_end = -1
     for d in ordered:
-        if d.start >= last_end:
+        # score-first greedy (presidio _remove_conflicts semantics): a span
+        # is dropped only when a HIGHER-priority span overlaps it
+        if all(not (d.start < a.end and a.start < d.end) for a in accepted):
             accepted.append(d)
-            last_end = d.end
-        # else: overlaps the previously accepted (earlier-starting or
-        # higher-scoring) span — dropped.
+    accepted.sort(key=lambda d: d.start)
     return accepted
 
 
 def _splice(text: str, spans: List[tuple]) -> str:
-    # right-to-left replacement, reference relationships.py:149-153
-    out = text
-    for s, e, rep in sorted(spans, key=lambda x: x[0], reverse=True):
-        out = out[:s] + rep + out[e:]
-    return out
+    # the one shared right-to-left splice (core.spans.splice_spans)
+    return splice_spans(text, spans)
 
 
 def replace_with_labels(text: str, results: Sequence[Detection]) -> str:

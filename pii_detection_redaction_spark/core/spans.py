@@ -32,3 +32,15 @@ class Detection:
 def spans_overlap(a_start: int, a_end: int, b_start: int, b_end: int) -> bool:
     """Half-open overlap predicate (reference ``pdf_redactor/analyzer.py:139-140``)."""
     return not (a_end <= b_start or b_end <= a_start)
+
+
+def splice_spans(text: str, spans) -> str:
+    """Right-to-left replacement splice (reference relationships.py:149-153):
+    stable reverse sort on start, then sequential surgery — reproduces the
+    reference's output even for overlapping spans. The ONE shared spelling
+    for scrub._splice-style callers and relationship masking (two copies of
+    replacement-order logic would drift independently)."""
+    out = text
+    for s, e, rep in sorted(spans, key=lambda p: p[0], reverse=True):
+        out = out[:s] + rep + out[e:]
+    return out

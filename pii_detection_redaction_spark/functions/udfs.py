@@ -496,8 +496,15 @@ def make_quality_scrub_udf(
         t_arr = frame["t"].to_numpy()
         # batch candidate scans (core.scanvec) for the kept docs only — the
         # detect stage never sees dropped docs, so don't pay the scan for
-        # them. None (lone-surrogate batch) falls back to per-doc scans.
-        kept_idx = np.nonzero(keep)[0]
+        # them — and only for docs that fit ONE chunk: analyze_long_text's
+        # multi-chunk branch ignores the bundle (chunk-local offsets don't
+        # line up with document-level candidates), so scanning a long doc
+        # is O(doc chars) of pure waste exactly where chars dominate.
+        # None (lone-surrogate batch) falls back to per-doc scans.
+        kept_idx = np.array(
+            [i for i in np.nonzero(keep)[0] if len(t_arr[i] or "") <= size],
+            dtype=np.int64,
+        )
         bundles = _scanvec.batch_scan([t_arr[i] for i in kept_idx])
         if bundles is None:
             bundles = [None] * len(kept_idx)
@@ -515,7 +522,7 @@ def make_quality_scrub_udf(
                 continue
             dets = _chunker.analyze_long_text(
                 t_arr[i], size=size, overlap=overlap, min_score=min_score,
-                entities=ent, scans=bundle_at[i],
+                entities=ent, scans=bundle_at.get(i),
             )
             dets_out.append([d.as_tuple() for d in dets])
             scrub_out.append(_scrub.scrub_document(t_arr[i], dets, mode=mode))

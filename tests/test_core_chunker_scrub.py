@@ -84,16 +84,23 @@ def test_replace_operator():
     assert out == "mail <EMAIL_ADDRESS> ok"
 
 
-def test_select_nonoverlapping_prefers_earlier_then_higher_score():
+def test_select_nonoverlapping_prefers_higher_score_then_earlier():
+    """Score-first greedy (presidio _remove_conflicts semantics): the
+    HIGHER-score span of an overlapping pair wins regardless of start
+    order — an earlier weaker span must not evict a stronger PII span
+    (which would leak it unscrubbed)."""
     ds = [
         Detection("A", 0, 10, 0.5),
-        Detection("B", 5, 15, 0.9),  # overlaps A, starts later → dropped
-        Detection("C", 10, 20, 0.4),
+        Detection("B", 5, 15, 0.9),  # overlaps A with higher score → wins
+        Detection("C", 15, 20, 0.4),
     ]
     kept = select_nonoverlapping(ds)
-    assert [d.entity_type for d in kept] == ["A", "C"]
+    assert [d.entity_type for d in kept] == ["B", "C"]
     ds2 = [Detection("A", 0, 10, 0.5), Detection("B", 0, 8, 0.9)]
     assert [d.entity_type for d in select_nonoverlapping(ds2)] == ["B"]
+    # equal scores: earlier start wins (deterministic tie-break)
+    ds3 = [Detection("A", 2, 10, 0.5), Detection("B", 0, 8, 0.5)]
+    assert [d.entity_type for d in select_nonoverlapping(ds3)] == ["B"]
 
 
 def test_relationship_masking_full_composition():
