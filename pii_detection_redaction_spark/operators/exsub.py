@@ -111,8 +111,15 @@ def exsub_dedup(
     return (
         out.withColumn("__c", c)
         .withColumn(
+            # explicit NULL branch, not coalesce(size(...)): under legacy
+            # non-ANSI conf size(NULL) returns -1 (not NULL), which the
+            # coalesce would pass through — every clean doc would read
+            # n_dup_windows=-1. build_session pins ANSI, but the operator
+            # must not depend on session conf for its own contract.
             "n_dup_windows",
-            F.coalesce(F.size("__spans"), F.lit(0)).cast("int"),
+            F.when(F.col("__spans").isNull(), F.lit(0))
+            .otherwise(F.size("__spans"))
+            .cast("int"),
         )
         .select(
             *[F.col(x) for x in df.columns],

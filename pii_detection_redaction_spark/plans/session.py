@@ -20,11 +20,21 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cores}]"
-    # local[N] → shuffle partitions should match cores, not the 200 default
+    # honor an externally-configured master (spark-submit --master yarn
+    # lands in SparkConf before the driver script runs): forcing local[N]
+    # over it would silently run the "cluster" job on the driver's cores.
+    # Explicit parameter > submitted conf > local default.
+    if master is None:
+        import pyspark
+
+        master = pyspark.SparkConf().get("spark.master", None) or f"local[{cores}]"
+    # local[N] → shuffle partitions should match cores, not the 200 default.
+    # Bracket contents may carry extra args (local[4,2],
+    # local-cluster[2,1,1024]) — only the LEADING integer is the core count.
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cores if n in ("*", "") else int(n)
+        lead = n.split(",")[0].strip()
+        shuffle_partitions = cores if not lead.isdigit() else int(lead)
 
     b = (
         SparkSession.builder.master(master)
@@ -34,6 +44,11 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pin ANSI semantics (Spark 4's default, but clusters override it):
+        # try_cast gating in the trainers and NULL-propagating collection
+        # functions both assume it; legacy sizeOfNull=-1 would corrupt
+        # counters silently
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # long documents: bound Arrow batch size so a batch of 6k-char docs
         # stays well under executor memory

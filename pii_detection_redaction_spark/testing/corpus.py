@@ -309,16 +309,7 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED, n_files: int = 1) -
     import pyarrow.parquet as pq
 
     df = pages_df(n, seed)
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    table = pa.Table.from_pandas(df, schema=_pages_schema(), preserve_index=False)
     if n_files <= 1:
         pq.write_table(table, path)
         return path
@@ -581,15 +572,7 @@ def write_host_variant_pages_parquet(
     else:
         raise ValueError(f"unknown hosts variant {hosts!r}")
     df = df.assign(url=urls)
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),  # Spark rejects NANOS parquet
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
+    schema = _pages_schema()
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
     if n_files == 1:
         pq.write_table(table, path)

@@ -67,54 +67,29 @@ def spark_round(x: float, nd: int) -> float:
 
 
 def spec_fingerprint() -> str:
-    """md5 over the source of every ``core`` module (the semantics spec).
-    Any change to recognizers / scrub / langid / LM / quality / toxicity /
-    chunker invalidates every golden automatically — no manual version."""
-    from ..core import (
-        bloom,
-        chunker,
-        decontam,
-        entities,
-        exsub,
-        extract,
-        ftlang,
-        ftquality,
-        hashing,
-        langid,
-        langprofiles,
-        layout,
-        lm,
-        ocr,
-        quality,
-        recognizers,
-        relationships,
-        sampling,
-        sanitize,
-        scrub,
-        spans,
-        toxicity,
-        urlnorm,
-        warc,
-    )
+    """md5 over the source of EVERY ``core`` module (the semantics spec),
+    discovered dynamically — a hand-kept import list silently omitted
+    newer spec modules (casefold, scanvec, imagecodec, pdfwrite), leaving
+    stale goldens live across changes to the very constants they pin.
+    Any change to any core module invalidates every golden automatically;
+    modules hash in sorted-name order so the fingerprint is stable."""
+    import importlib
+    import pkgutil
+
+    from .. import core as _core
 
     h = hashlib.md5()
-    for mod in (
-        bloom, chunker, decontam, entities, exsub, extract, ftlang, ftquality,
-        hashing, langid, langprofiles, layout, lm, ocr, quality, recognizers,
-        relationships, sampling, sanitize, scrub, spans, toxicity, urlnorm,
-        warc,
-    ):
+    for info in sorted(pkgutil.iter_modules(_core.__path__), key=lambda m: m.name):
+        mod = importlib.import_module(f"{_core.__name__}.{info.name}")
         h.update(inspect.getsource(mod).encode("utf-8"))
     return h.hexdigest()[:10]
 
 
 def _data_dir() -> str:
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    d = os.path.join(repo, "_data")
-    os.makedirs(d, exist_ok=True)
-    return d
+    # one fixture-cache resolution (testing.corpus owns it)
+    from .corpus import _data_dir as _corpus_data_dir
+
+    return _corpus_data_dir()
 
 
 def _materialize(name: str, key: str, build: Callable[[], pa.Table]) -> str:
