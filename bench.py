@@ -507,8 +507,16 @@ def _pipeline_worker(cores: int, pages_path: str, out_dir: str) -> dict:
         spark.stop()
         for b in burners:
             b.terminate()
-    # host capability during THIS leg: oracle docs/s per meter CPU
-    meter_rate = sum(b - a for a, b in zip(m0, m1)) / len(meters) / secs
+    # host capability during THIS leg: oracle docs/s per meter CPU. A host
+    # (or cgroup affinity mask) with <= SCALE_HI+1 usable CPUs leaves no
+    # filler CPUs to meter — report 0.0 (the consumer treats it as
+    # "no calibration signal") instead of dividing by zero AFTER the
+    # multi-minute leg completed.
+    meter_rate = (
+        sum(b - a for a, b in zip(m0, m1)) / len(meters) / secs
+        if meters
+        else 0.0
+    )
     return {
         "seconds": secs,
         "docs_kept": counters.get("docs_kept", 0),
@@ -532,8 +540,13 @@ def run_pipeline_at(cores: int, pages_path: str, n_docs: int, out_dir: str) -> d
         "docs_kept": w["docs_kept"],
         "meter_rate": w["meter_rate"],
         # wall seconds rescaled to constant host speed (x measured speed /
-        # METER_REF iters/ms) — cancels the host's minutes-scale speed drift
-        "norm_seconds": round(secs * w["meter_rate"] / METER_REF, 3),
+        # METER_REF iters/ms) — cancels the host's minutes-scale speed
+        # drift. meter_rate 0.0 = no filler CPUs to meter (tiny host):
+        # fall back to raw wall seconds rather than normalizing to zero
+        # (which would zero-divide the pair-efficiency ratios).
+        "norm_seconds": round(
+            secs * (w["meter_rate"] / METER_REF if w["meter_rate"] else 1.0), 3
+        ),
     }
 
 
@@ -571,11 +584,6 @@ def main() -> None:
     result = {"metric": "total_bench_seconds", "unit": "sec", "sf": sf, "queries": {}}
     total = 0.0
 
-    # scaling corpus is larger (amortizes per-session fixed costs: task
-    # scheduling, worker handshakes, commit) so efficiency reflects
-    # steady-state throughput, the quantity that matters at 100 TB
-    pages_path, n_docs = _pages_path(sf, SCALE_DOCS_MULT)
-
     if not scaling_only:
         timings = run_queries(SF_DIR)
         result["queries"] = timings
@@ -590,6 +598,13 @@ def main() -> None:
         print(f"  aux: {aux}", file=sys.stderr)
 
     if not skip_scaling:
+        # scaling corpus is larger (amortizes per-session fixed costs: task
+        # scheduling, worker handshakes, commit) so efficiency reflects
+        # steady-state throughput, the quantity that matters at 100 TB.
+        # Generated HERE, not up top: --skip-scaling never reads it, and
+        # the 8x corpus costs minutes of generation + disk on a fresh
+        # checkout.
+        pages_path, n_docs = _pages_path(sf, SCALE_DOCS_MULT)
         # auditability: record the host's measured DVFS curve next to the
         # efficiency number (see _pipeline_worker equal-occupancy rationale)
         result["hw_calibration"] = hw_calibration()

@@ -54,7 +54,10 @@ def main() -> None:
                   header=not args.no_header, multiline=args.multiline)
     out = redact_csv(df, use_entity_labels=args.labels,
                      min_score=args.min_score, entities=args.entities,
-                     cache=True)  # three sinks share the detection pass
+                     cache=True,  # three sinks share the detection pass
+                     # reference JSON export shape carries cell_value
+                     # (csv_redactor/formatter.py) — same as batch_redact
+                     include_cell_value=True)
     write_csv(out["redacted"], os.path.join(args.output, "redacted"),
               delimiter=args.delimiter, header=not args.no_header)
     detections_to_json(out["detections"], source=df).write.mode(

@@ -60,6 +60,10 @@ def main() -> int:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')"
                 )
+        from pii_detection_redaction_spark.testing.diffnorm import (
+            normalize_for_diff,
+        )
+
         want = con.execute(sql).df()
         got = df.toPandas()
         cols = sorted(got.columns)
@@ -69,12 +73,13 @@ def main() -> int:
             same_vals = False
         else:
             try:
-                # check_exact: this MUST match the real gate
-                # (tests/test_entry_oracle.py) — a tolerant compare here
-                # would bless drifts the differential rejects
+                # THE gate's normalization (testing.diffnorm — rows sorted
+                # by all columns, dtypes coerced) then exact values: raw
+                # engine row order differs on tied ORDER BY keys and NULLS
+                # FIRST/LAST, which is not a drift
                 pd.testing.assert_frame_equal(
-                    got[cols].reset_index(drop=True),
-                    want[cols].reset_index(drop=True),
+                    normalize_for_diff(got),
+                    normalize_for_diff(want),
                     check_dtype=False,
                     check_exact=True,
                 )

@@ -46,6 +46,9 @@ def main(argv=None) -> dict:
 
     spark = build_session(app_name=f"pii-train-{args.task}", master=args.master)
     df = spark.read.parquet(args.input)
+    # count() over a bare parquet scan is metadata-cheap (zero-column scan,
+    # row counts come from footer statistics) — it does not re-read the
+    # text payload the trainers scan below
     summary = {"task": args.task, "rows": df.count()}
     if args.task == "quality":
         W = T.train_quality_classifier(df, args.text_col, args.label_col)

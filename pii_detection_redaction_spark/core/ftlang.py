@@ -95,11 +95,15 @@ def _bucket(gram: str) -> int:
     return b
 
 
-def bucket_counts(text: str, sizes: Tuple[int, ...] = NGRAM_SIZES) -> Counter:
+def bucket_counts(
+    text: str, sizes: Tuple[int, ...] = NGRAM_SIZES, pre_lowered: bool = False
+) -> Counter:
     """Hashed n-gram bag of one document (lowercased, spaces included —
-    spaces at gram edges encode word boundaries, fastText-style)."""
+    spaces at gram edges encode word boundaries, fastText-style).
+    ``pre_lowered=True`` skips the casefold pass — for callers that lower
+    ONCE and score several n-gram sizes (predict); semantics identical."""
     out: Counter = Counter()
-    t = simple_lower(text)  # one-char İ rule (core.casefold)
+    t = text if pre_lowered else simple_lower(text)  # İ rule (core.casefold)
     n_chars = len(t)
     for n in sizes:
         for i in range(n_chars - n + 1):
@@ -190,7 +194,8 @@ def predict(
     # hash each n-gram size ONCE: the bag is the sum of per-size bags, and
     # the evidence gate reuses the bigram bag instead of re-hashing every
     # bigram of the document (this is the corpus-wide UDF hot path)
-    per_size = {n: bucket_counts(text, (n,)) for n in NGRAM_SIZES}
+    low = simple_lower(text)  # fold ONCE, not once per n-gram size
+    per_size = {n: bucket_counts(low, (n,), pre_lowered=True) for n in NGRAM_SIZES}
     bag: Counter = Counter()
     for b in per_size.values():
         bag.update(b)
@@ -206,7 +211,7 @@ def predict(
 
     evidence = per_size.get(EVIDENCE_NGRAM)
     if evidence is None:
-        evidence = bucket_counts(text, (EVIDENCE_NGRAM,))
+        evidence = bucket_counts(low, (EVIDENCE_NGRAM,), pre_lowered=True)
     bi_idx, bi_cnt = _arrays(evidence)
     if bi_idx.size == 0:
         return "und", 0.0

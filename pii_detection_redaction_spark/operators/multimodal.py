@@ -109,8 +109,14 @@ def extract_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+# shared defaults for the catalog query AND the DuckDB oracle (CLAUDE.md
+# one-spec rule: the oracle SQL interpolates THESE, never bare literals)
+FRAME_EVERY_N = 30
+RESIZE_MAX_DIM = 512
+
+
 def frame_sample_plan(
-    df: DataFrame, meta_col: str = "meta", every_n: int = 30
+    df: DataFrame, meta_col: str = "meta", every_n: int = FRAME_EVERY_N
 ) -> DataFrame:
     """Declarative frame-sampling plan: explodes frame indices 0, n, 2n, ...
     from metadata without touching payload bytes (JVM-side sequence)."""
@@ -132,8 +138,8 @@ def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
 
 def resize_plan(
     df: DataFrame,
-    max_w: int = 512,
-    max_h: int = 512,
+    max_w: int = RESIZE_MAX_DIM,
+    max_h: int = RESIZE_MAX_DIM,
     meta_col: str = "meta",
 ) -> DataFrame:
     """Aspect-preserving fit-resize geometry, entirely JVM-side from the

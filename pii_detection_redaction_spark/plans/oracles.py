@@ -1906,7 +1906,10 @@ ORACLE_SQL["multimodal_features"] = _multimodal_sql()
 # formula (scale = min(1, 512/w, 512/h); target = max(1, round(dim*scale)))
 # — double division/multiplication in the same order as the Spark columns,
 # and round() agrees with Spark's HALF_UP for positive values.
-ORACLE_SQL["multimodal_frames"] = """
+from ..operators.multimodal import FRAME_EVERY_N as _MM_N
+from ..operators.multimodal import RESIZE_MAX_DIM as _MM_DIM
+
+ORACLE_SQL["multimodal_frames"] = f"""
 WITH m AS (
   SELECT doc_id AS media_id,
     CAST(100 + doc_id % 1900 AS INTEGER) AS w,
@@ -1914,11 +1917,11 @@ WITH m AS (
     CAST(doc_id % 91 AS INTEGER) AS nf
   FROM documents WHERE doc_id < 300
 ), f AS (
-  SELECT media_id, w, h, CAST(unnest(range(0, nf, 30)) AS INTEGER) AS frame_idx
+  SELECT media_id, w, h, CAST(unnest(range(0, nf, {_MM_N})) AS INTEGER) AS frame_idx
   FROM m WHERE nf > 0
 ), s AS (
   SELECT media_id, frame_idx,
-    least(1.0, 512.0 / CAST(w AS DOUBLE), 512.0 / CAST(h AS DOUBLE)) AS sc,
+    least(1.0, {float(_MM_DIM)} / CAST(w AS DOUBLE), {float(_MM_DIM)} / CAST(h AS DOUBLE)) AS sc,
     CAST(w AS DOUBLE) AS wd, CAST(h AS DOUBLE) AS hd
   FROM f
 )

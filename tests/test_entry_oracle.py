@@ -40,18 +40,9 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64")
-        elif str(df[c].dtype) == "bool":
-            df[c] = df[c].astype(bool)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+from pii_detection_redaction_spark.testing.diffnorm import (
+    normalize_for_diff as _normalize,
+)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
