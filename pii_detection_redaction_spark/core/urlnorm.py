@@ -50,6 +50,21 @@ TRAILING_SEP_RE = r"[?&]+$"
 # step 6: authority = scheme://host[:port] (everything before path/query)
 AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
 DEFAULT_PORT_RE = r":(80|443)$"
+
+# --- host KEY spec (blocklists / per-host caps / rollups; operators.web +
+# the DuckDB oracle fragments consume these verbatim) -----------------------
+# The host key is the authority with USERINFO and ANY port stripped, then
+# one-char-lowered, NULL coalesced to ''. Keying on the raw authority would
+# let a blocked/capped host evade by spelling ('http://u@blocked.com',
+# 'http://blocked.com:80') — the same evasion class the query-string
+# hardening closed. Distinct from canonical_url_col's authority (which
+# keeps non-default ports: ':8080' IS a different origin for dedup
+# identity, but the same HOST for quota/blocklist purposes). The port strip
+# is IPv6-safe: '[::1]:8080' ends in a digit-run after ':', '[::1]' does
+# not.
+HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+HOST_USERINFO_RE = r"^[^@]*@"
+HOST_PORT_RE = r":[0-9]+$"
 # step 7
 TRAILING_SLASH_RE = r"/+$"
 

@@ -61,16 +61,11 @@ def make_ocr_udf():
     return ocr_udf
 
 
-def make_ocr_detect_udf():
-    """Fused kernel + analyzer: text → struct(ocr_text, words, detections).
-    Chained pandas UDFs land in SEPARATE ArrowEvalPython nodes (a dependent
-    UDF can't batch with its producer), so running the recognizer bank over
-    the OCR text inside the SAME kernel UDF is what keeps the image surface
-    at one Arrow crossing — the same single-eval-node discipline as the
-    fused pipeline stage (plans.pipeline)."""
-    from ..core.chunker import analyze_long_text
-
-    fields = list(OCR_TYPE.fields) + [
+# fused-UDF output type: OCR struct + detections over the OCR text —
+# ONE definition for both kernels (text stand-in and real-pixel)
+OCR_DETECT_TYPE = T.StructType(
+    list(OCR_TYPE.fields)
+    + [
         T.StructField(
             "detections",
             T.ArrayType(
@@ -85,12 +80,23 @@ def make_ocr_detect_udf():
             ),
         )
     ]
+)
 
-    @pandas_udf(T.StructType(fields))
-    def ocr_detect_udf(texts: pd.Series) -> pd.DataFrame:
+
+def _make_fused_detect_udf(kernel):
+    """One fused kernel+analyzer UDF body, parameterized by the OCR kernel
+    (input value -> (ocr_text, words)). Chained pandas UDFs land in
+    SEPARATE ArrowEvalPython nodes (a dependent UDF can't batch with its
+    producer), so running the recognizer bank inside the SAME kernel UDF
+    keeps each image surface at one Arrow crossing — the same
+    single-eval-node discipline as the fused pipeline stage."""
+    from ..core.chunker import analyze_long_text
+
+    @pandas_udf(OCR_DETECT_TYPE)
+    def fused_udf(values: pd.Series) -> pd.DataFrame:
         ocr_texts, words, dets = [], [], []
-        for t in texts:
-            ot, ws = O.ocr_words(t)
+        for v in values:
+            ot, ws = kernel(v)
             ocr_texts.append(ot)
             words.append(ws)
             dets.append(
@@ -103,7 +109,29 @@ def make_ocr_detect_udf():
             {"ocr_text": ocr_texts, "words": words, "detections": dets}
         )
 
-    return ocr_detect_udf
+    return fused_udf
+
+
+def make_ocr_detect_udf():
+    """Fused kernel + analyzer over the TEXT stand-in kernel
+    (core.ocr.ocr_words — the declared seam): text -> struct(ocr_text,
+    words, detections)."""
+    return _make_fused_detect_udf(O.ocr_words)
+
+
+def make_image_ocr_detect_udf():
+    """The fused kernel over REAL image bytes: binary (BMP / P6 PPM) ->
+    struct(ocr_text, words, detections). Kernel body =
+    ``core.imagecodec.ocr_from_image`` (pure-Python pixel decode + glyph
+    classification on the declared grid), closing the decode seam for the
+    formats this environment can honestly decode. Everything downstream
+    (``image_redaction_boxes``) is shared and unchanged."""
+    from ..core.imagecodec import ocr_from_image
+
+    def kernel(data):
+        return ocr_from_image(bytes(data)) if data is not None else ("", [])
+
+    return _make_fused_detect_udf(kernel)
 
 
 def _grid_box(cs: Column, ce: Column) -> dict:
@@ -116,53 +144,6 @@ def _grid_box(cs: Column, ce: Column) -> dict:
     top = F.lit(O.OCR_MARGIN_PX) + line * O.OCR_LINE_PX
     return {"left": left, "top": top, "width": eff * O.OCR_CHAR_PX,
             "height": F.lit(O.OCR_LINE_PX)}
-
-
-def make_image_ocr_detect_udf():
-    """The fused kernel over REAL image bytes: binary (BMP / P6 PPM) →
-    struct(ocr_text, words, detections). Same single-Arrow-crossing shape
-    as ``make_ocr_detect_udf``; the kernel body is ``core.imagecodec.
-    ocr_from_image`` (pure-Python pixel decode + glyph classification on
-    the declared grid) instead of the text stand-in, closing the decode
-    seam for the formats this environment can honestly decode. Everything
-    downstream (``image_redaction_boxes``) is shared and unchanged."""
-    from ..core.chunker import analyze_long_text
-    from ..core.imagecodec import ocr_from_image
-
-    fields = list(OCR_TYPE.fields) + [
-        T.StructField(
-            "detections",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("entity_type", T.StringType()),
-                        T.StructField("start", T.IntegerType()),
-                        T.StructField("end", T.IntegerType()),
-                        T.StructField("score", T.DoubleType()),
-                    ]
-                )
-            ),
-        )
-    ]
-
-    @pandas_udf(T.StructType(fields))
-    def image_ocr_detect_udf(images: pd.Series) -> pd.DataFrame:
-        ocr_texts, words, dets = [], [], []
-        for data in images:
-            ot, ws = ocr_from_image(bytes(data)) if data is not None else ("", [])
-            ocr_texts.append(ot)
-            words.append(ws)
-            dets.append(
-                [
-                    (d.entity_type, d.start, d.end, d.score)
-                    for d in (analyze_long_text(ot) if ot else [])
-                ]
-            )
-        return pd.DataFrame(
-            {"ocr_text": ocr_texts, "words": words, "detections": dets}
-        )
-
-    return image_ocr_detect_udf
 
 
 def image_redaction_boxes(

@@ -38,18 +38,25 @@ from ..functions.casefold import simple_lower_col
 # query/fragment directly after the authority — 'http://h?x=1' — must not
 # leak into the host, or a blocked host evades its blocklist/cap by
 # varying query strings). The previous ^[a-z]+://([^/]+) had both holes.
-HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+# The spec constants live in core.urlnorm (HOST_REGEX / HOST_USERINFO_RE /
+# HOST_PORT_RE — one home, consumed verbatim by the DuckDB oracle);
+# re-exported here under the historical name.
+HOST_REGEX = UN.HOST_REGEX
 
 
 def host_col(url_col: str = "url") -> Column:
-    """Authority component of the URL, lowercased ('' when the URL has no
-    scheme). Lowercasing is part of the host spec — host keys, blocklists,
-    and caps must treat 'Blocked.COM' and 'blocked.com' as one host (the
-    DuckDB oracle fragments apply the same ``lower``). Lowering goes
-    through the cross-engine spec (core.casefold / functions.casefold):
-    the engines' own lower()s disagree on İ and 70 late-Unicode capitals,
-    either of which would let a blocked host evade its key."""
-    return simple_lower_col(F.regexp_extract(F.col(url_col), HOST_REGEX, 1))
+    """The host KEY (core.urlnorm host spec): authority minus userinfo
+    minus any port, one-char-lowered, '' for unparseable/NULL urls. Host
+    keys, blocklists, and caps must treat 'Blocked.COM', 'blocked.com:80'
+    and 'u@blocked.com' as ONE host or the blocklist/quota is evadable by
+    spelling; NULL coalesces to '' so NULL-url rows form one cappable
+    group instead of falling through every null-key join probe. Lowering
+    goes through the cross-engine spec (functions.casefold): the engines'
+    own lower()s disagree on İ and 70 late-Unicode capitals."""
+    auth = F.regexp_extract(F.col(url_col), UN.HOST_REGEX, 1)
+    auth = F.regexp_replace(auth, UN.HOST_USERINFO_RE, "")
+    auth = F.regexp_replace(auth, UN.HOST_PORT_RE, "")
+    return F.coalesce(simple_lower_col(auth), F.lit(""))
 
 
 def filter_blocked_hosts(
@@ -103,16 +110,28 @@ def dedup_latest_crawl(
     over one Exchange. Canonical URLs are near-unique (a page has a handful
     of crawl records, never millions), so the key cannot skew and the window
     buffer per key is tiny. The full row (html payload included) moves once
-    — identical movement to any keep-one-per-key dedup lower bound."""
+    — identical movement to any keep-one-per-key dedup lower bound.
+
+    NULL-url rows are NOT deduped: a url-keyed identity cannot key NULL,
+    and Window.partitionBy groups all NULLs into ONE partition — N
+    unrelated partial records would silently collapse to a single survivor.
+    They pass through unmodified (canonical_url NULL, n_crawls 1)."""
+    keyed = df.filter(F.col(url_col).isNotNull())
+    null_rows = (
+        df.filter(F.col(url_col).isNull())
+        .withColumn("canonical_url", F.lit(None).cast("string"))
+        .withColumn("n_crawls", F.lit(1).cast("long"))
+    )
     w = Window.partitionBy("canonical_url")
     wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col).desc())
-    return (
-        df.withColumn("canonical_url", canonical_url_col(url_col))
+    deduped = (
+        keyed.withColumn("canonical_url", canonical_url_col(url_col))
         .withColumn("__rn", F.row_number().over(wo))
         .withColumn("n_crawls", F.count(F.lit(1)).over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return deduped.unionByName(null_rows)
 
 
 def cap_per_host(

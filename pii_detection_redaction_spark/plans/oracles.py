@@ -924,7 +924,7 @@ ORDER BY f.url
 def _host_rollup_sql() -> str:
     """Host extraction (same regex literal), blocklist NOT IN, per-host
     rollup with avg derived from the two sums in the same order as Spark."""
-    from ..operators.web import HOST_REGEX
+    from ..core.urlnorm import HOST_PORT_RE, HOST_REGEX, HOST_USERINFO_RE
     from .queries import BLOCKED_HOSTS, oracle_pages_path
 
     path = oracle_pages_path()
@@ -932,7 +932,9 @@ def _host_rollup_sql() -> str:
     return f"""
 WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
 h AS (
-  SELECT lower(regexp_extract(url, '{_q(HOST_REGEX)}', 1)) AS host,
+  SELECT coalesce(lower(regexp_replace(regexp_replace(
+           regexp_extract(url, '{_q(HOST_REGEX)}', 1),
+           '{_q(HOST_USERINFO_RE)}', ''), '{_q(HOST_PORT_RE)}', '')), '') AS host,
          length(text) AS n
   FROM pages
 )
@@ -1016,14 +1018,16 @@ def _host_quota_sql() -> str:
     single-path form of the quota, so the differential checks that the
     engine's skew-safe two-path plan (broadcast anti-probe + head-only
     window) selects the identical page set."""
-    from ..operators.web import HOST_REGEX
+    from ..core.urlnorm import HOST_PORT_RE, HOST_REGEX, HOST_USERINFO_RE
     from .queries import HOST_CAP, oracle_pages_path
 
     path = oracle_pages_path()
     return f"""
 WITH p AS (SELECT url, text FROM read_parquet('{path}')),
 h AS (
-  SELECT lower(regexp_extract(url, '{_q(HOST_REGEX)}', 1)) AS host,
+  SELECT coalesce(lower(regexp_replace(regexp_replace(
+           regexp_extract(url, '{_q(HOST_REGEX)}', 1),
+           '{_q(HOST_USERINFO_RE)}', ''), '{_q(HOST_PORT_RE)}', '')), '') AS host,
          url, CAST(length(text) AS INTEGER) AS n_chars
   FROM p
 ),

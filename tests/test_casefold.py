@@ -133,10 +133,16 @@ def test_host_and_canonical_url_three_engines(spark):
         host_col,
     )
 
+    from pii_detection_redaction_spark.core.urlnorm import (
+        HOST_PORT_RE,
+        HOST_USERINFO_RE,
+    )
+
     urls = [
         "http://Wİkİ.example.com/Path",
         "https://İ.example.org:443/x?utm_source=t",
         "http://plain.example.net/",
+        "http://user@Blocked.COM:8080/x",  # userinfo+port strip off the KEY
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     rows = df.select(
@@ -145,11 +151,15 @@ def test_host_and_canonical_url_three_engines(spark):
     con = duckdb.connect()
     for r in rows:
         duck_host = con.execute(
-            "SELECT lower(regexp_extract(?, ?, 1))", [r.url, HOST_REGEX]
+            "SELECT coalesce(lower(regexp_replace(regexp_replace("
+            "regexp_extract(?, ?, 1), ?, ''), ?, '')), '')",
+            [r.url, HOST_REGEX, HOST_USERINFO_RE, HOST_PORT_RE],
         ).fetchone()[0]
         assert r.h == duck_host, r.url
         assert r.c == canonicalize_url(r.url), r.url
         assert "̇" not in r.h and "̇" not in r.c
+    got = {r.url: r.h for r in rows}
+    assert got["http://user@Blocked.COM:8080/x"] == "blocked.com"
 
 
 def test_word_class_and_toxicity_pinned_cross_engine(spark):

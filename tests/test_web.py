@@ -220,3 +220,68 @@ def test_host_extraction_spec_corners(spark):
         for r in filter_blocked_hosts_literal(df, ["blocked.com"]).collect()
     }
     assert survivors == {"http://fine.org/ok?x=1", "no-scheme-at-all"}
+
+
+def test_host_key_strips_userinfo_and_port(spark):
+    """The host KEY treats 'blocked.com:80', 'blocked.com:8080' and
+    'u@blocked.com' as ONE host — otherwise the blocklist/quota is
+    evadable by spelling; IPv6 bracket colons survive the port strip;
+    NULL urls key to '' (one cappable group, not null-join fallthrough)."""
+    from pii_detection_redaction_spark.operators.web import (
+        cap_per_host,
+        filter_blocked_hosts_literal,
+        host_col,
+    )
+
+    urls = [
+        "http://blocked.com/x",
+        "http://blocked.com:80/x",
+        "http://blocked.com:8080/x",
+        "http://user@blocked.com/x",
+        "http://[::1]:8080/x",
+        "http://[::1]/y",
+        None,
+    ]
+    df = spark.createDataFrame([(u, "t") for u in urls], ["url", "text"])
+    got = dict(df.select("url", host_col().alias("h")).collect())
+    assert got["http://blocked.com:8080/x"] == "blocked.com"
+    assert got["http://user@blocked.com/x"] == "blocked.com"
+    assert got["http://[::1]:8080/x"] == "[::1]" == got["http://[::1]/y"]
+    assert got[None] == ""
+    kept = filter_blocked_hosts_literal(df, ["blocked.com"]).collect()
+    assert sorted(r["url"] or "" for r in kept) == [
+        "", "http://[::1]/y", "http://[::1]:8080/x"
+    ]
+    # NULL urls form one capped '' group
+    many_null = spark.createDataFrame(
+        [(None, f"t{i}") for i in range(5)] + [("http://a.com/x", "s")],
+        ["url", "text"],
+    )
+    capped = cap_per_host(many_null, cap=2)
+    assert capped.filter(F.col("url").isNull()).count() == 2
+
+
+def test_dedup_latest_crawl_null_urls_pass_through(spark):
+    """NULL-url rows cannot be keyed: they pass through un-deduped
+    (n_crawls=1 each) instead of collapsing N unrelated records into one
+    NULL-partition survivor."""
+    import datetime as _dt
+
+    from pii_detection_redaction_spark.operators.web import dedup_latest_crawl
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://a.com/x", t0, "p1"),
+        ("http://a.com/x", t0 + _dt.timedelta(days=1), "p2"),
+        (None, t0, "junk1"),
+        (None, t0, "junk2"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "payload"])
+    out = dedup_latest_crawl(df)
+    assert out.count() == 3  # one keyed survivor + both NULL rows
+    nulls = out.filter(F.col("url").isNull()).collect()
+    assert sorted(r["payload"] for r in nulls) == ["junk1", "junk2"]
+    assert all(r["n_crawls"] == 1 for r in nulls)
+    keyed = out.filter(F.col("url").isNotNull()).collect()
+    assert len(keyed) == 1 and keyed[0]["payload"] == "p2"
+    assert keyed[0]["n_crawls"] == 2
