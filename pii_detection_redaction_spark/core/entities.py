@@ -184,8 +184,13 @@ def expand_entities(entities: Optional[Iterable[str]]) -> Optional[Set[str]]:
         return None
     out: Set[str] = set()
     for name in entities:
-        if name == "PERSON":
-            out.update(PERSON_TYPES)
-        else:
-            out.update(ENTITY_GROUPS.get(name, (name,)))
+        out.update(ENTITY_GROUPS.get(name, (name,)))
+    # widen AFTER group expansion: a group whose member list says PERSON
+    # (e.g. all_au / personal) means person names exactly like a literal
+    # PERSON request — expanding only the literal spelling silently
+    # narrowed groups to the gazetteer pattern, skipping the titled/
+    # greeting/repeated-name recognizers (the very recall regression this
+    # widening exists to prevent)
+    if "PERSON" in out:
+        out.update(PERSON_TYPES)
     return out

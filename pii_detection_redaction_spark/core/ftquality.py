@@ -35,7 +35,7 @@ from typing import Iterable, List, Optional
 
 import numpy as np
 
-from .ftlang import ALPHA, N_BUCKETS, bucket_counts
+from .ftlang import N_BUCKETS, bucket_counts
 from .langprofiles import CHAR_BASED_LANGS, CONTENT_WORDS, LANGS, STOPWORDS
 
 TRAIN_SEED = 20250815  # frozen — changing it changes golden fixtures

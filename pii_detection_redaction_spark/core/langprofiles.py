@@ -51,11 +51,18 @@ STOPWORDS = {
 # Characteristic characters (appear in running text of that language).
 # Only chars that are reasonably exclusive per language are listed (e.g. the
 # Italian set is ì/ò — à/è/ù would double-count for French).
+# Charset evidence lists hold only characters EXCLUSIVE to their language
+# among the scored set — a shared accent is evidence for several languages
+# and listing it under one silently biases scoring toward it (probe:
+# Portuguese 'análise do relatório histórico' scored ('es', 1.0) while
+# á/í/ó/ú sat in the es list; Italian 'qualità della città' scored fr
+# while à sat in the fr list). Ambiguous accents (á í ó ú: es+pt; à â ç
+# è ê ô ù: fr+pt+it) are in NO list — stopwords carry those languages.
 CHARSETS = {
     "en": "",
     "de": "äöüßÄÖÜ",
-    "fr": "àâçèêëîïôùûœÀÂÇÈÊËÎÏÔÙÛ",
-    "es": "áíóúñ¿¡ÁÍÓÚÑ",
+    "fr": "ëîïûœÿËÎÏÛŒ",
+    "es": "ñ¿¡Ñ",
     "it": "ìòÌÒ",
     "nl": "",
     "pt": "ãõÃÕ",

@@ -25,7 +25,7 @@ from typing import Dict, List, Tuple
 
 from .casefold import NONSPACE_RUN, ascii_ci_expand
 from .langprofiles import CHAR_BASED_LANGS
-from .toxicity import MAX_TOXICITY_HITS, TOXICITY_REGEX
+from .toxicity import MAX_TOXICITY_HITS, TOXICITY_REGEX_CI
 
 # --- thresholds (frozen spec) ---------------------------------------------
 MIN_WORDS = 20
@@ -77,7 +77,7 @@ _word_re = re.compile(NONSPACE_RUN)
 # ascii_ci_expand); the (?i) constants remain the JVM spelling.
 _stop_re = re.compile(ascii_ci_expand(STOPWORD_REGEX))
 _symbol_re = re.compile(SYMBOL_REGEX)
-_tox_re = re.compile(ascii_ci_expand(TOXICITY_REGEX))
+_tox_re = re.compile(TOXICITY_REGEX_CI)  # the ONE expanded spelling
 
 
 def text_metrics(text: str) -> Dict[str, float]:

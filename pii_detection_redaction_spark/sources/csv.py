@@ -171,8 +171,10 @@ def detections_to_json(
     if source is not None and ROW_ID in detections.columns:
         if ROW_FILE in source.columns:
             w = Window.partitionBy(ROW_FILE).orderBy(ROW_ID)
-            # one narrow distinct over the metadata column — export-time only
-            multi = source.select(ROW_FILE).distinct().limit(2).count() > 1
+            # driver-side file listing — CSV has no column pruning, so a
+            # distinct() over the metadata column would re-parse every
+            # input byte just to learn the file count
+            multi = len(source.inputFiles()) > 1
         else:
             w, multi = Window.orderBy(ROW_ID), False
         sel = [F.col(ROW_ID), (F.row_number().over(w) - 1).alias("row")]

@@ -333,3 +333,28 @@ def test_stopword_token_spec_cross_engine():
                 [s],
             ).fetchone()[0]
             assert got == rows[i], (lg, s)
+
+
+def test_charset_evidence_is_language_exclusive():
+    """Charset lists hold only characters exclusive to their language among
+    the scored set: shared accents (á/í/ó/ú es+pt, à/ç/ê fr+pt+it) must sit
+    in NO list — listing them under one language confidently mislabeled
+    genuine Portuguese as es and Italian as fr."""
+    from pii_detection_redaction_spark.core import langid as L
+    from pii_detection_redaction_spark.core.langprofiles import CHARSETS
+
+    shared = set("áíóúàâçèêôù")
+    for lang, chars in CHARSETS.items():
+        assert not (set(chars) & shared), (lang, set(chars) & shared)
+    # the chars of each list appear in no OTHER list
+    for lang, chars in CHARSETS.items():
+        for other, ochars in CHARSETS.items():
+            if other != lang:
+                assert not (set(chars) & set(ochars)), (lang, other)
+    # probes: exclusive evidence wins; ambiguous-only text is und (honest),
+    # never a confident wrong language
+    assert L.detect_language("qualità della città è così bella")[0] == "it"
+    assert L.detect_language("la casa bonita y el niño pequeño")[0] == "es"
+    assert L.detect_language("le garçon était ailleurs ça s'île flûte œuvre")[0] == "fr"
+    got = L.detect_language("análise do relatório histórico e económico")
+    assert got[0] in ("pt", "und") and got != ("es", 1.0)

@@ -504,3 +504,24 @@ def test_compiled_cache_bounded_lru_keeps_default():
     assert len(R._COMPILED) <= R._COMPILED_MAX
     assert default_key in R._COMPILED
     assert R._COMPILED[default_key][0] is R._DEFAULT_BANK
+
+
+def test_group_expansion_widens_person_class():
+    """A group whose member list carries PERSON ('all_au', 'personal')
+    means person names like a literal PERSON request — narrowing it to the
+    gazetteer pattern would skip titled/greeting/repeated-name recognizers
+    and ship names unredacted."""
+    from pii_detection_redaction_spark.core import recognizers as R
+    from pii_detection_redaction_spark.core.entities import (
+        PERSON_TYPES,
+        expand_entities,
+    )
+
+    for req in (["all_au"], ["personal"], ["PERSON"]):
+        assert PERSON_TYPES <= expand_entities(req), req
+    # literal split types stay type-precise; non-person groups unchanged
+    assert expand_entities(["PERSON_WITH_TITLE"]) == {"PERSON_WITH_TITLE"}
+    assert "PERSON" not in expand_entities(["financial"])
+    # end-to-end: the titled name is detected under the group request
+    dets = R.analyze("Dear Mr Smith, your ref attached.", entities=["all_au"])
+    assert any(d.entity_type in PERSON_TYPES for d in dets)
